@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine capability: a Spark query over a testdata scale-factor
+  * directory plus (when SQL-expressible) the DuckDB oracle the driver uses as
+  * the correctness gate. Modules contribute `Seq[Q]`; SparkEntry aggregates.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def all: Seq[Q] =
+    ops.Relational.all ++ ext.TextOps.all ++ ext.SimilarityOps.all ++
+      ext.EventOps.all
+}

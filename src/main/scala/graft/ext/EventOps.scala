@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.expr.Exprs._
+import graft.tables.Tables._
+
+/** Event-stream analytics over `events` — the batch twins of the streaming
+  * surface (SURVEY §2.8). The same plans run under Structured Streaming
+  * (see graft.streaming.Streams); here they are bounded so the DuckDB oracle
+  * can gate them. Bucketing is integer epoch arithmetic (portable across
+  * engines, unlike timezone-sensitive window helpers).
+  */
+object EventOps {
+
+  /** `events.ts` is physically INT96-era TIMESTAMP(NANOS) parquet, which
+    * Spark only reads as a nanosecond **long** (legacy.parquet.nanosAsLong,
+    * set in Verify/Bench sessions); DuckDB reads it as TIMESTAMP_NS. All
+    * time math therefore uses exact integer arithmetic on epoch seconds —
+    * `ts div 1e9` here, `floor(epoch(ts))` in the oracle — identical flooring
+    * on both engines and no double-precision loss on 1.7e18 nanos. */
+  private val tsSec = expr("ts div 1000000000")
+
+  /** s01: 5-minute tumbling-window aggregation per event type. Streaming twin:
+    * `groupBy(window($"ts", "5 minutes"), $"event_type")` + watermark. */
+  def s01Tumbling(s: SparkSession, dir: String): DataFrame = {
+    val sec = tsSec
+    events(s, dir)
+      .groupBy((sec - sec % 300).as("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("bucket_start", "event_type")
+  }
+
+  val s01Oracle: String =
+    s"""WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |           FROM events)
+       |SELECT sec - sec % 300 AS bucket_start, event_type,
+       |COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM e GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+
+  /** s02: gap-based sessionization (30-min inactivity) via lag + running sum
+    * — the declarative form of session_window / flatMapGroupsWithState.
+    * One shuffle on user_id; windows sort within partition. */
+  def s02Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          tsSec - expr("prev_ts div 1000000000") > 1800,
+          1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val s02Oracle: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts, 1) OVER (PARTITION BY user_id
+      |                     ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_ts IS NULL OR
+      |      CAST(floor(epoch(ts)) AS BIGINT)
+      |        - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM y)
+      |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** s03: semi-structured extraction — JSON prop pulled out and aggregated
+    * (the reference's nested-JSON pivot, E11/`main.py:319-323`, generalized). */
+  def s03JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val s03Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |  AS sum_k,
+      |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
+    Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
+    Q("s03_json_extract", s03JsonExtract, Some(s03Oracle)))
+}

@@ -1,0 +1,160 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.tables.Tables._
+
+/** Similarity search over the `embeddings` table (`embedding ARRAY<FLOAT>`).
+  *
+  * All vector math uses higher-order functions (`zip_with` + `aggregate`) —
+  * codegen-free but executor-side and shuffle-free per row; elements are cast
+  * float→double *before* multiply so both engines run the identical IEEE op
+  * sequence (float cast is exact; sequential left-fold sum matches DuckDB's
+  * list_sum order).
+  *
+  * Scale design: brute-force top-k is the correctness baseline (broadcast the
+  * query set — it is small by construction — against a partitioned candidate
+  * scan; per-partition top-k via window). The LSH sign-bucket variant is the
+  * 100 TB path: candidates reduce to an equi-join on bucket id.
+  */
+object SimilarityOps {
+
+  /** Sequential double-precision dot product of two float arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** e01: L2 norms — the map-only vector kernel. */
+  def e01VectorNorms(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(norm2(col("embedding")), 6).as("l2_norm"),
+        size(col("embedding")).as("dim"))
+      .orderBy("vec_id")
+
+  val e01Oracle: String =
+    """SELECT vec_id, label,
+      |round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |  x -> x * x))), 6) AS l2_norm,
+      |len(embedding) AS dim
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** e02: brute-force cosine top-k (k=10) for query vectors vec_id < 5.
+    * Query side broadcasts; ranking uses the *rounded* score plus candidate
+    * id so ordering is engine-deterministic. */
+  def e02CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = round(
+      dot(col("qe"), col("embedding")) /
+        (norm2(col("qe")) * norm2(col("embedding"))), 4)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), cos.as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .orderBy("qid", "rnk")
+  }
+
+  val e02Oracle: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      |      FROM embeddings),
+      |p AS (SELECT qid, cid,
+      |        round(list_cosine_similarity(qe, ce), 4) AS cos_r
+      |      FROM q, c WHERE cid <> qid),
+      |r AS (SELECT qid, cid, cos_r,
+      |        row_number() OVER (PARTITION BY qid
+      |                           ORDER BY cos_r DESC, cid) AS rnk
+      |      FROM p)
+      |SELECT qid, cid, cos_r, rnk FROM r WHERE rnk <= 10
+      |ORDER BY qid, rnk""".stripMargin
+
+  /** e03: LSH sign-buckets (random-hyperplane style, axis-aligned planes at
+    * dims 1/9/17/25) — the ANN scale path: bucket id becomes the join key for
+    * candidate generation, collapsing the candidate set by ~16×. */
+  def e03LshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val bit = (d: Int) =>
+      when(element_at(col("embedding"), d) > 0f, 1L).otherwise(0L)
+    embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        (bit(1) * 8 + bit(9) * 4 + bit(17) * 2 + bit(25)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("min_vec"))
+      .orderBy("bucket")
+  }
+
+  val e03Oracle: String =
+    """WITH b AS (SELECT vec_id, label,
+      |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+      |   CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings)
+      |SELECT bucket, COUNT(*) AS n_vecs,
+      |  COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_vec
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** e04: bucketed ANN — same top-k contract as e02 but candidates are
+    * restricted to the query's LSH bucket (plus rank within bucket). This is
+    * the query users run at 100 TB; recall vs e02 is the quality metric. */
+  def e04AnnBucketed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      ((when(element_at(col("embedding"), 1) > 0f, 1L).otherwise(0L)) * 8 +
+        (when(element_at(col("embedding"), 9) > 0f, 1L).otherwise(0L)) * 4 +
+        (when(element_at(col("embedding"), 17) > 0f, 1L).otherwise(0L)) * 2 +
+        when(element_at(col("embedding"), 25) > 0f, 1L).otherwise(0L))
+        .as("bucket"))
+    val q = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qb"))
+    val cos = round(
+      dot(col("qe"), col("embedding")) /
+        (norm2(col("qe")) * norm2(col("embedding"))), 4)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid"))
+    bucketed.join(broadcast(q),
+        col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), cos.as("cos_r"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .orderBy("qid", "rnk")
+  }
+
+  val e04Oracle: String =
+    """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+      |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+      |   CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, ce AS qe, bucket AS qb
+      |      FROM b WHERE vec_id < 5),
+      |p AS (SELECT qid, vec_id AS cid,
+      |        round(list_cosine_similarity(qe, ce), 4) AS cos_r
+      |      FROM q JOIN b ON b.bucket = q.qb AND b.vec_id <> q.qid),
+      |r AS (SELECT qid, cid, cos_r,
+      |        row_number() OVER (PARTITION BY qid
+      |                           ORDER BY cos_r DESC, cid) AS rnk
+      |      FROM p)
+      |SELECT qid, cid, cos_r, rnk FROM r WHERE rnk <= 10
+      |ORDER BY qid, rnk""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
+    Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
+    Q("e03_lsh_buckets", e03LshBuckets, Some(e03Oracle)),
+    Q("e04_ann_bucketed", e04AnnBucketed, Some(e04Oracle)))
+}

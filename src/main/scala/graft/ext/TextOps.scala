@@ -1,0 +1,254 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.expr.Exprs._
+import graft.tables.Tables._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface (BASELINE.json north star).
+  *
+  * Design for 100 TB: everything here is a single scan + hash aggregation
+  * (shuffle keyed on doc_id or content hash), no driver-side state. The
+  * MinHash/LSH path is the standard shingle→minhash→band→bucket-join
+  * pipeline: candidate generation is an equi-join on (band, bucket) — a
+  * shuffle join on a low-cardinality composite key — never an all-pairs
+  * comparison.
+  */
+object TextOps {
+
+  /** Occurrences of literal `needle` in `c` via length arithmetic — exact,
+    * engine-portable (no regex dialect). */
+  private def litCount(c: Column, needle: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) /
+      needle.length).cast("long")
+
+  private def litCountSql(expr: String, needle: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  /** t01: exact dedup via content hash (hash-groupBy). At scale: shuffle on
+    * md5(text) — uniform 128-bit key, no skew; keeper = min(doc_id). */
+  def t01DedupExact(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy("h")
+
+  val t01Oracle: String =
+    """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  /** t02: token counting (whitespace tokenization) — narrow map-only op. */
+  def t02TokenStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val t02Oracle: String =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |n_chars FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t03: quality scoring — length/whitespace/stopword ratios, the heuristics
+    * an LLM-data pipeline gates on. Pure per-row arithmetic (map-only). */
+  def t03QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    val theCnt = litCount(col("text"), "the")
+    d.select(col("doc_id"),
+        nTokens.as("n_tokens"),
+        ((col("n_chars") - nTokens + 1) / nTokens).as("avg_token_len"),
+        theCnt.as("the_cnt"),
+        (theCnt / nTokens).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val t03Oracle: String = {
+    val nt = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    val the = litCountSql("text", "the")
+    s"""SELECT doc_id, $nt AS n_tokens,
+       |(n_chars - $nt + 1) / $nt AS avg_token_len,
+       |$the AS the_cnt,
+       |$the / $nt AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t04: language-ID by stopword-marker scoring (n-gram/stopword heuristic).
+    * Marker hit-counts per language family; argmax = predicted language.
+    * Map-only; at 100 TB this is the cheap pre-filter before model-based ID. */
+  def t04LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scoreEn = litCount(padded, " the ") + litCount(padded, " a ")
+    val scoreEs = litCount(padded, " el ") + litCount(padded, " la ")
+    val scoreFr = litCount(padded, " le ") + litCount(padded, " et ")
+    d.select(col("doc_id"), col("lang"),
+        scoreEn.as("score_en"), scoreEs.as("score_es"), scoreFr.as("score_fr"),
+        when(scoreEn >= scoreEs && scoreEn >= scoreFr && scoreEn > 0, "en")
+          .when(scoreEs >= scoreFr && scoreEs > 0, "es")
+          .when(scoreFr > 0, "fr")
+          .otherwise("und").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  val t04Oracle: String = {
+    def c(n: String) = litCountSql("(' ' || text || ' ')", n)
+    val en = s"(${c(" the ")} + ${c(" a ")})"
+    val es = s"(${c(" el ")} + ${c(" la ")})"
+    val fr = s"(${c(" le ")} + ${c(" et ")})"
+    s"""SELECT doc_id, lang,
+       |$en AS score_en, $es AS score_es, $fr AS score_fr,
+       |CASE WHEN $en >= $es AND $en >= $fr AND $en > 0 THEN 'en'
+       |     WHEN $es >= $fr AND $es > 0 THEN 'es'
+       |     WHEN $fr > 0 THEN 'fr'
+       |     ELSE 'und' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Character 5-gram shingles, one row per (doc, position). The explode is
+    * map-side (no shuffle); downstream aggs shuffle on doc_id only. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(col("n_chars") - 4, lit(1))))
+          .as("i"),
+        col("text"))
+      .select(col("doc_id"),
+        md5(col("text").substr(col("i"), lit(5))).as("sh"))
+
+  // DuckDB 1.0 generate_series only accepts constant bounds (no lateral
+  // column refs, no subqueries), so build a constant 1..2048 series — the
+  // corpus max n_chars is 577 at every scale factor — and theta-join it down
+  // to each document's shingle positions.
+  private val shinglesSql: String =
+    """SELECT doc_id, md5(substr(text, CAST(i AS INT), 5)) AS sh
+      |FROM documents JOIN (
+      |  SELECT CAST(x AS BIGINT) AS i
+      |  FROM generate_series(1, 2048) t(x)) s
+      |ON s.i <= greatest(n_chars - 4, 1)""".stripMargin
+
+  /** t05: document fingerprint — min content-hash over character shingles
+    * (rolling-hash fingerprint) + distinct-shingle cardinality. */
+  def t05Fingerprint(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(min(col("sh")).as("fp"),
+        countDistinct(col("sh")).as("n_shingles"))
+      .orderBy("doc_id")
+
+  val t05Oracle: String =
+    s"""WITH sh AS ($shinglesSql)
+       |SELECT doc_id, min(sh) AS fp, COUNT(DISTINCT sh) AS n_shingles
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val K = 8 // minhash permutations (2 bands × 4 rows)
+
+  /** t06: MinHash signatures. k permutations simulated as min over seeded
+    * re-hashes; min over the shingle *multiset* equals min over the set, so
+    * no distinct is needed. One shuffle (groupBy doc_id), k aggs in one pass.
+    * Band digests are the LSH bucket keys. */
+  def t06MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until K).map(j =>
+      min(md5(concat(lit(j.toString), col("sh")))).as(s"h$j"))
+    shingles(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("band0",
+        md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
+      .withColumn("band1",
+        md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
+      .orderBy("doc_id")
+  }
+
+  private val sigSql: String = {
+    val hs = (0 until K)
+      .map(j => s"min(md5('$j' || sh)) AS h$j").mkString(", ")
+    s"""WITH sh AS ($shinglesSql),
+       |sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id)
+       |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
+       |  md5(h0 || h1 || h2 || h3) AS band0,
+       |  md5(h4 || h5 || h6 || h7) AS band1
+       |FROM sig""".stripMargin
+  }
+
+  val t06Oracle: String = s"$sigSql ORDER BY doc_id"
+
+  /** t07: LSH candidate pairs — docs sharing any band bucket, with the
+    * MinHash Jaccard estimate (= matching signature fraction). The join is
+    * an equi-join on (band, bucket); at 100 TB this is the whole point:
+    * candidates without all-pairs. */
+  def t07LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = t06MinhashSig(s, dir)
+    val buckets = sig.select(col("doc_id"), lit(0).as("band"),
+        col("band0").as("bkt"))
+      .union(sig.select(col("doc_id"), lit(1).as("band"),
+        col("band1").as("bkt")))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("a") +:
+      (0 until K).map(j => col(s"h$j").as(s"a_h$j")): _*)
+    val sb = sig.select(col("doc_id").as("b") +:
+      (0 until K).map(j => col(s"h$j").as(s"b_h$j")): _*)
+    val est = (0 until K)
+      .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / K
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), est.as("jaccard_est"))
+      .orderBy("a", "b")
+  }
+
+  val t07Oracle: String = {
+    val est = (0 until K)
+      .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1.0 ELSE 0.0 END")
+      .mkString("(", " + ", s") / $K")
+    s"""WITH sig AS ($sigSql),
+       |buckets AS (
+       |  SELECT doc_id, 0 AS band, band0 AS bkt FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, band1 AS bkt FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id)
+       |SELECT a, b, $est AS jaccard_est
+       |FROM cand JOIN sig x ON cand.a = x.doc_id
+       |          JOIN sig y ON cand.b = y.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** t08: SimHash (16-bit, word-token level) — the other classic near-dup
+    * sketch. Bit j of a token's md5 votes ±1; sign of the vote sum per bit
+    * forms the fingerprint. One explode + one groupBy(doc_id). */
+  def t08Simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long"))
+    val votes = (0 until 16).map(j =>
+      sum(when(col("hv").bitwiseAND(lit(1L << j)) =!= 0L, 1L)
+        .otherwise(-1L)).as(s"v$j"))
+    val sig = (0 until 16)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("t01_dedup_exact", t01DedupExact, Some(t01Oracle)),
+    Q("t02_token_stats", t02TokenStats, Some(t02Oracle)),
+    Q("t03_quality_score", t03QualityScore, Some(t03Oracle)),
+    Q("t04_lang_id", t04LangId, Some(t04Oracle)),
+    Q("t05_fingerprint", t05Fingerprint, Some(t05Oracle)),
+    Q("t06_minhash_sig", t06MinhashSig, Some(t06Oracle)),
+    Q("t07_lsh_pairs", t07LshPairs, Some(t07Oracle)),
+    Q("t08_simhash", t08Simhash, None))
+}

@@ -1,0 +1,387 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.expr.Exprs._
+import graft.tables.Tables._
+
+/** Core relational surface (SURVEY §2.1-§2.7) re-expressed over the driver
+  * corpus. Each query is a pure declarative DataFrame plan — scans prune
+  * columns and push predicates into parquet, joins pick broadcast vs
+  * sort-merge via Catalyst/AQE, aggregation is partial+final hash agg.
+  *
+  * Reference cites are to /root/reference (the pandas+BigQuery pipeline);
+  * these queries exercise the same operator semantics on the TPC-H-ish corpus
+  * so the DuckDB oracle can gate them.
+  */
+object Relational {
+
+  /** q01: groupBy aggregation (TPC-H Q1 flavor). Implied capability per
+    * SURVEY §2.5; partial aggregation map-side keeps the shuffle tiny at
+    * 100 TB (32 groups regardless of input rows). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |${dsumSql("l_quantity")} AS sum_qty,
+       |${dsumSql("l_extendedprice")} AS sum_base_price,
+       |${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS sum_disc_price,
+       |${davgSql("l_quantity")} AS avg_qty,
+       |COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: filter + projection (P1-P3; reference `main.py:153,201`). Both the
+    * predicate and the 4-column projection reach the parquet scan
+    * (PushedFilters / ReadSchema). */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-03-01").cast("timestamp") &&
+        col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-03-01'
+      |  AND l_discount > 0.05 AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q03: 3-way inner join + agg + topN (J1; TPC-H Q3 flavor). customer is
+    * a dimension → broadcast; lineitem⋈orders shuffles on orderkey. */
+  def q03TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Oracle: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q04: left-semi join (P4/J3; reference `main.py:243-246` isin). At scale
+    * this is a shuffle-semi (or broadcast-semi when the filter side is
+    * small) — never a collected IN-list. */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(lineitem(s, dir).filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  val q04Oracle: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |WHERE o_orderkey IN
+      |  (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q05: left-anti join (P5/J2; reference new-game dedup `main.py:176`).
+    * pandas `~isin` = null-insensitive anti-join, exactly Spark left_anti. */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val q05Oracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q06: the reference's surrogate-key derivation (E2+E3+E5+E6,
+    * `main.py:102`): strip separators, last-7 slice, ddHHyyyyMM date part.
+    * lpad guarantees ≥7 chars so the negative-start slice is engine-agnostic. */
+  def q06SurrogateKey(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        concat(
+          substring(lpad(regexp_replace(col("o_orderpriority"), "-", ""),
+            7, "0"), -7, 7),
+          keyDateFormat(col("o_orderdate"))).as("sk"))
+      .orderBy("o_orderkey")
+
+  val q06Oracle: String =
+    """SELECT o_orderkey,
+      |  substr(lpad(replace(o_orderpriority, '-', ''), 7, '0'), -7, 7)
+      |    || strftime(o_orderdate, '%d%H%Y%m') AS sk
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q07: the reference's snapshot-delta pipeline (J1+E1+P3+P1,
+    * `main.py:193-207`): old-vs-new inner join on the key, column diff,
+    * keep positive deltas, project. Old = shipped before the cutoff. */
+  def q07SnapshotDelta(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val old = li
+      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey")).agg(dsum(col("l_quantity")).as("qty_old"))
+    val cur = li
+      .groupBy(col("l_orderkey")).agg(dsum(col("l_quantity")).as("qty_new"))
+    cur.join(old, "l_orderkey")
+      .withColumn("qty_diff", col("qty_new") - col("qty_old"))
+      .filter(col("qty_diff") > 0)
+      .select("l_orderkey", "qty_diff")
+      .orderBy("l_orderkey")
+  }
+
+  val q07Oracle: String =
+    s"""WITH old AS (
+       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS qty_old
+       |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+       |  GROUP BY l_orderkey),
+       |cur AS (
+       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS qty_new
+       |  FROM lineitem GROUP BY l_orderkey)
+       |SELECT cur.l_orderkey, qty_new - qty_old AS qty_diff
+       |FROM cur JOIN old ON cur.l_orderkey = old.l_orderkey
+       |WHERE qty_new - qty_old > 0
+       |ORDER BY cur.l_orderkey""".stripMargin
+
+  /** q08: window functions (SURVEY §2.6 — lag() is the declarative twin of
+    * the reference's snapshot diff). Partition by customer, deterministic
+    * intra-partition order via (date, key). */
+  def q08WindowLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q08Oracle: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    lag(o_totalprice, 1) OVER w AS prev_price,
+      |    row_number() OVER w AS rn
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey))
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** q09: global top-K (orderBy+limit; SURVEY §2.6). Spark plans this as
+    * TakeOrderedAndProject — per-partition top-K then a K-row merge, no full
+    * sort at 100 TB. */
+  def q09TopK(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val q09Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** q10: groupBy + HAVING (implied aggregation surface, SURVEY §2.5). */
+  def q10GroupHaving(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("order_count") >= 15)
+      .orderBy("o_custkey")
+
+  val q10Oracle: String =
+    s"""SELECT o_custkey, COUNT(*) AS order_count,
+       |${dsumSql("o_totalprice")} AS total_spent
+       |FROM orders GROUP BY o_custkey
+       |HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin
+
+  /** q11: union + distinct (SURVEY §2.6 — the reference's union is sink-side
+    * append, K1/K2; here as an explicit relational op). */
+  def q11UnionDistinct(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).select(col("c_mktsegment").as("val"))
+      .union(orders(s, dir).select(col("o_orderpriority").as("val")))
+      .distinct()
+      .orderBy("val")
+
+  val q11Oracle: String =
+    """SELECT DISTINCT val FROM (
+      |  SELECT c_mktsegment AS val FROM customer
+      |  UNION ALL
+      |  SELECT o_orderpriority AS val FROM orders)
+      |ORDER BY val""".stripMargin
+
+  /** q12: conditional aggregation (CASE WHEN inside agg; TPC-H Q12 flavor). */
+  def q12CaseAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select("o_orderkey", "o_orderpriority")
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12Oracle: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** q13: scalar string function gallery (E2-E5: substring, replace, length,
+    * concat, cast — reference `main.py:95-105`). */
+  def q13StringFuncs(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("name10"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string"))
+          .as("brand_size"))
+      .orderBy("p_partkey")
+
+  val q13Oracle: String =
+    """SELECT p_partkey,
+      |  upper(substr(p_name, 1, 10)) AS name10,
+      |  length(p_name) AS name_len,
+      |  replace(p_type, ' ', '_') AS type_us,
+      |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q14: date bucketing + time-series aggregation (E7/E9 surface). */
+  def q14MonthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+
+  val q14Oracle: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** q15: 5-table star join (flagship; TPC-H Q5 flavor). Dimensions
+    * (region/nation/customer) broadcast; the fact join shuffles once on
+    * orderkey. This is the plan shape that must survive 100 TB: one shuffle,
+    * all dims broadcast, partial agg before the final 25-group exchange. */
+  def q15StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = region(s, dir)
+    val n = nation(s, dir)
+    val c = customer(s, dir)
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q15Oracle: String =
+    s"""SELECT r_name, n_name,
+       |${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue,
+       |COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** q16: merge-upsert semantics (K4, reference `main.py:256-287`
+    * UPDATE-FROM): target left-joins the update set on the key; matched rows
+    * take updated columns via coalesce. This is the read-join-overwrite MERGE
+    * strategy for plain parquet (Delta MERGE plans the same join). */
+  def q16MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = orders(s, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val updates = orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("u_orderkey"),
+        (col("o_totalprice") * 1.1).as("u_totalprice"))
+    target.join(updates, col("o_orderkey") === col("u_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("u_totalprice"), col("o_totalprice"))
+          .as("merged_price"),
+        when(col("u_orderkey").isNotNull, lit("updated"))
+          .otherwise(lit("kept")).as("merge_action"))
+      .orderBy("o_orderkey")
+  }
+
+  val q16Oracle: String =
+    """SELECT o_orderkey,
+      |  COALESCE(u.u_totalprice, o.o_totalprice) AS merged_price,
+      |  CASE WHEN u.u_orderkey IS NOT NULL
+      |       THEN 'updated' ELSE 'kept' END AS merge_action
+      |FROM orders o LEFT JOIN (
+      |  SELECT o_orderkey AS u_orderkey, o_totalprice * 1.1 AS u_totalprice
+      |  FROM orders WHERE o_orderstatus = 'O') u
+      |ON o.o_orderkey = u.u_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
+    Q("q02_filter_project", q02FilterProject, Some(q02Oracle)),
+    Q("q03_top_revenue", q03TopRevenue, Some(q03Oracle)),
+    Q("q04_semi_join", q04SemiJoin, Some(q04Oracle)),
+    Q("q05_anti_join", q05AntiJoin, Some(q05Oracle)),
+    Q("q06_surrogate_key", q06SurrogateKey, Some(q06Oracle)),
+    Q("q07_snapshot_delta", q07SnapshotDelta, Some(q07Oracle)),
+    Q("q08_window_lag", q08WindowLag, Some(q08Oracle)),
+    Q("q09_topk", q09TopK, Some(q09Oracle)),
+    Q("q10_group_having", q10GroupHaving, Some(q10Oracle)),
+    Q("q11_union_distinct", q11UnionDistinct, Some(q11Oracle)),
+    Q("q12_case_agg", q12CaseAgg, Some(q12Oracle)),
+    Q("q13_string_funcs", q13StringFuncs, Some(q13Oracle)),
+    Q("q14_monthly_revenue", q14MonthlyRevenue, Some(q14Oracle)),
+    Q("q15_star_join", q15StarJoin, Some(q15Oracle)),
+    Q("q16_merge_upsert", q16MergeUpsert, Some(q16Oracle)))
+}

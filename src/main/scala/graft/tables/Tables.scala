@@ -1,0 +1,34 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table access for the driver corpus (TESTDATA.md).
+  *
+  * Mirrors the reference's persistent-table abstraction (BigQuery tables,
+  * `/root/reference/main.py:53-57`) re-expressed as Spark catalog-free parquet
+  * scans. Column pruning / predicate pushdown happen automatically in the
+  * parquet scan (the reference pushed its projection manually via SQL text,
+  * `/root/reference/main.py:153`).
+  *
+  * At 100 TB these would be catalog tables (partitioned + bucketed on their
+  * join keys); the loader keeps the call sites identical either way.
+  */
+object Tables {
+  val corpus: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
