@@ -14,5 +14,5 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ops.Relational.all ++ ext.TextOps.all ++ ext.SimilarityOps.all ++
-      ext.EventOps.all
+      ext.EventOps.all ++ ext.MultimodalOps.all
 }

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.tables.Tables._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `BINARY` columns
+  * with typed metadata, processed in executor-side batches.
+  *
+  * The container has no image/audio codecs, so the *decode* kernel is a
+  * clearly-marked deterministic STUB (byte-statistics stand-in); everything
+  * Spark-side — schema, partitioning, batch iteration shape, feature
+  * schema — is real and tested. In production the stub body is replaced by
+  * a codec call per element (same mapPartitions signature; this is the
+  * Scala twin of a Pandas-UDF/`mapInPandas` batch kernel).
+  *
+  * Scale notes: content bytes stay columnar (parquet BINARY) until the
+  * decode stage; decode is a narrow map (no shuffle), so it pipelines with
+  * the scan and parallelizes per input split. Frame sampling explodes rows
+  * map-side only.
+  */
+object MultimodalOps {
+
+  final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, checksum: Long,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Synthesize the media table from `documents` (UTF-8 bytes as payload) —
+    * deterministic, schema-faithful stand-in for an ingested binary table. */
+  def media(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(lit(Array("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"))
+
+  /** m01: metadata projection over the binary column (no decode) — the
+    * cheap-scan path: byte length without touching content semantics. */
+  def m01MediaMeta(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("media_id"), col("kind"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .orderBy("media_id")
+
+  val m01Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |                  ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** m02: batch feature extraction over binary content via mapPartitions —
+    * the decode kernel. STUB: width/height/checksum are deterministic byte
+    * statistics, not a real codec (none available in this container);
+    * replace `decodeStub` with the codec call in production. */
+  def m02DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).as[MediaRow]
+      .mapPartitions { rows =>
+        // batch shape: process per-partition iterator lazily; a real codec
+        // would amortize init (model/codec handles) across the partition.
+        rows.map(decodeStub)
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** STUB decode — deterministic byte statistics standing in for a codec.
+    * Real impl: decode image dims / audio frames from `content`. */
+  private def decodeStub(m: MediaRow): MediaFeatures = {
+    val n = m.content.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (m.content(i) & 0xff); i += 1 }
+    val w = 16 + (sum % 64).toInt
+    MediaFeatures(m.media_id, m.kind, n.toLong, sum, w,
+      height = if (n == 0) 0 else (n / w) + 1,
+      n_frames = n / 32 + 1)
+  }
+
+  /** m03: frame sampling — one row per sampled fixed-stride chunk of the
+    * payload (video frame-sample / audio windowing shape). Map-side explode;
+    * the slice is a real byte-range view of the binary column. */
+  def m03FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val stride = 64
+    media(s, dir)
+      .select(col("media_id"), col("kind"), col("content"),
+        explode(sequence(lit(0L),
+          expr(s"(length(content) - 1) div $stride"))).as("frame_no"))
+      .select(col("media_id"), col("kind"), col("frame_no"),
+        col("content").substr((col("frame_no") * stride + 1).cast("int"),
+          lit(stride)).as("frame_bytes"))
+      .select(col("media_id"), col("kind"), col("frame_no"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+      .orderBy("media_id", "frame_no")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
+    Q("m02_decode_features", m02DecodeFeatures, None),
+    Q("m03_frame_sample", m03FrameSample, None))
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.8). The reference is a daily
+  * cron batch whose incremental state lives in sink tables; elevated to
+  * Spark streams the same semantics become: parquet `readStream` (or a
+  * rate-limited source) → watermarked windowed aggregation → managed keyed
+  * state replacing the read-back-and-join (main.py:153-207).
+  *
+  * These plans are the streaming twins of graft.ext.EventOps — identical
+  * logical aggregation, different execution mode. Tests drive them with
+  * the static events table as a one-batch stream.
+  */
+object Streams {
+
+  /** events.parquet physical schema under nanosAsLong (ts = nanos LONG). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events table with a proper event-time column. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_seconds(expr("ts div 1000000000")))
+
+  /** Tumbling 5-minute windows per event type with a 10-minute watermark —
+    * streaming twin of EventOps.s01. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — streaming twin of
+    * EventOps.s02's gap sessionization. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "30 minutes")
+      .groupBy(session_window(col("event_ts"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"))
+
+  final case class UserTotal(total: Double)
+  final case class UserDelta(user_id: Long, delta: Double, total: Double)
+
+  /** Keyed incremental state: per-user running value total, emitting only
+    * positive deltas — `flatMapGroupsWithState` replacing the reference's
+    * snapshot-read + inner-join + `diff > 0` filter (main.py:193-207) with
+    * managed state. At scale state is partitioned by key across executors
+    * and checkpointed; no history re-scan per run. */
+  def valueDeltas(spark: SparkSession, events: DataFrame): Dataset[UserDelta] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotal, UserDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[UserTotal]) =>
+          val prev = state.getOption.map(_.total).getOrElse(0.0)
+          val add = rows.map(_._2).sum
+          val total = prev + add
+          state.update(UserTotal(total))
+          if (add > 0) Iterator(UserDelta(uid, add, total))
+          else Iterator.empty
+      }
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.MultimodalOps
+
+/** Multimodal plumbing: binary column round-trip, batch decode shape,
+  * frame sampling coverage. */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("media table: binary payload matches source byte length") {
+    val m = MultimodalOps.m01MediaMeta(spark, sf)
+    val d = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id").as("media_id"), col("n_chars"))
+    // ASCII corpus → utf-8 bytes == chars
+    assert(m.join(d, "media_id")
+      .filter(col("n_bytes") =!= col("n_chars")).count() == 0)
+  }
+
+  test("decode features: one row per media, deterministic checksum") {
+    val f1 = MultimodalOps.m02DecodeFeatures(spark, sf)
+    val f2 = MultimodalOps.m02DecodeFeatures(spark, sf)
+    assert(f1.count() ==
+      graft.tables.Tables.documents(spark, sf).count())
+    assert(f1.exceptAll(f2).count() == 0)
+    assert(f1.filter(col("width") <= 0 || col("height") <= 0).count() == 0)
+  }
+
+  test("frame sample: stride-64 frames cover every byte exactly once") {
+    val frames = MultimodalOps.m03FrameSample(spark, sf)
+    val perMedia = frames.groupBy("media_id")
+      .agg(sum("frame_len").as("bytes_covered"))
+    val m = MultimodalOps.m01MediaMeta(spark, sf)
+    assert(perMedia.join(m, "media_id")
+      .filter(col("bytes_covered") =!= col("n_bytes")).count() == 0)
+  }
+}
