@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.expr.Exprs._
 import graft.tables.Tables._
+import graft.ops.Out._
 
 /** Event-stream analytics over `events` — the batch twins of the streaming
   * surface (SURVEY §2.8). The same plans run under Structured Streaming
@@ -30,7 +31,7 @@ object EventOps {
       .groupBy((sec - sec % 300).as("bucket_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         dsum(col("value")).as("sum_value"))
-      .orderBy("bucket_start", "event_type")
+      .sortedSmall("bucket_start", "event_type")
   }
 
   val s01Oracle: String =
@@ -58,7 +59,7 @@ object EventOps {
     sessions.groupBy(col("user_id"))
       .agg(max(col("sess_id")).as("n_sessions"),
         count(lit(1)).as("n_events"))
-      .orderBy("user_id")
+      .sortedSmall("user_id")
   }
 
   val s02Oracle: String =
@@ -92,7 +93,7 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-      .orderBy("event_type")
+      .sortedSmall("event_type")
 
   val s03Oracle: String =
     """SELECT event_type, COUNT(*) AS n,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.tables.Tables._
+import graft.ops.Out._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `BINARY` columns
   * with typed metadata, processed in executor-side batches.
@@ -42,7 +43,7 @@ object MultimodalOps {
     media(s, dir)
       .select(col("media_id"), col("kind"),
         length(col("content")).cast("long").as("n_bytes"))
-      .orderBy("media_id")
+      .sortedSmall("media_id")
 
   val m01Oracle: String =
     """SELECT doc_id AS media_id,
@@ -64,7 +65,7 @@ object MultimodalOps {
         rows.map(decodeStub)
       }
       .toDF()
-      .orderBy("media_id")
+      .sortedSmall("media_id")
   }
 
   /** STUB decode — deterministic byte statistics standing in for a codec.
@@ -94,7 +95,7 @@ object MultimodalOps {
           lit(stride)).as("frame_bytes"))
       .select(col("media_id"), col("kind"), col("frame_no"),
         length(col("frame_bytes")).cast("long").as("frame_len"))
-      .orderBy("media_id", "frame_no")
+      .sortedSmall("media_id", "frame_no")
   }
 
   val all: Seq[Q] = Seq(

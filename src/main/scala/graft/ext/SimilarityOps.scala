@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.tables.Tables._
+import graft.ops.Out._
 
 /** Similarity search over the `embeddings` table (`embedding ARRAY<FLOAT>`).
   *
@@ -35,7 +36,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"),
         round(norm2(col("embedding")), 6).as("l2_norm"),
         size(col("embedding")).as("dim"))
-      .orderBy("vec_id")
+      .sortedSmall("vec_id")
 
   val e01Oracle: String =
     """SELECT vec_id, label,
@@ -49,19 +50,24 @@ object SimilarityOps {
     * id so ordering is engine-deterministic. */
   def e02CosineTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // Precompute each vector's norm once (N rows), not once per pair
+    // (N×Q rows) — at scale this cuts the pair-stage FLOPs to the dot
+    // product alone.
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("cnorm"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cnorm").as("qnorm"))
     val cos = round(
-      dot(col("qe"), col("embedding")) /
-        (norm2(col("qe")) * norm2(col("embedding"))), 4)
+      dot(col("qe"), col("embedding")) / (col("qnorm") * col("cnorm")), 4)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_r").desc, col("cid"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"), cos.as("cos_r"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
-      .orderBy("qid", "rnk")
+      .sortedSmall("qid", "rnk")
   }
 
   val e02Oracle: String =
@@ -92,7 +98,7 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct(col("label")).as("n_labels"),
         min(col("vec_id")).as("min_vec"))
-      .orderBy("bucket")
+      .sortedSmall("bucket")
   }
 
   val e03Oracle: String =
@@ -112,6 +118,7 @@ object SimilarityOps {
   def e04AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = embeddings(s, dir).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("cnorm"),
       ((when(element_at(col("embedding"), 1) > 0f, 1L).otherwise(0L)) * 8 +
         (when(element_at(col("embedding"), 9) > 0f, 1L).otherwise(0L)) * 4 +
         (when(element_at(col("embedding"), 17) > 0f, 1L).otherwise(0L)) * 2 +
@@ -119,10 +126,9 @@ object SimilarityOps {
         .as("bucket"))
     val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket").as("qb"))
+        col("cnorm").as("qnorm"), col("bucket").as("qb"))
     val cos = round(
-      dot(col("qe"), col("embedding")) /
-        (norm2(col("qe")) * norm2(col("embedding"))), 4)
+      dot(col("qe"), col("embedding")) / (col("qnorm") * col("cnorm")), 4)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_r").desc, col("cid"))
     bucketed.join(broadcast(q),
@@ -130,7 +136,7 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id").as("cid"), cos.as("cos_r"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
-      .orderBy("qid", "rnk")
+      .sortedSmall("qid", "rnk")
   }
 
   val e04Oracle: String =

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.expr.Exprs._
 import graft.tables.Tables._
+import graft.functions.Md5Hex.graft_md5
+import graft.ops.Out._
 
 /** Text-analysis + deduplication operators over the `documents` table —
   * the LLM-training-pipeline surface (BASELINE.json north star).
@@ -19,9 +21,10 @@ import graft.tables.Tables._
 object TextOps {
 
   /** Occurrences of literal `needle` in `c` via length arithmetic — exact,
-    * engine-portable (no regex dialect). */
+    * engine-portable (no regex dialect). Uses the literal (non-regex) SQL
+    * `replace`, ~5× faster than regexp_replace in the scan hot path. */
   private def litCount(c: Column, needle: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) /
+    ((length(c) - length(call_function("replace", c, lit(needle), lit("")))) /
       needle.length).cast("long")
 
   private def litCountSql(expr: String, needle: String): String =
@@ -31,9 +34,9 @@ object TextOps {
     * md5(text) — uniform 128-bit key, no skew; keeper = min(doc_id). */
   def t01DedupExact(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .groupBy(md5(col("text")).as("h"))
+      .groupBy(graft_md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
-      .orderBy("h")
+      .sortedSmall("h")
 
   val t01Oracle: String =
     """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
@@ -45,7 +48,7 @@ object TextOps {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         col("n_chars"))
-      .orderBy("doc_id")
+      .sortedSmall("doc_id")
 
   val t02Oracle: String =
     """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -62,7 +65,7 @@ object TextOps {
         ((col("n_chars") - nTokens + 1) / nTokens).as("avg_token_len"),
         theCnt.as("the_cnt"),
         (theCnt / nTokens).as("stopword_ratio"))
-      .orderBy("doc_id")
+      .sortedSmall("doc_id")
   }
 
   val t03Oracle: String = {
@@ -90,7 +93,7 @@ object TextOps {
           .when(scoreEs >= scoreFr && scoreEs > 0, "es")
           .when(scoreFr > 0, "fr")
           .otherwise("und").as("predicted_lang"))
-      .orderBy("doc_id")
+      .sortedSmall("doc_id")
   }
 
   val t04Oracle: String = {
@@ -107,66 +110,93 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Character 5-gram shingles, one row per (doc, position). The explode is
-    * map-side (no shuffle); downstream aggs shuffle on doc_id only. */
+  /** Character 5-gram shingles (raw text, one row per (doc, position)). The
+    * explode is map-side (no shuffle); downstream aggs shuffle on doc_id
+    * only. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
+      // The documents table arrives as one parquet split; without an explicit
+      // redistribution the ~550× shingle explode and md5 minhash all run on
+      // a single core. Repartition on doc_id: parallelizes the heavy map AND
+      // pre-aligns with the downstream groupBy(doc_id) so the aggregation
+      // needs no second exchange.
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(col("n_chars") - 4, lit(1))))
           .as("i"),
         col("text"))
-      .select(col("doc_id"),
-        md5(col("text").substr(col("i"), lit(5))).as("sh"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("sh"))
 
   // DuckDB 1.0 generate_series only accepts constant bounds (no lateral
   // column refs, no subqueries), so build a constant 1..2048 series — the
   // corpus max n_chars is 577 at every scale factor — and theta-join it down
   // to each document's shingle positions.
   private val shinglesSql: String =
-    """SELECT doc_id, md5(substr(text, CAST(i AS INT), 5)) AS sh
+    """SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
       |FROM documents JOIN (
       |  SELECT CAST(x AS BIGINT) AS i
       |  FROM generate_series(1, 2048) t(x)) s
       |ON s.i <= greatest(n_chars - 4, 1)""".stripMargin
 
+  /** Two seeded digests per shingle; each yields four independent 32-bit
+    * (8-hex) minhash lanes — 8 permutations from 2 md5 calls instead of 8
+    * (the md5 is the hot kernel at 100 TB: ~550 shingles/doc × docs). */
+  private def digests(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir).select(col("doc_id"),
+      graft_md5(concat(lit("0"), col("sh"))).as("d1"),
+      graft_md5(concat(lit("1"), col("sh"))).as("d2"))
+
+  private val digestsSql: String =
+    s"""SELECT doc_id, md5('0' || sh) AS d1, md5('1' || sh) AS d2
+       |FROM ($shinglesSql) sh""".stripMargin
+
+  /** h0..h7 lane extractors over (d1, d2). */
+  private def lane(j: Int): Column = {
+    val d = if (j < 4) col("d1") else col("d2")
+    substring(d, (j % 4) * 8 + 1, 8)
+  }
+  private def laneSql(j: Int): String = {
+    val d = if (j < 4) "d1" else "d2"
+    s"substr($d, ${(j % 4) * 8 + 1}, 8)"
+  }
+
   /** t05: document fingerprint — min content-hash over character shingles
     * (rolling-hash fingerprint) + distinct-shingle cardinality. */
   def t05Fingerprint(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
+    digests(s, dir)
       .groupBy(col("doc_id"))
-      .agg(min(col("sh")).as("fp"),
-        countDistinct(col("sh")).as("n_shingles"))
-      .orderBy("doc_id")
+      .agg(min(col("d1")).as("fp"),
+        countDistinct(col("d1")).as("n_shingles"))
+      .sortedSmall("doc_id")
 
   val t05Oracle: String =
-    s"""WITH sh AS ($shinglesSql)
-       |SELECT doc_id, min(sh) AS fp, COUNT(DISTINCT sh) AS n_shingles
-       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH d AS ($digestsSql)
+       |SELECT doc_id, min(d1) AS fp, COUNT(DISTINCT d1) AS n_shingles
+       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val K = 8 // minhash permutations (2 bands × 4 rows)
 
-  /** t06: MinHash signatures. k permutations simulated as min over seeded
-    * re-hashes; min over the shingle *multiset* equals min over the set, so
-    * no distinct is needed. One shuffle (groupBy doc_id), k aggs in one pass.
-    * Band digests are the LSH bucket keys. */
+  /** t06: MinHash signatures — min over the shingle *multiset* equals min
+    * over the set, so no distinct is needed. One shuffle (groupBy doc_id),
+    * 8 lane-mins in one pass over 2 digests. Band digests are the LSH
+    * bucket keys. */
   def t06MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until K).map(j =>
-      min(md5(concat(lit(j.toString), col("sh")))).as(s"h$j"))
-    shingles(s, dir)
+    val aggs = (0 until K).map(j => min(lane(j)).as(s"h$j"))
+    digests(s, dir)
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("band0",
-        md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
+        graft_md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
       .withColumn("band1",
-        md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
-      .orderBy("doc_id")
+        graft_md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
+      .sortedSmall("doc_id")
   }
 
   private val sigSql: String = {
     val hs = (0 until K)
-      .map(j => s"min(md5('$j' || sh)) AS h$j").mkString(", ")
-    s"""WITH sh AS ($shinglesSql),
-       |sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id)
+      .map(j => s"min(${laneSql(j)}) AS h$j").mkString(", ")
+    s"""WITH d AS ($digestsSql),
+       |sig AS (SELECT doc_id, $hs FROM d GROUP BY doc_id)
        |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
        |  md5(h0 || h1 || h2 || h3) AS band0,
        |  md5(h4 || h5 || h6 || h7) AS band1
@@ -180,7 +210,13 @@ object TextOps {
     * an equi-join on (band, bucket); at 100 TB this is the whole point:
     * candidates without all-pairs. */
   def t07LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = t06MinhashSig(s, dir)
+    // The signature table is referenced 4× below (two band projections +
+    // both join sides); persist so the shingle explode + 8-way minhash agg
+    // runs once, not four times. The count() materializes it eagerly —
+    // otherwise Spark's concurrently-scheduled broadcast jobs race to
+    // populate the same cache and each recomputes the full pipeline.
+    val sig = t06MinhashSig(s, dir).persist()
+    sig.count()
     val buckets = sig.select(col("doc_id"), lit(0).as("band"),
         col("band0").as("bkt"))
       .union(sig.select(col("doc_id"), lit(1).as("band"),
@@ -200,7 +236,7 @@ object TextOps {
       .reduce(_ + _) / K
     cand.join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"), est.as("jaccard_est"))
-      .orderBy("a", "b")
+      .sortedSmall("a", "b")
   }
 
   val t07Oracle: String = {
@@ -227,8 +263,9 @@ object TextOps {
     * forms the fingerprint. One explode + one groupBy(doc_id). */
   def t08Simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir)
+      .repartition(col("doc_id")) // parallelize the explode (see shingles)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .withColumn("hv", conv(substring(graft_md5(col("tok")), 1, 8), 16, 10)
         .cast("long"))
     val votes = (0 until 16).map(j =>
       sum(when(col("hv").bitwiseAND(lit(1L << j)) =!= 0L, 1L)
@@ -239,7 +276,7 @@ object TextOps {
     toks.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
-      .orderBy("doc_id")
+      .sortedSmall("doc_id")
   }
 
   val all: Seq[Q] = Seq(

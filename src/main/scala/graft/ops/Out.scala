@@ -1,0 +1,26 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** Final-output ordering for bounded result sets.
+  *
+  * A plain `orderBy` plans a range-partitioned global sort whose sampling
+  * pass re-executes the child plan — measured locally, sorting an
+  * aggregation's output doubled the whole query's runtime. Every gate query
+  * returns a bounded "report" (≤ ~150k rows even at bench scale), so the
+  * right plan is: one shuffle to a single partition + in-partition sort.
+  * Upstream stages keep full parallelism (repartition, unlike coalesce,
+  * does not collapse them).
+  *
+  * Not for unbounded outputs — a 100 TB-scale result would use orderBy (or
+  * no final sort at all, leaving ordering to the consumer).
+  */
+object Out {
+  implicit class RichOut(private val df: DataFrame) extends AnyVal {
+    def sortedSmall(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    def sortedSmall(first: String, rest: String*): DataFrame =
+      sortedSmall((first +: rest).map(col): _*)
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.expr.Exprs._
 import graft.tables.Tables._
+import graft.ops.Out._
 
 /** Core relational surface (SURVEY §2.1-§2.7) re-expressed over the driver
   * corpus. Each query is a pure declarative DataFrame plan — scans prune
@@ -31,7 +32,7 @@ object Relational {
           .as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .sortedSmall(col("l_returnflag"), col("l_linestatus"))
 
   val q01Oracle: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -53,7 +54,7 @@ object Relational {
         col("l_shipdate") < lit("1997-03-01").cast("timestamp") &&
         col("l_discount") > 0.05 && col("l_quantity") < 10)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .sortedSmall("l_orderkey", "l_linenumber")
 
   val q02Oracle: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -101,7 +102,7 @@ object Relational {
         .select(col("l_orderkey")),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
-      .orderBy("o_orderkey")
+      .sortedSmall("o_orderkey")
 
   val q04Oracle: String =
     """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -116,7 +117,7 @@ object Relational {
       .join(orders(s, dir).select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .sortedSmall("c_custkey")
 
   val q05Oracle: String =
     """SELECT c_custkey, c_name FROM customer
@@ -134,7 +135,7 @@ object Relational {
           substring(lpad(regexp_replace(col("o_orderpriority"), "-", ""),
             7, "0"), -7, 7),
           keyDateFormat(col("o_orderdate"))).as("sk"))
-      .orderBy("o_orderkey")
+      .sortedSmall("o_orderkey")
 
   val q06Oracle: String =
     """SELECT o_orderkey,
@@ -146,31 +147,35 @@ object Relational {
     * `main.py:193-207`): old-vs-new inner join on the key, column diff,
     * keep positive deltas, project. Old = shipped before the cutoff. */
   def q07SnapshotDelta(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
-    val old = li
-      .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
-      .groupBy(col("l_orderkey")).agg(dsum(col("l_quantity")).as("qty_old"))
-    val cur = li
-      .groupBy(col("l_orderkey")).agg(dsum(col("l_quantity")).as("qty_new"))
-    cur.join(old, "l_orderkey")
+    // Logically the reference's old⋈new inner join (J1); executed as a
+    // single-pass conditional aggregation — one scan + one shuffle instead
+    // of two aggregations + a join. `qty_old IS NOT NULL` reproduces the
+    // inner join's "key existed in the old snapshot" semantics. At 100 TB
+    // this halves both scan bytes and shuffle volume.
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("qty_new"),
+        dsum(when(col("l_shipdate") < cutoff, col("l_quantity")))
+          .as("qty_old"))
       .withColumn("qty_diff", col("qty_new") - col("qty_old"))
-      .filter(col("qty_diff") > 0)
+      .filter(col("qty_old").isNotNull && col("qty_diff") > 0)
       .select("l_orderkey", "qty_diff")
-      .orderBy("l_orderkey")
+      .sortedSmall("l_orderkey")
   }
 
-  val q07Oracle: String =
-    s"""WITH old AS (
-       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS qty_old
-       |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
-       |  GROUP BY l_orderkey),
-       |cur AS (
-       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS qty_new
+  val q07Oracle: String = {
+    val oldSum = dsumSql(
+      "CASE WHEN l_shipdate < TIMESTAMP '1999-01-01' THEN l_quantity END")
+    s"""WITH agg AS (
+       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS qty_new,
+       |    $oldSum AS qty_old
        |  FROM lineitem GROUP BY l_orderkey)
-       |SELECT cur.l_orderkey, qty_new - qty_old AS qty_diff
-       |FROM cur JOIN old ON cur.l_orderkey = old.l_orderkey
-       |WHERE qty_new - qty_old > 0
-       |ORDER BY cur.l_orderkey""".stripMargin
+       |SELECT l_orderkey, qty_new - qty_old AS qty_diff
+       |FROM agg
+       |WHERE qty_old IS NOT NULL AND qty_new - qty_old > 0
+       |ORDER BY l_orderkey""".stripMargin
+  }
 
   /** q08: window functions (SURVEY §2.6 — lag() is the declarative twin of
     * the reference's snapshot diff). Partition by customer, deterministic
@@ -184,7 +189,7 @@ object Relational {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         row_number().over(w).as("rn"))
       .filter(col("rn") <= 3)
-      .orderBy(col("o_custkey"), col("rn"))
+      .sortedSmall(col("o_custkey"), col("rn"))
   }
 
   val q08Oracle: String =
@@ -217,7 +222,7 @@ object Relational {
       .agg(count(lit(1)).as("order_count"),
         dsum(col("o_totalprice")).as("total_spent"))
       .filter(col("order_count") >= 15)
-      .orderBy("o_custkey")
+      .sortedSmall("o_custkey")
 
   val q10Oracle: String =
     s"""SELECT o_custkey, COUNT(*) AS order_count,
@@ -231,7 +236,7 @@ object Relational {
     customer(s, dir).select(col("c_mktsegment").as("val"))
       .union(orders(s, dir).select(col("o_orderpriority").as("val")))
       .distinct()
-      .orderBy("val")
+      .sortedSmall("val")
 
   val q11Oracle: String =
     """SELECT DISTINCT val FROM (
@@ -253,7 +258,7 @@ object Relational {
           .otherwise(0L)).as("high_line_count"),
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L)).as("low_line_count"))
-      .orderBy("l_linestatus")
+      .sortedSmall("l_linestatus")
   }
 
   val q12Oracle: String =
@@ -277,7 +282,7 @@ object Relational {
         regexp_replace(col("p_type"), " ", "_").as("type_us"),
         concat(col("p_brand"), lit("#"), col("p_size").cast("string"))
           .as("brand_size"))
-      .orderBy("p_partkey")
+      .sortedSmall("p_partkey")
 
   val q13Oracle: String =
     """SELECT p_partkey,
@@ -293,7 +298,7 @@ object Relational {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("revenue"))
-      .orderBy("month")
+      .sortedSmall("month")
 
   val q14Oracle: String =
     s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -320,7 +325,7 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
         .as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("r_name"), col("n_name"))
+      .sortedSmall(col("r_name"), col("n_name"))
   }
 
   val q15Oracle: String =
@@ -353,7 +358,7 @@ object Relational {
           .as("merged_price"),
         when(col("u_orderkey").isNotNull, lit("updated"))
           .otherwise(lit("kept")).as("merge_action"))
-      .orderBy("o_orderkey")
+      .sortedSmall("o_orderkey")
   }
 
   val q16Oracle: String =
