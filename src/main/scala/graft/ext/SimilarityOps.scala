@@ -158,9 +158,41 @@ object SimilarityOps {
       |SELECT qid, cid, cos_r, rnk FROM r WHERE rnk <= 10
       |ORDER BY qid, rnk""".stripMargin
 
+  /** e05: embedding-cosine near-duplicate detection, blocked on `label`
+    * (the blocking key stands in for an LSH/IVF bucket: candidates are
+    * generated by an equi-join, never all-pairs). Threshold 0.4 is a demo
+    * value for this corpus (max pairwise cosine ≈ 0.51); production
+    * near-dup dedup uses ~0.95. */
+  def e05CosineDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .select(col("label"), col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_r"))
+      .filter(col("cos_r") > 0.4)
+      .sortedSmall("label", "a", "b")
+  }
+
+  val e05Oracle: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings)
+      |SELECT x.label, x.vec_id AS a, y.vec_id AS b,
+      |  round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
+      |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+      |WHERE round(list_cosine_similarity(x.v, y.v), 4) > 0.4
+      |ORDER BY x.label, a, b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
     Q("e03_lsh_buckets", e03LshBuckets, Some(e03Oracle)),
-    Q("e04_ann_bucketed", e04AnnBucketed, Some(e04Oracle)))
+    Q("e04_ann_bucketed", e04AnnBucketed, Some(e04Oracle)),
+    Q("e05_cosine_dedup", e05CosineDedup, Some(e05Oracle)))
 }

@@ -372,6 +372,71 @@ object Relational {
       |ON o.o_orderkey = u.u_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q17: hierarchical aggregation (ROLLUP) — subtotal + grand-total rows.
+    * Group keys are COALESCE'd to 'ALL' so the output is null-free (engine-
+    * portable ordering/hashing). */
+  def q17Rollup(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n_rows"))
+      .sortedSmall("rflag", "lstatus")
+
+  val q17Oracle: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       |COALESCE(l_linestatus, 'ALL') AS lstatus,
+       |${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rflag, lstatus""".stripMargin
+
+  /** q18: pivot — wide conditional aggregation (linestatus → columns). */
+  def q18Pivot(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .sortedSmall("l_returnflag")
+
+  val q18Oracle: String = {
+    def c(v: String) = dsumSql(s"CASE WHEN l_linestatus = '$v' THEN l_quantity END")
+    s"""SELECT l_returnflag, ${c("F")} AS qty_f, ${c("O")} AS qty_o
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q19: exact multi-column distinct counts (expansion-based in Spark —
+    * each COUNT(DISTINCT x) plans an expand + two-phase agg). */
+  def q19DistinctExact(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        countDistinct(col("l_orderkey")).as("nd_orders"))
+      .sortedSmall("l_returnflag")
+
+  val q19Oracle: String =
+    """SELECT l_returnflag,
+      |COUNT(DISTINCT l_partkey) AS nd_parts,
+      |COUNT(DISTINCT l_suppkey) AS nd_supps,
+      |COUNT(DISTINCT l_orderkey) AS nd_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q20: approximate distinct (HyperLogLog++) — the sketch path that
+    * replaces q19's expand at 100 TB (constant memory per group, one pass,
+    * mergeable partials). No oracle: DuckDB's approx sketch differs; the
+    * driver records a rows-only check, and the ScalaTest spec bounds the
+    * error against q19. */
+  def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("apx_supps"))
+      .sortedSmall("l_returnflag")
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_filter_project", q02FilterProject, Some(q02Oracle)),
@@ -388,5 +453,9 @@ object Relational {
     Q("q13_string_funcs", q13StringFuncs, Some(q13Oracle)),
     Q("q14_monthly_revenue", q14MonthlyRevenue, Some(q14Oracle)),
     Q("q15_star_join", q15StarJoin, Some(q15Oracle)),
-    Q("q16_merge_upsert", q16MergeUpsert, Some(q16Oracle)))
+    Q("q16_merge_upsert", q16MergeUpsert, Some(q16Oracle)),
+    Q("q17_rollup", q17Rollup, Some(q17Oracle)),
+    Q("q18_pivot", q18Pivot, Some(q18Oracle)),
+    Q("q19_distinct_exact", q19DistinctExact, Some(q19Oracle)),
+    Q("q20_approx_distinct", q20ApproxDistinct, None))
 }

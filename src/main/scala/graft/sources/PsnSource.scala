@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.psn.{FakePsnClient, GameTitleRaw, PsnClient}
+
+/** DataSource V2 "psn" source (SURVEY §2.1 S1/S2, phase 2 of §7.1 module 3).
+  *
+  * The reference fetches the PSN API driver-side and single-threaded, with an
+  * asyncio fan-out experiment hinting at pagination parallelism
+  * (/root/reference/test.py:1-27). This source makes ingestion a first-class
+  * scan: each InputPartition is one API page, so pages fetch concurrently on
+  * executors; `SupportsPushDownRequiredColumns` prunes record fields at the
+  * source exactly as the reference's list-comprehension projection does
+  * (/root/reference/main.py:91-93).
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.PsnSource")
+  *   .option("table", "titles")      // or "trophies"
+  *   .option("pageSize", "2")
+  *   .load()
+  * }}}
+  *
+  * The container has no network, so the client behind the source is the
+  * deterministic [[FakePsnClient]]; a production deployment would construct
+  * the HTTP client per partition (token via options) with identical plumbing.
+  */
+class PsnSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PsnSource.schemaFor(options.getOrDefault("table", "titles"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PsnTable(properties.getOrDefault("table", "titles"),
+      properties.getOrDefault("pageSize", "2").toInt)
+}
+
+object PsnSource {
+  val titlesSchema: StructType = StructType(Seq(
+    StructField("title_id", StringType),
+    StructField("name", StringType),
+    StructField("image_url", StringType),
+    StructField("category", StringType),
+    StructField("first_played_date_time", TimestampType),
+    StructField("last_played_date_time", TimestampType),
+    StructField("play_count", LongType),
+    StructField("play_duration", StringType)))
+
+  val trophiesSchema: StructType = StructType(Seq(
+    StructField("bronze", LongType),
+    StructField("silver", LongType),
+    StructField("gold", LongType),
+    StructField("platinum", LongType)))
+
+  def schemaFor(table: String): StructType = table match {
+    case "trophies" => trophiesSchema
+    case _          => titlesSchema
+  }
+
+  /** Executor-side client factory — the only stubbed seam. */
+  def client(): PsnClient = FakePsnClient.default
+
+  def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+}
+
+final class PsnTable(tableName: String, pageSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"psn.$tableName"
+  override def schema(): StructType = PsnSource.schemaFor(tableName)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PsnScanBuilder(tableName, pageSize)
+}
+
+final class PsnScanBuilder(tableName: String, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PsnSource.schemaFor(tableName)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      if (tableName == "trophies") Array(PsnPage(0, 1))
+      else {
+        val n = PsnSource.client().titleStats().size
+        val pages = math.max(1, (n + pageSize - 1) / pageSize)
+        (0 until pages).map(p => PsnPage(p * pageSize, pageSize)
+          .asInstanceOf[InputPartition]).toArray
+      }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PsnReaderFactory(tableName, required)
+  }
+}
+
+final case class PsnPage(offset: Int, size: Int) extends InputPartition
+
+final class PsnReaderFactory(tableName: String, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val page = p.asInstanceOf[PsnPage]
+    new PartitionReader[InternalRow] {
+      // One client per partition = one API session per page fetch.
+      private val rows: Iterator[InternalRow] = {
+        val c = PsnSource.client()
+        if (tableName == "trophies") {
+          val t = c.profileTrophies()
+          val full = Map[String, Any]("bronze" -> t.bronze,
+            "silver" -> t.silver, "gold" -> t.gold, "platinum" -> t.platinum)
+          Iterator(project(full))
+        } else {
+          c.titleStats().slice(page.offset, page.offset + page.size)
+            .iterator.map(g => project(fields(g)))
+        }
+      }
+      private def fields(g: GameTitleRaw): Map[String, Any] = Map(
+        "title_id" -> g.title_id, "name" -> g.name,
+        "image_url" -> g.image_url, "category" -> g.category,
+        "first_played_date_time" -> g.first_played_date_time,
+        "last_played_date_time" -> g.last_played_date_time,
+        "play_count" -> g.play_count, "play_duration" -> g.play_duration)
+      private def project(m: Map[String, Any]): InternalRow =
+        new GenericInternalRow(required.fields.map { f =>
+          (m(f.name), f.dataType) match {
+            case (v: String, StringType) => UTF8String.fromString(v)
+            case (v: java.sql.Timestamp, TimestampType) => PsnSource.micros(v)
+            case (v: Long, LongType) => v
+            case (v, t) => throw new IllegalStateException(s"$v: $t")
+          }
+        }.asInstanceOf[Array[Any]])
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

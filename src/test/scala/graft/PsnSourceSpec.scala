@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.psn.FakePsnClient
+
+/** DataSource V2 "psn" source: paged scan, schema, column pruning parity
+  * with the driver-side createDataFrame ingestion path. */
+class PsnSourceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def titles = spark.read.format("graft.sources.PsnSource")
+    .option("table", "titles").option("pageSize", "2").load()
+
+  test("titles scan returns every record across pages") {
+    assert(titles.count() == FakePsnClient.default.titleStats().size)
+    // 3 titles, pageSize 2 → 2 partitions (pages fetch concurrently)
+    assert(titles.rdd.getNumPartitions == 2)
+  }
+
+  test("column pruning reaches the source") {
+    val pruned = titles.select("title_id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // BatchScan lists exactly the pruned output columns
+    assert(plan.contains("BatchScan psn.titles[title_id#"))
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("CUSA_00001", "CUSA_00002", "PPSA_10003"))
+  }
+
+  test("trophies table yields the single profile row") {
+    val t = spark.read.format("graft.sources.PsnSource")
+      .option("table", "trophies").load()
+    val r = t.head
+    assert(t.count() == 1 && r.getAs[Long]("bronze") == 120)
+  }
+
+  test("source path and createDataFrame path agree after cleanup") {
+    val viaSource = titles
+      .select(col("title_id"), col("play_count"),
+        col("first_played_date_time"))
+    val viaDriver = {
+      import spark.implicits._
+      FakePsnClient.default.titleStats().toDS()
+        .select(col("title_id"), col("play_count"),
+          col("first_played_date_time"))
+    }
+    assert(viaSource.exceptAll(viaDriver).count() == 0)
+    assert(viaDriver.exceptAll(viaSource).count() == 0)
+  }
+}
