@@ -258,6 +258,58 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** t09: exact n-gram Jaccard verification of the LSH candidate pairs —
+    * the verify stage that completes the dedup pipeline (candidates from
+    * t07, ground-truth similarity here). Cost is proportional to candidate
+    * count × shingles/doc, never all-pairs; at 100 TB this is the standard
+    * two-stage near-dup dedup shape. Pairs with an empty shingle
+    * intersection drop out (inner join) in both engines. */
+  def t09JaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val cand = t07LshPairs(s, dir).select(col("a"), col("b"))
+    val shd = shingles(s, dir).distinct().persist()
+    shd.count() // materialize once before the multi-branch join
+    val sz = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shd.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(shd.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 4)
+          .as("jaccard"))
+      .sortedSmall("a", "b")
+  }
+
+  val t09Oracle: String = {
+    val est = (0 until K)
+      .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1.0 ELSE 0.0 END")
+      .mkString("(", " + ", s") / $K")
+    s"""WITH sig AS ($sigSql),
+       |buckets AS (
+       |  SELECT doc_id, 0 AS band, band0 AS bkt FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, band1 AS bkt FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) q),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, COUNT(*) AS i
+       |  FROM cand c
+       |  JOIN shd x ON x.doc_id = c.a
+       |  JOIN shd y ON y.doc_id = c.b AND y.sh = x.sh
+       |  GROUP BY c.a, c.b)
+       |SELECT inter.a, inter.b,
+       |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = inter.a
+       |           JOIN sz sb ON sb.doc_id = inter.b
+       |ORDER BY inter.a, inter.b""".stripMargin
+  }
+
   /** t08: SimHash (16-bit, word-token level) — the other classic near-dup
     * sketch. Bit j of a token's md5 votes ±1; sign of the vote sum per bit
     * forms the fingerprint. One explode + one groupBy(doc_id). */
@@ -287,5 +339,6 @@ object TextOps {
     Q("t05_fingerprint", t05Fingerprint, Some(t05Oracle)),
     Q("t06_minhash_sig", t06MinhashSig, Some(t06Oracle)),
     Q("t07_lsh_pairs", t07LshPairs, Some(t07Oracle)),
-    Q("t08_simhash", t08Simhash, None))
+    Q("t08_simhash", t08Simhash, None),
+    Q("t09_jaccard_verify", t09JaccardVerify, Some(t09Oracle)))
 }

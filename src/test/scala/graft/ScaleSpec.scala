@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 100 TB-posture mechanics, demonstrated at test scale: bucketed co-located
+  * joins (no shuffle exchange on either side) and salted aggregation for
+  * skewed keys. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = graft.tables.Tables.orders(spark, sf)
+    val l = graft.tables.Tables.lineitem(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      // same result as the plain-parquet join
+      val expect = l.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("salted aggregation matches direct aggregation on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one key — the shape that melts a single reducer.
+    val skewed = spark.range(100000)
+      .select(when(col("id") % 10 === 0, col("id") % 7)
+        .otherwise(lit(999L)).as("k"),
+        (col("id") % 100).cast("double").as("v"))
+    val direct = skewed.groupBy(col("k")).agg(sum(col("v")).as("s"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val salted = graft.ops.Skew.saltedSum(skewed, col("k"), col("v"), 16)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+}
