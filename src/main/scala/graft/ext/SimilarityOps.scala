@@ -21,14 +21,14 @@ import graft.ops.Out._
   */
 object SimilarityOps {
 
-  /** Sequential double-precision dot product of two float arrays. */
+  /** Sequential double-precision dot product / L2 norm of float arrays —
+    * codegen'd kernels (graft.functions.VecOps), bit-identical to the HOF
+    * `aggregate(zip_with(...))` formulation and the DuckDB oracle. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecOps.graft_vec_dot(a, b)
 
   private def norm2(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    graft.functions.VecOps.graft_vec_norm(a)
 
   /** e01: L2 norms — the map-only vector kernel. */
   def e01VectorNorms(s: SparkSession, dir: String): DataFrame =
