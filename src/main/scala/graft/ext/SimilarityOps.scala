@@ -189,10 +189,89 @@ object SimilarityOps {
       |WHERE round(list_cosine_similarity(x.v, y.v), 4) > 0.4
       |ORDER BY x.label, a, b""".stripMargin
 
+  /** e06: IVF ANN — the learned-quantizer scale path. Coarse k-means over
+    * DataFrame ops (deterministic seeds = lowest-K vec_ids, 2 Lloyd
+    * iterations; assignment = one broadcast join of K centroids against the
+    * partitioned vector scan), then search probes only the query's
+    * `nprobe`=2 nearest cells. Rows-only gate: centroid means are
+    * float-order dependent, so there is no cross-engine oracle; recall@10
+    * vs brute force (e02) is bounded in the spec.
+    *
+    * At 100 TB: centroids are a tiny broadcast table, assignment is a
+    * narrow map over the vector scan, and each query touches nprobe/K of
+    * the data — the same plan shape as production IVF indexes. */
+  def e06AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kCells = 16
+    val nprobe = 2
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      // minimize |c|^2 - 2 a·c  (== L2 distance up to the constant |a|^2)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cid"))
+      e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (col("cn") * col("cn") -
+            dot(col("embedding"), col("cvec")) * 2).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("cvec"))
+        .withColumn("cn", norm2(col("cvec")))
+
+    var cents = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .withColumn("cn", norm2(col("cvec")))
+    (1 to 2).foreach { _ =>
+      cents = recompute(assign(cents)).persist()
+      cents.count()
+    }
+
+    val assigned = assign(cents)
+      .withColumn("cnorm", norm2(col("embedding")))
+      .persist()
+    assigned.count()
+
+    // queries probe their nprobe nearest cells
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cid"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"),
+        (col("cn") * col("cn") - dot(col("qe"), col("cvec")) * 2).as("dist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+      .withColumn("qnorm", norm2(col("qe")))
+
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid2"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid2"),
+        round(dot(col("qe"), col("embedding")) /
+          (col("qnorm") * col("cnorm")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid2").as("cid"), col("cos_r"), col("rnk"))
+      .sortedSmall("qid", "rnk")
+  }
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
     Q("e03_lsh_buckets", e03LshBuckets, Some(e03Oracle)),
     Q("e04_ann_bucketed", e04AnnBucketed, Some(e04Oracle)),
-    Q("e05_cosine_dedup", e05CosineDedup, Some(e05Oracle)))
+    Q("e05_cosine_dedup", e05CosineDedup, Some(e05Oracle)),
+    Q("e06_ann_ivf", e06AnnIvf, None))
 }

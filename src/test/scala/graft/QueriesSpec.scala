@@ -93,6 +93,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(bucketed.count() > 0)
   }
 
+  test("e06 IVF ANN: 10 results per query with recall vs brute force") {
+    val ivf = ext.SimilarityOps.e06AnnIvf(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bf = ext.SimilarityOps.e02CosineTopK(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.groupBy(_._1).forall(_._2.length == 10))
+    val recall = ivf.toSet.intersect(bf.toSet).size.toDouble / bf.length
+    // uniform random vectors cluster weakly; probing 2/16 cells must still
+    // beat the random-subset baseline (2/16 = 0.125)
+    assert(recall > 0.125, s"recall@10 = $recall")
+  }
+
   test("s02 sessionize: session count never exceeds event count") {
     import org.apache.spark.sql.functions._
     val s2 = ext.EventOps.s02Sessionize(spark, sf)
