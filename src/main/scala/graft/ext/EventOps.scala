@@ -103,8 +103,38 @@ object EventOps {
       |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** s04: per-hour dominant event type — windowed aggregation + rank
+    * (agg-then-window, the grouped-top-k idiom). */
+  def s04HourlyTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = tsSec
+    val counts = events(s, dir)
+      .groupBy((sec - sec % 3600).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("hour_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("hour_start", "event_type", "n")
+      .sortedSmall("hour_start")
+  }
+
+  val s04Oracle: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |           FROM events),
+      |c AS (SELECT sec - sec % 3600 AS hour_start, event_type,
+      |        COUNT(*) AS n
+      |      FROM e GROUP BY 1, 2),
+      |r AS (SELECT hour_start, event_type, n,
+      |        row_number() OVER (PARTITION BY hour_start
+      |                           ORDER BY n DESC, event_type) AS rnk
+      |      FROM c)
+      |SELECT hour_start, event_type, n FROM r WHERE rnk = 1
+      |ORDER BY hour_start""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
-    Q("s03_json_extract", s03JsonExtract, Some(s03Oracle)))
+    Q("s03_json_extract", s03JsonExtract, Some(s03Oracle)),
+    Q("s04_hourly_top", s04HourlyTop, Some(s04Oracle)))
 }

@@ -437,6 +437,39 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), 0.02).as("apx_supps"))
       .sortedSmall("l_returnflag")
 
+  /** q21: correlated scalar subquery, expressed through the engine's SQL
+    * front-end (ops.Sql → Catalyst decorrelates it into an aggregate +
+    * join). Decimal avg keeps the threshold engine-exact. */
+  def q21ScalarSubquery(s: SparkSession, dir: String): DataFrame =
+    Sql.run(s, dir,
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+
+  val q21Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q22: set difference (EXCEPT) — customers with open orders but no
+    * finished ones. Spark plans EXCEPT as a left-anti join under distinct. */
+  def q22Except(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .sortedSmall("o_custkey")
+  }
+
+  val q22Oracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_filter_project", q02FilterProject, Some(q02Oracle)),
@@ -457,5 +490,7 @@ object Relational {
     Q("q17_rollup", q17Rollup, Some(q17Oracle)),
     Q("q18_pivot", q18Pivot, Some(q18Oracle)),
     Q("q19_distinct_exact", q19DistinctExact, Some(q19Oracle)),
-    Q("q20_approx_distinct", q20ApproxDistinct, None))
+    Q("q20_approx_distinct", q20ApproxDistinct, None),
+    Q("q21_scalar_subquery", q21ScalarSubquery, Some(q21Oracle)),
+    Q("q22_except", q22Except, Some(q22Oracle)))
 }
