@@ -85,6 +85,16 @@ class PsnPipelineSpec extends AnyFunSuite {
     assert(fresh.count() + known.count() == current.count())
   }
 
+  test("typed Dataset surface + PlayStats Aggregator") {
+    val games = psn.Typed.gameTitles(spark, day1)
+    val stats = psn.Typed.playStats(games)
+    assert(stats.titles == 3)
+    assert(stats.totalPlays == 42 + 7 + 133)
+    assert(stats.maxPlays == 133)
+    assert(stats.totalSeconds ==
+      (100 * 3600 + 30 * 60) + (12 * 3600 + 5 * 60 + 30) + 340 * 3600.0)
+  }
+
   test("trophy snapshot is one wide row with a date stamp (E11+E9)") {
     val t = Ingest.trophySnapshot(spark, day1)
     assert(t.columns.toSeq ==
