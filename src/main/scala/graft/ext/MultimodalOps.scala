@@ -98,8 +98,31 @@ object MultimodalOps {
       .sortedSmall("media_id", "frame_no")
   }
 
+  /** m04: resize — STUB standing in for an image/audio resampler: keeps
+    * every k-th byte (deterministic downsample), recomputing metadata. The
+    * Spark shape is the real part: binary in, smaller binary + typed meta
+    * out, narrow map, no shuffle. */
+  def m04Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val factor = 4
+    media(s, dir).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val n = m.content.length
+          val out = new Array[Byte]((n + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = m.content(i * factor); i += 1 }
+          (m.media_id, m.kind, out, n.toLong, out.length.toLong)
+        }
+      }
+      .toDF("media_id", "kind", "resized", "orig_bytes", "resized_bytes")
+      .select("media_id", "kind", "orig_bytes", "resized_bytes")
+      .sortedSmall("media_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
     Q("m02_decode_features", m02DecodeFeatures, None),
-    Q("m03_frame_sample", m03FrameSample, None))
+    Q("m03_frame_sample", m03FrameSample, None),
+    Q("m04_resize", m04Resize, None))
 }

@@ -42,16 +42,22 @@ object TextOps {
     """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
-  /** t02: token counting (whitespace tokenization) — narrow map-only op. */
+  /** t02: token counting — whitespace tokens plus a BPE-ish subword count
+    * (alpha runs / digit runs as units; the cheap proxy for tokenizer cost
+    * estimation in an LLM-data pipeline). Narrow map-only op. */
   def t02TokenStats(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_subwords"),
         col("n_chars"))
       .sortedSmall("doc_id")
 
   val t02Oracle: String =
     """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+      |  AS n_subwords,
       |n_chars FROM documents ORDER BY doc_id""".stripMargin
 
   /** t03: quality scoring — length/whitespace/stopword ratios, the heuristics
