@@ -37,6 +37,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q02 plan: filters and projection reach the parquet scan") {
+    val plan = ops.Relational.q02FilterProject(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(l_discount,0.05)"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"), plan.take(2000))
+  }
+
+  test("q15 plan: every dimension joins via broadcast") {
+    val plan = ops.Relational.q15StarJoin(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("salted aggregation matches direct aggregation on a skewed key") {
     import spark.implicits._
     // 90% of rows share one key — the shape that melts a single reducer.
