@@ -85,21 +85,24 @@ object SimilarityOps {
       |SELECT qid, cid, cos_r, rnk FROM r WHERE rnk <= 10
       |ORDER BY qid, rnk""".stripMargin
 
-  /** e03: LSH sign-buckets (random-hyperplane style, axis-aligned planes at
-    * dims 1/9/17/25) — the ANN scale path: bucket id becomes the join key for
-    * candidate generation, collapsing the candidate set by ~16×. */
-  def e03LshBuckets(s: SparkSession, dir: String): DataFrame = {
+  /** Sign-bucket id (random-hyperplane style LSH, axis-aligned planes at
+    * dims 1/9/17/25) — shared by e03 and e04. */
+  private def signBucket: Column = {
     val bit = (d: Int) =>
       when(element_at(col("embedding"), d) > 0f, 1L).otherwise(0L)
+    bit(1) * 8 + bit(9) * 4 + bit(17) * 2 + bit(25)
+  }
+
+  /** e03: LSH sign-buckets — the ANN scale path: bucket id becomes the join
+    * key for candidate generation, collapsing the candidate set by ~16×. */
+  def e03LshBuckets(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        (bit(1) * 8 + bit(9) * 4 + bit(17) * 2 + bit(25)).as("bucket"))
+      .select(col("vec_id"), col("label"), signBucket.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct(col("label")).as("n_labels"),
         min(col("vec_id")).as("min_vec"))
       .sortedSmall("bucket")
-  }
 
   val e03Oracle: String =
     """WITH b AS (SELECT vec_id, label,
@@ -118,12 +121,7 @@ object SimilarityOps {
   def e04AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = embeddings(s, dir).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("cnorm"),
-      ((when(element_at(col("embedding"), 1) > 0f, 1L).otherwise(0L)) * 8 +
-        (when(element_at(col("embedding"), 9) > 0f, 1L).otherwise(0L)) * 4 +
-        (when(element_at(col("embedding"), 17) > 0f, 1L).otherwise(0L)) * 2 +
-        when(element_at(col("embedding"), 25) > 0f, 1L).otherwise(0L))
-        .as("bucket"))
+      norm2(col("embedding")).as("cnorm"), signBucket.as("bucket"))
     val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("cnorm").as("qnorm"), col("bucket").as("qb"))

@@ -217,18 +217,12 @@ object TextOps {
 
   val t06Oracle: String = s"$sigSql ORDER BY doc_id"
 
-  /** t07: LSH candidate pairs — docs sharing any band bucket, with the
-    * MinHash Jaccard estimate (= matching signature fraction). The join is
-    * an equi-join on (band, bucket); at 100 TB this is the whole point:
-    * candidates without all-pairs. */
-  def t07LshPairs(s: SparkSession, dir: String): DataFrame = {
-    // The signature table is referenced 4× below (two band projections +
-    // both join sides); persist so the shingle explode + 8-way minhash agg
-    // runs once, not four times. The count() materializes it eagerly —
-    // otherwise Spark's concurrently-scheduled broadcast jobs race to
-    // populate the same cache and each recomputes the full pipeline.
-    val sig = t06MinhashSig(s, dir).persist()
-    sig.count()
+  /** Candidate pairs (a, b) sharing any LSH band bucket, with the MinHash
+    * Jaccard estimate (= matching signature fraction). `sig` must carry
+    * doc_id, h0..h7, band0, band1 (t06 signatures or the t09 sketch) and
+    * should be persisted+materialized by the caller — it is referenced 4×
+    * (two band projections + both estimate join sides). */
+  private def bandCandidates(sig: DataFrame): DataFrame = {
     val buckets = sig.select(col("doc_id"), lit(0).as("band"),
         col("band0").as("bkt"))
       .union(sig.select(col("doc_id"), lit(1).as("band"),
@@ -248,7 +242,18 @@ object TextOps {
       .reduce(_ + _) / K
     cand.join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"), est.as("jaccard_est"))
-      .sortedSmall("a", "b")
+  }
+
+  /** t07: LSH candidate pairs — docs sharing any band bucket. The join is
+    * an equi-join on (band, bucket); at 100 TB this is the whole point:
+    * candidates without all-pairs. The eager count() materializes the
+    * persisted signatures — otherwise Spark's concurrently-scheduled
+    * broadcast jobs race to populate the same cache and each recomputes
+    * the full shingle pipeline. */
+  def t07LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = t06MinhashSig(s, dir).persist()
+    sig.count()
+    bandCandidates(sig).sortedSmall("a", "b")
   }
 
   val t07Oracle: String = {
@@ -298,27 +303,12 @@ object TextOps {
         graft_md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
       .persist()
     sketch.count() // materialize once before the multi-branch self-joins
-    val buckets = sketch.select(col("doc_id"), lit(0).as("band"),
-        col("band0").as("bkt"))
-      .union(sketch.select(col("doc_id"), lit(1).as("band"),
-        col("band1").as("bkt")))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val sa = sketch.select(col("doc_id").as("a") +:
-      (0 until K).map(j => col(s"h$j").as(s"a_h$j")) :+
-      col("sset").as("sa"): _*)
-    val sb = sketch.select(col("doc_id").as("b") +:
-      (0 until K).map(j => col(s"h$j").as(s"b_h$j")) :+
-      col("sset").as("sb"): _*)
-    val est = (0 until K)
-      .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1.0).otherwise(0.0))
-      .reduce(_ + _) / K
-    cand.join(sa, "a").join(sb, "b")
-      .filter(est >= 0.75)
+    bandCandidates(sketch)
+      .filter(col("jaccard_est") >= 0.75)
+      .join(sketch.select(col("doc_id").as("a"), col("sset").as("sa")),
+        Seq("a"))
+      .join(sketch.select(col("doc_id").as("b"), col("sset").as("sb")),
+        Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("sa"), col("sb"))).as("i"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** `entropy` must vary within a hot key (a row id, offset, or several
+    * columns hashed together) — salting on the value itself collapses when
+    * the hot key's values are constant. */
   def saltedSum(df: DataFrame, key: Column, value: Column,
-      salts: Int): DataFrame =
-    df.groupBy(key.as("k"), pmod(hash(value), lit(salts)).as("__salt"))
+      salts: Int, entropy: Column): DataFrame =
+    df.groupBy(key.as("k"), pmod(hash(entropy), lit(salts)).as("__salt"))
       .agg(sum(value).as("__partial"))
       .groupBy(col("k"))
       .agg(sum(col("__partial")).as("salted_sum"))

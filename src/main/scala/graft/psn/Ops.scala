@@ -33,7 +33,12 @@ object Ops {
         col("play_duration_new") - col("play_duration_old"))
       .filter(col("play_count_diff") > 0)
       .select(col("id"), col("play_count_diff"), col("play_duration_diff"))
-      .withColumn("date", Exprs.todayMidnight())
+      // Driver-computed literal, as the reference stamps once per run
+      // (main.py:203) — an expression like date_trunc(current_timestamp())
+      // would re-evaluate per action and could diverge between the count
+      // and the append across a midnight boundary or cache eviction.
+      .withColumn("date", lit(java.sql.Timestamp.valueOf(
+        java.time.LocalDate.now().atStartOfDay())))
   }
 
   /** Games whose play time changed: left-semi join (J3/P4; main.py:243-246). */

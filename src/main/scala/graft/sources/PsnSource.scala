@@ -138,6 +138,7 @@ final class PsnReaderFactory(tableName: String, required: StructType)
       private def project(m: Map[String, Any]): InternalRow =
         new GenericInternalRow(required.fields.map { f =>
           (m(f.name), f.dataType) match {
+            case (null, _) => null
             case (v: String, StringType) => UTF8String.fromString(v)
             case (v: java.sql.Timestamp, TimestampType) => PsnSource.micros(v)
             case (v: Long, LongType) => v

@@ -64,10 +64,16 @@ class PsnPipelineSpec extends AnyFunSuite {
     val untouched = game.filter(col("title_id") === "CUSA00001").head
     assert(untouched.getAs[Long]("play_count") == 42)
 
-    // delta fact: play_count_diff 3, play_duration_diff 7200s
-    val tp = store.read("time_play").head
-    assert(tp.getAs[Long]("play_count_diff") == 3)
-    assert(tp.getAs[Double]("play_duration_diff") == 7200.0)
+    // delta fact: play_count_diff 3, play_duration_diff 7200s — read back
+    // through the typed schema (TimePlayDelta is the table's contract)
+    {
+      import spark.implicits._
+      val tp = store.read("time_play").as[TimePlayDelta].head()
+      assert(tp.play_count_diff == 3)
+      assert(tp.play_duration_diff == 7200.0)
+      val ts = store.read("trophee").as[TrophySnapshot].collect()
+      assert(ts.forall(_.bronze >= 120))
+    }
 
     // idempotence: same inputs again → no new games, no deltas (P3 >0)
     val (n2, d2) = DailyRun.run(spark, day2, store)

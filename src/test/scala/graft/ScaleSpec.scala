@@ -58,14 +58,18 @@ class ScaleSpec extends AnyFunSuite {
 
   test("salted aggregation matches direct aggregation on a skewed key") {
     import spark.implicits._
-    // 90% of rows share one key — the shape that melts a single reducer.
+    // 90% of rows share one key AND a constant value — the shape that melts
+    // a single reducer (and that value-derived salts can't spread).
     val skewed = spark.range(100000)
-      .select(when(col("id") % 10 === 0, col("id") % 7)
-        .otherwise(lit(999L)).as("k"),
-        (col("id") % 100).cast("double").as("v"))
+      .select(col("id"),
+        when(col("id") % 10 === 0, col("id") % 7)
+          .otherwise(lit(999L)).as("k"),
+        when(col("id") % 10 === 0, (col("id") % 100).cast("double"))
+          .otherwise(lit(1.0)).as("v"))
     val direct = skewed.groupBy(col("k")).agg(sum(col("v")).as("s"))
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val salted = graft.ops.Skew.saltedSum(skewed, col("k"), col("v"), 16)
+    val salted = graft.ops.Skew
+      .saltedSum(skewed, col("k"), col("v"), 16, col("id"))
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(salted.toSeq == direct.toSeq)
   }

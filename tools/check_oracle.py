@@ -23,8 +23,11 @@ def canon(rel):
     df = df[cols]
     con = duckdb.connect()
     con.register("t", df)
-    collist = ", ".join(f'"{c}"' for c in cols)
-    # round-trip through text for a stable value hash
+    # NULL-sentinel + escaped separator: concat_ws would silently skip NULLs
+    # and an unescaped ',' lets different rows collide
+    collist = ", ".join(
+        f"coalesce(replace(replace(CAST(\"{c}\" AS VARCHAR), '\\\\', '\\\\\\\\'), ',', '\\\\,'), '<NULL>')"
+        for c in cols)
     h = con.execute(
         f"SELECT md5(string_agg(r, '|' ORDER BY r)) FROM "
         f"(SELECT concat_ws(',', {collist}) AS r FROM t)"
@@ -40,11 +43,18 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(
+    dirs = set(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that crashed in Verify has oracle SQL but no output dir —
+    # that must be a FAIL, not a silent absence
+    names = sorted(dirs | set(oracle))
     n_pass = n_fail = n_weak = 0
     for name in names:
+        if name not in dirs:
+            print(f"  FAIL  {name}: no Verify output (query crashed?)")
+            n_fail += 1
+            continue
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         if name not in oracle:
             print(f"  WEAK  {name}: rows={len(got.df())} (no oracle)")
