@@ -190,7 +190,10 @@ object TextOps {
     * over the set, so no distinct is needed. One shuffle (groupBy doc_id),
     * 8 lane-mins in one pass over 2 digests. Band digests are the LSH
     * bucket keys. */
-  def t06MinhashSig(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted signatures — keeps the natural (doc_id-hashed, parallel)
+    * partitioning so downstream self-joins don't inherit a single-partition
+    * sort. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Md5Lanes.graft_md5_lanes
     shingles(s, dir)
       .select(col("doc_id"), graft_md5_lanes(col("sh")).as("lv"))
@@ -201,8 +204,10 @@ object TextOps {
         graft_md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
       .withColumn("band1",
         graft_md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
-      .sortedSmall("doc_id")
   }
+
+  def t06MinhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSig(s, dir).sortedSmall("doc_id")
 
   private val sigSql: String = {
     val hs = (0 until K)
@@ -251,7 +256,7 @@ object TextOps {
     * broadcast jobs race to populate the same cache and each recomputes
     * the full shingle pipeline. */
   def t07LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = t06MinhashSig(s, dir).persist()
+    val sig = minhashSig(s, dir).persist()
     sig.count()
     bandCandidates(sig).sortedSmall("a", "b")
   }

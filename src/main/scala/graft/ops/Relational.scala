@@ -470,6 +470,27 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_custkey""".stripMargin
 
+  /** q23: date arithmetic — fulfillment lag in days per order (datediff on
+    * midnight-aligned timestamps; E7/E9 surface). */
+  def q23FulfillmentDays(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("first_ship"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"),
+        datediff(col("first_ship"), col("o_orderdate")).cast("long")
+          .as("lag_days"))
+      .sortedSmall("o_orderkey")
+
+  val q23Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(date_diff('day', o_orderdate, first_ship) AS BIGINT)
+      |    AS lag_days
+      |FROM (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+      |      FROM lineitem GROUP BY l_orderkey) f
+      |JOIN orders ON f.l_orderkey = o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_filter_project", q02FilterProject, Some(q02Oracle)),
@@ -492,5 +513,6 @@ object Relational {
     Q("q19_distinct_exact", q19DistinctExact, Some(q19Oracle)),
     Q("q20_approx_distinct", q20ApproxDistinct, None),
     Q("q21_scalar_subquery", q21ScalarSubquery, Some(q21Oracle)),
-    Q("q22_except", q22Except, Some(q22Oracle)))
+    Q("q22_except", q22Except, Some(q22Oracle)),
+    Q("q23_fulfillment_days", q23FulfillmentDays, Some(q23Oracle)))
 }

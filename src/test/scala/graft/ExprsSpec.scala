@@ -36,6 +36,13 @@ class ExprsSpec extends AnyFunSuite {
     assert(one(isoDurationSeconds(lit("PT1H"))) == "3600.0")
   }
 
+  test("todayMidnight truncates to 00:00 of the current day") {
+    val v = spark.range(1)
+      .select(graft.expr.Exprs.todayMidnight().cast("string"))
+      .head.getString(0)
+    assert(v.endsWith("00:00:00"))
+  }
+
   test("dsum is exact and order-independent") {
     import spark.implicits._
     val df = Seq.fill(1000)(0.1).toDF("x")
