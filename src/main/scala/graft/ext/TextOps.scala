@@ -378,6 +378,46 @@ object TextOps {
       .sortedSmall("doc_id")
   }
 
+  /** t10: the composed training-data filter — exact dedup (keeper only) →
+    * language gate → quality gates (token count + stopword ratio), emitting
+    * the surviving mix with its token budget. One declarative plan: Catalyst
+    * fuses the per-row gates into the scan and the dedup is the only
+    * shuffle. This is the end-to-end shape an LLM data pipeline runs at
+    * 100 TB. */
+  def t10TrainingMix(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val keepers = d
+      .groupBy(graft_md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    val theCnt = litCount(col("text"), "the")
+    d.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
+        (theCnt / nTokens).as("stopword_ratio"))
+      .filter(col("lang").isin("en", "es", "fr") &&
+        col("n_tokens") >= 30 && col("n_tokens") <= 110 &&
+        col("stopword_ratio") < 0.2)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .sortedSmall("doc_id")
+  }
+
+  val t10Oracle: String = {
+    val nt = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    val the = litCountSql("text", "the")
+    s"""WITH keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |gated AS (
+       |  SELECT doc_id, lang, $nt AS n_tokens,
+       |    $the / $nt AS stopword_ratio
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers))
+       |SELECT doc_id, lang, n_tokens FROM gated
+       |WHERE lang IN ('en', 'es', 'fr')
+       |  AND n_tokens BETWEEN 30 AND 110
+       |  AND stopword_ratio < 0.2
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t01_dedup_exact", t01DedupExact, Some(t01Oracle)),
     Q("t02_token_stats", t02TokenStats, Some(t02Oracle)),
@@ -387,5 +427,6 @@ object TextOps {
     Q("t06_minhash_sig", t06MinhashSig, Some(t06Oracle)),
     Q("t07_lsh_pairs", t07LshPairs, Some(t07Oracle)),
     Q("t08_simhash", t08Simhash, None),
-    Q("t09_jaccard_verify", t09JaccardVerify, Some(t09Oracle)))
+    Q("t09_jaccard_verify", t09JaccardVerify, Some(t09Oracle)),
+    Q("t10_training_mix", t10TrainingMix, Some(t10Oracle)))
 }
