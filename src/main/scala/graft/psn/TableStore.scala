@@ -30,6 +30,14 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(table).toString)
 
+  /** Append with hive-style partitioning — the 100 TB layout for fact
+    * tables (time_play partitioned by day): date-filtered scans prune whole
+    * partition directories instead of reading and filtering. */
+  def appendPartitioned(table: String, df: DataFrame,
+      partitionCol: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCol)
+      .parquet(path(table).toString)
+
   def overwrite(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(table).toString)
 

@@ -56,6 +56,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("partitioned fact table: date filter prunes partition directories") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_part").toString
+    val store = new graft.psn.TableStore(spark, wh)
+    val facts = graft.tables.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    store.appendPartitioned("facts", facts, "month")
+    // hive-style layout on disk
+    assert(new java.io.File(s"$wh/facts").listFiles()
+      .exists(_.getName.startsWith("month=")))
+    val pruned = store.read("facts").filter(col("month") === "1996-03")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(month"),
+      plan.take(1500))
+    val expect = facts.filter(col("month") === "1996-03").count()
+    assert(pruned.count() == expect && expect > 0)
+  }
+
+  test("json-lines roundtrip: events written and re-read losslessly") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_json").toString
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").json(out)
+    val back = spark.read.json(out)
+      .select("event_id", "user_id", "event_type", "value", "props")
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(
+      ev.select(back.columns.map(col): _*)).count() == 0)
+  }
+
   test("salted aggregation matches direct aggregation on a skewed key") {
     import spark.implicits._
     // 90% of rows share one key AND a constant value — the shape that melts
