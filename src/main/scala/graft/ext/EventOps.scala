@@ -132,9 +132,51 @@ object EventOps {
       |SELECT hour_start, event_type, n FROM r WHERE rnk = 1
       |ORDER BY hour_start""".stripMargin
 
+  /** s05: as-of join composed from built-ins (SURVEY custom-operator
+    * preference (a)): for each purchase, the same user's latest prior click
+    * — one window pass over the interleaved event stream instead of a
+    * range self-join. At 100 TB this is the attribution-join shape: one
+    * shuffle on user_id, no pair explosion. */
+  def s05AsOfAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_sec",
+        last(when(col("event_type") === "click", tsSec),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"),
+        (tsSec - col("click_sec")).as("gap_sec"))
+      .sortedSmall("purchase_id")
+  }
+
+  val s05Oracle: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |           FROM events),
+      |x AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |               IGNORE NULLS) OVER w AS click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN sec END
+      |               IGNORE NULLS) OVER w AS click_sec
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, click_id,
+      |  sec - click_sec AS gap_sec
+      |FROM x WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
     Q("s03_json_extract", s03JsonExtract, Some(s03Oracle)),
-    Q("s04_hourly_top", s04HourlyTop, Some(s04Oracle)))
+    Q("s04_hourly_top", s04HourlyTop, Some(s04Oracle)),
+    Q("s05_asof_attribution", s05AsOfAttribution, Some(s05Oracle)))
 }
