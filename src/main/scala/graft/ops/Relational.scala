@@ -491,6 +491,24 @@ object Relational {
       |JOIN orders ON f.l_orderkey = o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q24: exact quantiles (percentile_cont interpolation — sort-based
+    * distributed aggregate; the sketch twin would be approx_percentile). */
+  def q24Quantiles(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"))
+      .sortedSmall("l_returnflag")
+
+  val q24Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_filter_project", q02FilterProject, Some(q02Oracle)),
@@ -514,5 +532,6 @@ object Relational {
     Q("q20_approx_distinct", q20ApproxDistinct, None),
     Q("q21_scalar_subquery", q21ScalarSubquery, Some(q21Oracle)),
     Q("q22_except", q22Except, Some(q22Oracle)),
-    Q("q23_fulfillment_days", q23FulfillmentDays, Some(q23Oracle)))
+    Q("q23_fulfillment_days", q23FulfillmentDays, Some(q23Oracle)),
+    Q("q24_quantiles", q24Quantiles, Some(q24Oracle)))
 }

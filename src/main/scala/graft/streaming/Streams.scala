@@ -58,6 +58,38 @@ object Streams {
   final case class UserTotal(total: Double)
   final case class UserDelta(user_id: Long, delta: Double, total: Double)
 
+  final case class GameState(play_count: Long, play_duration: Double)
+  final case class GameDelta(
+      id: String, play_count_diff: Long, play_duration_diff: Double)
+
+  /** The PSN play-time delta pipeline as managed keyed state (SURVEY §2.8):
+    * each arriving snapshot of a game's stats diffs against the state and
+    * emits only positive play_count deltas — replacing the reference's
+    * nightly read-back + inner join + `diff > 0` filter (main.py:153-207)
+    * with incremental state. First sighting of a key seeds state silently
+    * (the reference's new-game path appends, it doesn't emit a delta). */
+  def playDeltas(spark: SparkSession,
+      games: Dataset[graft.psn.GameTitle]): Dataset[GameDelta] = {
+    import spark.implicits._
+    games.groupByKey(_.id)
+      .flatMapGroupsWithState[GameState, GameDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[graft.psn.GameTitle],
+         state: GroupState[GameState]) =>
+          // within a batch, the latest snapshot wins (ordered by count)
+          val latest = rows.maxBy(_.play_count)
+          val out = state.getOption match {
+            case Some(prev) if latest.play_count > prev.play_count =>
+              Iterator(GameDelta(id,
+                latest.play_count - prev.play_count,
+                latest.play_duration - prev.play_duration))
+            case _ => Iterator.empty
+          }
+          state.update(GameState(latest.play_count, latest.play_duration))
+          out
+      }
+  }
+
   /** Keyed incremental state: per-user running value total, emitting only
     * positive deltas — `flatMapGroupsWithState` replacing the reference's
     * snapshot-read + inner-join + `diff > 0` filter (main.py:193-207) with

@@ -75,6 +75,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(first > batch / 2)
   }
 
+  test("stateful PSN play-delta stream matches the batch pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.psn._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[GameTitle]
+    val q = graft.streaming.Streams.playDeltas(spark, source.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("psn_deltas")
+      .start()
+    def titles(c: PsnClient): Seq[GameTitle] = {
+      import org.apache.spark.sql.Encoders
+      Ingest.gameTitles(spark, c).as[GameTitle](Encoders.product)
+        .collect().toSeq
+    }
+    // batch 1: day-1 snapshots seed state, no deltas
+    source.addData(titles(FakePsnClient.default): _*)
+    q.processAllAvailable()
+    assert(spark.table("psn_deltas").count() == 0)
+    // batch 2: Beta Racer played 3 more times (+2h) — exactly one delta,
+    // equal to what the batch pipeline (psn.Ops.playTimeDeltas) computes
+    val day2 = new FakePsnClient(
+      TrophySummary(121, 45, 12, 2),
+      FakePsnClient.default.titleStats().map {
+        case g if g.title_id == "CUSA_00002" =>
+          g.copy(play_count = 10, play_duration = "PT14H5M30S")
+        case g => g
+      })
+    source.addData(titles(day2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val deltas = spark.table("psn_deltas").collect()
+    assert(deltas.length == 1)
+    assert(deltas.head.getAs[Long]("play_count_diff") == 3)
+    assert(deltas.head.getAs[Double]("play_duration_diff") == 7200.0)
+  }
+
   test("flatMapGroupsWithState emits per-user running deltas") {
     val q = Streams.valueDeltas(spark, Streams.readEvents(spark, sf))
       .writeStream.outputMode("append")
