@@ -186,13 +186,11 @@ object TextOps {
 
   private val K = 8 // minhash permutations (2 bands × 4 rows)
 
-  /** t06: MinHash signatures — min over the shingle *multiset* equals min
-    * over the set, so no distinct is needed. One shuffle (groupBy doc_id),
-    * 8 lane-mins in one pass over 2 digests. Band digests are the LSH
-    * bucket keys. */
-  /** Unsorted signatures — keeps the natural (doc_id-hashed, parallel)
-    * partitioning so downstream self-joins don't inherit a single-partition
-    * sort. */
+  /** Unsorted MinHash signatures — min over the shingle *multiset* equals
+    * min over the set, so no distinct is needed. One shuffle (groupBy
+    * doc_id), 8 lane-mins in one pass over 2 digests; band digests are the
+    * LSH bucket keys. Stays unsorted so downstream self-joins keep the
+    * natural (doc_id-hashed, parallel) partitioning. */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Md5Lanes.graft_md5_lanes
     shingles(s, dir)
@@ -206,6 +204,7 @@ object TextOps {
         graft_md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
   }
 
+  /** t06: per-document MinHash signatures + LSH band bucket keys. */
   def t06MinhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSig(s, dir).sortedSmall("doc_id")
 

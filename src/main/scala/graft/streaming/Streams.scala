@@ -76,17 +76,26 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: String, rows: Iterator[graft.psn.GameTitle],
          state: GroupState[GameState]) =>
-          // within a batch, the latest snapshot wins (ordered by count)
-          val latest = rows.maxBy(_.play_count)
-          val out = state.getOption match {
+          // within a batch the latest snapshot wins (count is the recency
+          // proxy; duration breaks count ties deterministically)
+          val latest = rows.maxBy(g => (g.play_count, g.play_duration))
+          state.getOption match {
             case Some(prev) if latest.play_count > prev.play_count =>
+              state.update(
+                GameState(latest.play_count, latest.play_duration))
               Iterator(GameDelta(id,
                 latest.play_count - prev.play_count,
                 latest.play_duration - prev.play_duration))
-            case _ => Iterator.empty
+            case Some(_) =>
+              // stale or duplicate redelivery (at-least-once source):
+              // never regress state, or the already-emitted delta would be
+              // double-counted on the next genuine snapshot
+              Iterator.empty
+            case None =>
+              state.update(
+                GameState(latest.play_count, latest.play_duration))
+              Iterator.empty
           }
-          state.update(GameState(latest.play_count, latest.play_duration))
-          out
       }
   }
 

@@ -85,11 +85,8 @@ class StreamsSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("psn_deltas")
       .start()
-    def titles(c: PsnClient): Seq[GameTitle] = {
-      import org.apache.spark.sql.Encoders
-      Ingest.gameTitles(spark, c).as[GameTitle](Encoders.product)
-        .collect().toSeq
-    }
+    def titles(c: PsnClient): Seq[GameTitle] =
+      Typed.gameTitles(spark, c).collect().toSeq
     // batch 1: day-1 snapshots seed state, no deltas
     source.addData(titles(FakePsnClient.default): _*)
     q.processAllAvailable()
@@ -105,11 +102,28 @@ class StreamsSpec extends AnyFunSuite {
       })
     source.addData(titles(day2): _*)
     q.processAllAvailable()
-    q.stop()
     val deltas = spark.table("psn_deltas").collect()
     assert(deltas.length == 1)
     assert(deltas.head.getAs[Long]("play_count_diff") == 3)
     assert(deltas.head.getAs[Double]("play_duration_diff") == 7200.0)
+    // batch 3: at-least-once redelivery of the STALE day-1 snapshot must
+    // not regress state (a regression would double-count on batch 4)
+    source.addData(titles(FakePsnClient.default): _*)
+    q.processAllAvailable()
+    assert(spark.table("psn_deltas").count() == 1)
+    // batch 4: one more play → delta of exactly 1, not 4
+    val day3 = new FakePsnClient(day2.profileTrophies(),
+      day2.titleStats().map {
+        case g if g.title_id == "CUSA_00002" => g.copy(play_count = 11)
+        case g => g
+      })
+    source.addData(titles(day3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all2 = spark.table("psn_deltas")
+      .orderBy("play_count_diff").collect()
+    assert(all2.length == 2)
+    assert(all2.head.getAs[Long]("play_count_diff") == 1)
   }
 
   test("flatMapGroupsWithState emits per-user running deltas") {
