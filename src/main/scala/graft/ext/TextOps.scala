@@ -356,6 +356,50 @@ object TextOps {
        |ORDER BY inter.a, inter.b""".stripMargin
   }
 
+  /** t11: edit-distance verification of the strongest LSH candidates —
+    * the character-level near-dup check (Levenshtein on 40-char prefixes;
+    * full-text edit distance is O(n²) per pair, so production bounds the
+    * window exactly like this). Candidates only — never all-pairs. */
+  def t11EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val cand = t07LshPairs(s, dir)
+      .filter(col("jaccard_est") >= 0.875)
+      .select(col("a"), col("b"))
+    val d = documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    cand
+      .join(d.select(col("doc_id").as("a"), col("prefix").as("pa")), Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("prefix").as("pb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .sortedSmall("a", "b")
+  }
+
+  val t11Oracle: String = {
+    val est = (0 until K)
+      .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1.0 ELSE 0.0 END")
+      .mkString("(", " + ", s") / $K")
+    s"""WITH sig AS ($sigSql),
+       |buckets AS (
+       |  SELECT doc_id, 0 AS band, band0 AS bkt FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, band1 AS bkt FROM sig),
+       |cand0 AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+       |cand AS (
+       |  SELECT a, b FROM cand0
+       |  JOIN sig x ON cand0.a = x.doc_id
+       |  JOIN sig y ON cand0.b = y.doc_id
+       |  WHERE $est >= 0.875),
+       |p AS (SELECT doc_id, substr(text, 1, 40) AS prefix FROM documents)
+       |SELECT a, b,
+       |  CAST(levenshtein(pa.prefix, pb.prefix) AS BIGINT) AS edit_dist
+       |FROM cand JOIN p pa ON cand.a = pa.doc_id
+       |          JOIN p pb ON cand.b = pb.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** t08: SimHash (16-bit, word-token level) — the other classic near-dup
     * sketch. Bit j of a token's md5 votes ±1; sign of the vote sum per bit
     * forms the fingerprint. One explode + one groupBy(doc_id). */
@@ -427,5 +471,6 @@ object TextOps {
     Q("t07_lsh_pairs", t07LshPairs, Some(t07Oracle)),
     Q("t08_simhash", t08Simhash, None),
     Q("t09_jaccard_verify", t09JaccardVerify, Some(t09Oracle)),
-    Q("t10_training_mix", t10TrainingMix, Some(t10Oracle)))
+    Q("t10_training_mix", t10TrainingMix, Some(t10Oracle)),
+    Q("t11_edit_distance", t11EditDistance, Some(t11Oracle)))
 }

@@ -509,6 +509,34 @@ object Relational {
       |  quantile_cont(l_quantity, 0.75) AS q75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q25: ntile + cumulative distribution — the ranking-window surface
+    * beyond q08's lag/row_number (customer spend quartiles). */
+  def q25SpendQuartiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spent"))
+    val w = Window.orderBy(col("spent").desc, col("o_custkey"))
+    spend
+      .select(col("o_custkey"), col("spent"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .filter(col("quartile") === 1)
+      .sortedSmall("o_custkey")
+  }
+
+  val q25Oracle: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, ${dsumSql("o_totalprice")} AS spent
+       |  FROM orders GROUP BY o_custkey),
+       |r AS (
+       |  SELECT o_custkey, spent,
+       |    ntile(4) OVER w AS quartile,
+       |    round(cume_dist() OVER w, 6) AS cd
+       |  FROM spend
+       |  WINDOW w AS (ORDER BY spent DESC, o_custkey))
+       |SELECT * FROM r WHERE quartile = 1 ORDER BY o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_filter_project", q02FilterProject, Some(q02Oracle)),
@@ -533,5 +561,6 @@ object Relational {
     Q("q21_scalar_subquery", q21ScalarSubquery, Some(q21Oracle)),
     Q("q22_except", q22Except, Some(q22Oracle)),
     Q("q23_fulfillment_days", q23FulfillmentDays, Some(q23Oracle)),
-    Q("q24_quantiles", q24Quantiles, Some(q24Oracle)))
+    Q("q24_quantiles", q24Quantiles, Some(q24Oracle)),
+    Q("q25_spend_quartiles", q25SpendQuartiles, Some(q25Oracle)))
 }
