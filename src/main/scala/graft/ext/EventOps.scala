@@ -173,10 +173,48 @@ object EventOps {
       |FROM x WHERE event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
+  /** s06: range join via time-bucketing — purchases within 10 minutes
+    * after a click by the same user. Spark has no range-join optimization
+    * (a naive theta-join degenerates to per-user cross products), so the
+    * click side explodes into its two candidate 10-minute buckets and the
+    * join becomes an EQUI-join on (user, bucket) + an exact residual
+    * filter. At 100 TB this turns O(clicks×purchases) per user into
+    * O(pairs within adjacent buckets). */
+  def s06RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val window = 600L
+    val ev = events(s, dir).withColumn("sec", tsSec)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("sec").as("c_sec"),
+        explode(array(expr(s"sec div $window"),
+          expr(s"sec div $window") + 1)).as("jb"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("p_sec"), expr(s"sec div $window").as("jb"))
+    clicks.join(purchases, Seq("user_id", "jb"))
+      .filter(col("p_sec") > col("c_sec") &&
+        col("p_sec") <= col("c_sec") + window)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("p_sec") - col("c_sec")).as("gap_sec"))
+      .sortedSmall("click_id", "purchase_id")
+  }
+
+  val s06Oracle: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |           FROM events)
+      |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.user_id, p.sec - c.sec AS gap_sec
+      |FROM e c JOIN e p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.sec > c.sec AND p.sec <= c.sec + 600
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
     Q("s03_json_extract", s03JsonExtract, Some(s03Oracle)),
     Q("s04_hourly_top", s04HourlyTop, Some(s04Oracle)),
-    Q("s05_asof_attribution", s05AsOfAttribution, Some(s05Oracle)))
+    Q("s05_asof_attribution", s05AsOfAttribution, Some(s05Oracle)),
+    Q("s06_range_join", s06RangeJoin, Some(s06Oracle)))
 }
