@@ -35,7 +35,7 @@ object SimilarityOps {
     embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         round(norm2(col("embedding")), 6).as("l2_norm"),
-        size(col("embedding")).as("dim"))
+        size(col("embedding")).cast("long").as("dim"))
       .sortedSmall("vec_id")
 
   val e01Oracle: String =
@@ -67,6 +67,7 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id").as("cid"), cos.as("cos_r"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
+      .withColumn("rnk", col("rnk").cast("long"))
       .sortedSmall("qid", "rnk")
   }
 
@@ -106,10 +107,10 @@ object SimilarityOps {
 
   val e03Oracle: String =
     """WITH b AS (SELECT vec_id, label,
-      |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+      |  CAST(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
       |   CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END +
       |   CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
-      |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
+      |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
       |  FROM embeddings)
       |SELECT bucket, COUNT(*) AS n_vecs,
       |  COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_vec
@@ -134,6 +135,7 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id").as("cid"), cos.as("cos_r"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
+      .withColumn("rnk", col("rnk").cast("long"))
       .sortedSmall("qid", "rnk")
   }
 
@@ -261,7 +263,8 @@ object SimilarityOps {
           (col("qnorm") * col("cnorm")), 4).as("cos_r"))
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= 10)
-      .select(col("qid"), col("cid2").as("cid"), col("cos_r"), col("rnk"))
+      .select(col("qid"), col("cid2").as("cid"), col("cos_r"),
+        col("rnk").cast("long").as("rnk"))
       .sortedSmall("qid", "rnk")
   }
 

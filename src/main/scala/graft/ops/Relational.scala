@@ -187,7 +187,7 @@ object Relational {
     orders(s, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= 3)
       .sortedSmall(col("o_custkey"), col("rn"))
   }
@@ -278,7 +278,7 @@ object Relational {
     part(s, dir)
       .select(col("p_partkey"),
         upper(substring(col("p_name"), 1, 10)).as("name10"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         regexp_replace(col("p_type"), " ", "_").as("type_us"),
         concat(col("p_brand"), lit("#"), col("p_size").cast("string"))
           .as("brand_size"))
@@ -519,7 +519,7 @@ object Relational {
     val w = Window.orderBy(col("spent").desc, col("o_custkey"))
     spend
       .select(col("o_custkey"), col("spent"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("long").as("quartile"),
         round(cume_dist().over(w), 6).as("cd"))
       .filter(col("quartile") === 1)
       .sortedSmall("o_custkey")

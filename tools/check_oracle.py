@@ -66,10 +66,17 @@ def main(sf_dir, out_dir):
             print(f"  FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        gt = dict(zip(got.columns, [str(t) for t in got.types]))
+        wt = dict(zip(want.columns, [str(t) for t in want.types]))
         gc, gn, gh = canon(got)
         wc, wn, wh = canon(want)
         if gc != wc:
             print(f"  FAIL  {name}: cols {gc} != {wc}")
+            n_fail += 1
+        elif gt != wt:
+            diff = {c: (gt.get(c), wt.get(c))
+                    for c in gt if gt.get(c) != wt.get(c)}
+            print(f"  FAIL  {name}: dtypes differ {diff}")
             n_fail += 1
         elif gn != wn:
             print(f"  FAIL  {name}: rows {gn} != {wn}")
