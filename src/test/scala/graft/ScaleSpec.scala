@@ -76,6 +76,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() == expect && expect > 0)
   }
 
+  test("csv + orc roundtrips: orders written and re-read losslessly") {
+    import java.nio.file.Files
+    val o = graft.tables.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val csvDir = Files.createTempDirectory("graft_csv").toString
+    o.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val csvBack = spark.read.option("header", "true")
+      .schema(o.schema).csv(csvDir)
+    assert(csvBack.exceptAll(o).count() == 0 &&
+      o.exceptAll(csvBack).count() == 0)
+    val orcDir = Files.createTempDirectory("graft_orc").toString
+    o.write.mode("overwrite").orc(orcDir)
+    val orcBack = spark.read.orc(orcDir)
+    assert(orcBack.exceptAll(o).count() == 0 &&
+      o.exceptAll(orcBack).count() == 0)
+  }
+
   test("json-lines roundtrip: events written and re-read losslessly") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft_json").toString
