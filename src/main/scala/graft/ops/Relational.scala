@@ -510,17 +510,21 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q25: ntile + cumulative distribution — the ranking-window surface
-    * beyond q08's lag/row_number (customer spend quartiles). */
+    * beyond q08's lag/row_number (customer spend quartiles). A bare
+    * `Window.orderBy` would drag every row to one partition; instead the
+    * total order comes from [[Rank.withGlobalRankN]] (range-repartition +
+    * per-partition row_number + broadcast offsets) and ntile/cume_dist are
+    * arithmetic on the unique rank. */
   def q25SpendQuartiles(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("spent"))
-    val w = Window.orderBy(col("spent").desc, col("o_custkey"))
-    spend
+    val (ranked, n) =
+      Rank.withGlobalRankN(spend, Seq(col("spent").desc, col("o_custkey")), "_r")
+    ranked
       .select(col("o_custkey"), col("spent"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        round(cume_dist().over(w), 6).as("cd"))
+        Rank.ntileFromRank(col("_r"), n, 4).as("quartile"),
+        round(Rank.cumeDistFromRank(col("_r"), n), 6).as("cd"))
       .filter(col("quartile") === 1)
       .sortedSmall("o_custkey")
   }
