@@ -81,6 +81,34 @@ object MultimodalOps {
       n_frames = n / 32 + 1)
   }
 
+  /** m02 oracle: the stub is deterministic byte statistics, so DuckDB can
+    * replicate it — byte values come from hex(blob) 2-char slices joined
+    * against a constant index series (this DuckDB build only supports
+    * constant generate_series; 1024 covers the corpus max of 577 bytes). */
+  val m02Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |                    ELSE 'video' END AS kind,
+      |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |  FROM documents),
+      |idx AS (SELECT unnest(generate_series(1, 1024)) AS i),
+      |b AS (
+      |  SELECT media_id,
+      |    CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS bv
+      |  FROM m JOIN idx ON i <= n),
+      |cs AS (
+      |  SELECT media_id, CAST(SUM(bv) AS BIGINT) AS checksum
+      |  FROM b GROUP BY media_id)
+      |SELECT m.media_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+      |  coalesce(cs.checksum, 0) AS checksum,
+      |  CAST(16 + coalesce(cs.checksum, 0) % 64 AS INTEGER) AS width,
+      |  CAST(CASE WHEN m.n = 0 THEN 0
+      |            ELSE m.n // (16 + coalesce(cs.checksum, 0) % 64) + 1
+      |       END AS INTEGER) AS height,
+      |  CAST(m.n // 32 + 1 AS INTEGER) AS n_frames
+      |FROM m LEFT JOIN cs USING (media_id) ORDER BY media_id""".stripMargin
+
   /** m03: frame sampling — one row per sampled fixed-stride chunk of the
     * payload (video frame-sample / audio windowing shape). Map-side explode;
     * the slice is a real byte-range view of the binary column. */
@@ -97,6 +125,22 @@ object MultimodalOps {
         length(col("frame_bytes")).cast("long").as("frame_len"))
       .sortedSmall("media_id", "frame_no")
   }
+
+  /** m03 oracle: stride-64 chunk indices and lengths from octet_length
+    * alone. greatest(..., 0) matches Spark's truncating `div` on the n=0
+    * edge (one zero-length frame). */
+  val m03Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |                    ELSE 'video' END AS kind,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents),
+      |f AS (SELECT unnest(generate_series(0, 63)) AS frame_no)
+      |SELECT media_id, kind, CAST(frame_no AS BIGINT) AS frame_no,
+      |  CAST(LEAST(64, n - frame_no * 64) AS BIGINT) AS frame_len
+      |FROM m JOIN f ON frame_no <= greatest((n - 1) // 64, 0)
+      |ORDER BY media_id, frame_no""".stripMargin
 
   /** m04: resize — STUB standing in for an image/audio resampler: keeps
     * every k-th byte (deterministic downsample), recomputing metadata. The
@@ -120,9 +164,19 @@ object MultimodalOps {
       .sortedSmall("media_id")
   }
 
+  /** m04 oracle: ceil(n / 4) output bytes. */
+  val m04Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |                  ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+      |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT)
+      |    AS resized_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
-    Q("m02_decode_features", m02DecodeFeatures, None),
-    Q("m03_frame_sample", m03FrameSample, None),
-    Q("m04_resize", m04Resize, None))
+    Q("m02_decode_features", m02DecodeFeatures, Some(m02Oracle)),
+    Q("m03_frame_sample", m03FrameSample, Some(m03Oracle)),
+    Q("m04_resize", m04Resize, Some(m04Oracle)))
 }

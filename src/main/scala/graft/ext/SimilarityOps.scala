@@ -268,11 +268,33 @@ object SimilarityOps {
       .sortedSmall("qid", "rnk")
   }
 
+  /** e07: recall gate for the IVF index — measures recall@10 of e06 against
+    * the brute-force baseline (e02) and asserts it clears 0.5 (observed
+    * 0.7–1.0 across sf0.001/0.01/0.1 with nprobe=2 of 16 cells; 0.5 leaves
+    * margin for float-order jitter in centroid means). This is the
+    * ANN-quality contract a DuckDB oracle *can* check even though the
+    * sketch itself is engine-specific. */
+  def e07AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = e02CosineTopK(s, dir).select(col("qid"), col("cid"))
+    val ivf = e06AnnIvf(s, dir).select(col("qid"), col("cid"))
+      .withColumn("hit", lit(1L))
+    bf.join(ivf, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
+      .select(col("qid"), (col("recall") >= 0.5).as("recall_ok"))
+      .sortedSmall("qid")
+  }
+
+  val e07Oracle: String =
+    """SELECT DISTINCT vec_id AS qid, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
     Q("e03_lsh_buckets", e03LshBuckets, Some(e03Oracle)),
     Q("e04_ann_bucketed", e04AnnBucketed, Some(e04Oracle)),
     Q("e05_cosine_dedup", e05CosineDedup, Some(e05Oracle)),
-    Q("e06_ann_ivf", e06AnnIvf, None))
+    Q("e06_ann_ivf", e06AnnIvf, None),
+    Q("e07_ann_recall", e07AnnRecall, Some(e07Oracle)))
 }

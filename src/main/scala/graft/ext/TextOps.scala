@@ -421,6 +421,29 @@ object TextOps {
       .sortedSmall("doc_id")
   }
 
+  /** t08 oracle: DuckDB replicates the md5-derived 32-bit token hash
+    * (`('0x' || substr(md5(tok),1,8))::BIGINT` == Spark's
+    * `conv(substring(md5, 1, 8), 16, 10)`), the ±1 per-bit votes, and the
+    * sign-bit reassembly. */
+  val t08Oracle: String = {
+    val votes = (0 until 16).map(j =>
+      s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val sig = (0 until 16)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hv AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+       |  FROM toks),
+       |v AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   /** t10: the composed training-data filter — exact dedup (keeper only) →
     * language gate → quality gates (token count + stopword ratio), emitting
     * the surviving mix with its token budget. One declarative plan: Catalyst
@@ -469,7 +492,7 @@ object TextOps {
     Q("t05_fingerprint", t05Fingerprint, Some(t05Oracle)),
     Q("t06_minhash_sig", t06MinhashSig, Some(t06Oracle)),
     Q("t07_lsh_pairs", t07LshPairs, Some(t07Oracle)),
-    Q("t08_simhash", t08Simhash, None),
+    Q("t08_simhash", t08Simhash, Some(t08Oracle)),
     Q("t09_jaccard_verify", t09JaccardVerify, Some(t09Oracle)),
     Q("t10_training_mix", t10TrainingMix, Some(t10Oracle)),
     Q("t11_edit_distance", t11EditDistance, Some(t11Oracle)))
