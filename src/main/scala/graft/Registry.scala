@@ -13,6 +13,7 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    ops.Relational.all ++ ext.TextOps.all ++ ext.SimilarityOps.all ++
+    ops.Relational.all ++ ops.Relational2.all ++
+      ext.TextOps.all ++ ext.SimilarityOps.all ++
       ext.EventOps.all ++ ext.MultimodalOps.all
 }

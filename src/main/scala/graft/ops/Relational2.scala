@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.expr.Exprs._
+import graft.tables.Tables._
+import graft.ops.Out._
+
+/** Second relational batch — the implied aggregation/window/set-op surface
+  * beyond Relational.scala's q01-q25 (SURVEY §2.5-§2.7 implied
+  * capabilities). Same rules: declarative plans, decimal-exact float
+  * aggregation where the oracle hash demands determinism, bounded outputs
+  * via sortedSmall, no driver-side loops.
+  */
+object Relational2 {
+
+  /** q26: CUBE grouping sets (all four rollup combinations in one pass —
+    * Catalyst expands to a single Expand + hash agg, one shuffle). */
+  def q26Cube(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .sortedSmall("gid", "l_returnflag", "l_linestatus")
+
+  val q26Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid,
+       |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** q27: INTERSECT set op (q22 covers EXCEPT; distinct semantics both
+    * engines). Customers in the BUILDING segment ∩ customers with a
+    * high-value order. */
+  def q27Intersect(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+      .intersect(orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey")))
+      .sortedSmall("custkey")
+
+  val q27Oracle: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+      |ORDER BY custkey""".stripMargin
+
+  /** q28: statistical moments with *exact* arithmetic — stddev and corr
+    * from decimal power sums, finished in double by an identical IEEE
+    * expression in both engines. Spark's native stddev/corr stream in
+    * float (merge-order-dependent), which can't hash-match a second
+    * engine; power sums in decimal are associative, so the result is
+    * deterministic under any partitioning — the same trick dsum uses,
+    * extended to second moments. */
+  def q28Moments(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(x).cast("double").as("sx"),
+        dsum(x * x, 6).cast("double").as("sxx"),
+        dsum(y).cast("double").as("sy"),
+        dsum(y * y, 6).cast("double").as("syy"),
+        dsum(x * y, 6).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1)), 6).as("std_qty"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+          .as("corr_qty_price"))
+      .sortedSmall("l_returnflag")
+  }
+
+  val q28Oracle: String = {
+    val sx = s"CAST(${dsumSql("l_quantity")} AS DOUBLE)"
+    val sxx = s"CAST(${dsumSql("l_quantity*l_quantity", 6)} AS DOUBLE)"
+    val sy = s"CAST(${dsumSql("l_extendedprice")} AS DOUBLE)"
+    val syy = s"CAST(${dsumSql("l_extendedprice*l_extendedprice", 6)} AS DOUBLE)"
+    val sxy = s"CAST(${dsumSql("l_quantity*l_extendedprice", 6)} AS DOUBLE)"
+    s"""WITH m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n, $sx AS sx, $sxx AS sxx,
+       |    $sy AS sy, $syy AS syy, $sxy AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+       |  round((sxy - sx * sy / n) /
+       |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+       |    AS corr_qty_price
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q29: generator/UDTF surface (SURVEY §2.9) — posexplode over a split
+    * array: one row per word with its position. Map-side explode, no
+    * shuffle. */
+  def q29ExplodeWords(s: SparkSession, dir: String): DataFrame =
+    part(s, dir)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+        col("word"))
+      .sortedSmall("p_partkey", "pos")
+
+  val q29Oracle: String =
+    """WITH w AS (
+      |  SELECT p_partkey, string_split(p_name, ' ') AS l FROM part),
+      |i AS (SELECT unnest(generate_series(1, 16)) AS i)
+      |SELECT p_partkey, CAST(i - 1 AS BIGINT) AS pos, l[i] AS word
+      |FROM w JOIN i ON i <= len(l)
+      |ORDER BY p_partkey, pos""".stripMargin
+
+  /** q30: array aggregation — collect_set + array_sort + concat_ws (the
+    * deterministic face of list aggregation; an unsorted collect_list has
+    * no cross-engine order). */
+  def q30ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("l_linestatus"))))
+          .as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+      .sortedSmall("l_returnflag")
+
+  val q30Oracle: String =
+    """SELECT l_returnflag,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+      |    AS statuses,
+      |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q31: min_by / max_by (argmin/argmax) — ordering key made unique by
+    * folding the argument into it, so ties cannot make the result
+    * engine-dependent. */
+  def q31ArgMinMax(s: SparkSession, dir: String): DataFrame = {
+    val ord = col("l_quantity") * 1000000 + col("l_orderkey")
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(max_by(col("l_orderkey"), ord).as("biggest_order"),
+        min_by(col("l_orderkey"), ord).as("smallest_order"),
+        max(col("l_quantity")).as("max_qty"))
+      .sortedSmall("l_returnflag")
+  }
+
+  val q31Oracle: String =
+    """SELECT l_returnflag,
+      |  arg_max(l_orderkey, l_quantity * 1000000 + l_orderkey)
+      |    AS biggest_order,
+      |  arg_min(l_orderkey, l_quantity * 1000000 + l_orderkey)
+      |    AS smallest_order,
+      |  max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q32: the full ranking-function suite (rank / dense_rank /
+    * percent_rank) over a *partitioned* window — scale-safe (one shuffle
+    * on the partition key), and rank-by-value is tie-deterministic without
+    * needing a unique sort key. Top-3 customers by balance per nation. */
+  def q32RankSuite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal").desc)
+    customer(s, dir)
+      .join(broadcast(nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"))
+      .filter(col("rnk") <= 3)
+      .sortedSmall("n_name", "rnk", "c_custkey")
+  }
+
+  val q32Oracle: String =
+    """WITH r AS (
+      |  SELECT n_name, c_custkey, c_acctbal,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk,
+      |    round(percent_rank() OVER w, 6) AS prnk
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC))
+      |SELECT * FROM r WHERE rnk <= 3
+      |ORDER BY n_name, rnk, c_custkey""".stripMargin
+
+  /** q33: null-safe equality join (<=> / IS NOT DISTINCT FROM) — the
+    * null-semantics hard part from SURVEY §7.4 exercised with real NULL
+    * keys (nullif fabricates them from the corpus). */
+  def q33NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val seg = nullif(col("c_mktsegment"), lit("BUILDING")).as("seg")
+    val counts = customer(s, dir).select(seg)
+      .groupBy(col("seg")).agg(count(lit(1)).as("n_cust"))
+    val bals = customer(s, dir).select(seg, col("c_acctbal"))
+      .groupBy(col("seg")).agg(davg(col("c_acctbal")).as("avg_bal"))
+      .withColumnRenamed("seg", "seg2")
+    counts.join(bals, col("seg") <=> col("seg2"))
+      .select(col("seg"), col("n_cust"), col("avg_bal"))
+      .sortedSmall("seg")
+  }
+
+  val q33Oracle: String =
+    s"""WITH counts AS (
+       |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+       |    COUNT(*) AS n_cust
+       |  FROM customer GROUP BY 1),
+       |bals AS (
+       |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg2,
+       |    ${davgSql("c_acctbal")} AS avg_bal
+       |  FROM customer GROUP BY 1)
+       |SELECT seg, n_cust, avg_bal
+       |FROM counts JOIN bals ON seg IS NOT DISTINCT FROM seg2
+       |ORDER BY seg""".stripMargin
+
+  /** q34: histogram via width_bucket — both engines truncate
+    * (x - lo) / ((hi - lo) / n) with identical IEEE doubles (the divisor
+    * 25000.0 is exact). */
+  def q34Histogram(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0d), lit(500000d),
+        lit(20)).as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .sortedSmall("bucket")
+
+  val q34Oracle: String =
+    s"""SELECT CASE WHEN o_totalprice < 0 THEN 0
+       |            WHEN o_totalprice >= 500000 THEN 21
+       |            ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
+       |       END AS bucket,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q35: calendar arithmetic beyond q23's day diffs — add_months (with
+    * end-of-month clamping), last_day, quarter truncation. */
+  def q35CalendarOps(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("due_date"),
+        last_day(col("o_orderdate")).as("eom"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"))
+      .sortedSmall("o_orderkey")
+
+  val q35Oracle: String =
+    """SELECT o_orderkey,
+      |  (o_orderdate + INTERVAL 3 MONTH)::DATE AS due_date,
+      |  last_day(o_orderdate) AS eom,
+      |  date_trunc('quarter', o_orderdate)::DATE AS qtr
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q26_cube", q26Cube, Some(q26Oracle)),
+    Q("q27_intersect", q27Intersect, Some(q27Oracle)),
+    Q("q28_moments", q28Moments, Some(q28Oracle)),
+    Q("q29_explode_words", q29ExplodeWords, Some(q29Oracle)),
+    Q("q30_array_agg", q30ArrayAgg, Some(q30Oracle)),
+    Q("q31_argminmax", q31ArgMinMax, Some(q31Oracle)),
+    Q("q32_rank_suite", q32RankSuite, Some(q32Oracle)),
+    Q("q33_nullsafe_join", q33NullSafeJoin, Some(q33Oracle)),
+    Q("q34_histogram", q34Histogram, Some(q34Oracle)),
+    Q("q35_calendar_ops", q35CalendarOps, Some(q35Oracle)))
+}
