@@ -210,11 +210,40 @@ object EventOps {
       | AND p.sec > c.sec AND p.sec <= c.sec + 600
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** s07: sliding-window aggregation (10-minute windows, 5-minute slide) —
+    * every event lands in exactly two windows, materialized as a map-side
+    * explode over the two candidate window starts (how Spark's own
+    * `window(ts, "10 minutes", "5 minutes")` plans it: an Expand node, no
+    * extra shuffle beyond the aggregation's). Streaming twin:
+    * `groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")`. */
+  def s07Sliding(s: SparkSession, dir: String): DataFrame = {
+    val sec = tsSec
+    val w0 = sec - sec % 300
+    events(s, dir)
+      .select(col("event_type"), col("value"),
+        explode(array(w0, w0 - 300)).as("window_start"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .sortedSmall("window_start", "event_type")
+  }
+
+  val s07Oracle: String =
+    s"""WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |           FROM events),
+       |i AS (SELECT unnest(generate_series(0, 1)) AS i),
+       |w AS (SELECT sec - sec % 300 - i * 300 AS window_start,
+       |        event_type, value
+       |      FROM e CROSS JOIN i)
+       |SELECT window_start, event_type, COUNT(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
     Q("s03_json_extract", s03JsonExtract, Some(s03Oracle)),
     Q("s04_hourly_top", s04HourlyTop, Some(s04Oracle)),
     Q("s05_asof_attribution", s05AsOfAttribution, Some(s05Oracle)),
-    Q("s06_range_join", s06RangeJoin, Some(s06Oracle)))
+    Q("s06_range_join", s06RangeJoin, Some(s06Oracle)),
+    Q("s07_sliding_window", s07Sliding, Some(s07Oracle)))
 }
