@@ -55,6 +55,50 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n_events"))
 
+  /** Sliding 10-minute windows with a 5-minute slide — streaming twin of
+    * EventOps.s07 (each event lands in two windows; Spark plans the same
+    * Expand the batch twin writes explicitly). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id — the unbounded-input form of t01:
+    * state holds ids only until the watermark passes, so memory is bounded
+    * by (watermark horizon × arrival rate), not stream length. Handles
+    * at-least-once redelivery from upstream sources. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join — purchases within 10 minutes after a
+    * click by the same user (streaming twin of the bucketed range join
+    * s06). Watermarks on both sides + the time-range predicate let Spark
+    * bound the join state: rows age out once the other side's watermark
+    * passes their interval. */
+  def clickPurchaseJoin(clicks0: DataFrame, purchases0: DataFrame): DataFrame = {
+    val clicks = clicks0.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = purchases0.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("event_ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_timestamp(col("purchase_ts")) -
+          unix_timestamp(col("click_ts"))).as("gap_sec"))
+  }
+
   final case class UserTotal(total: Double)
   final case class UserDelta(user_id: Long, delta: Double, total: Double)
 

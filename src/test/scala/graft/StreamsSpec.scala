@@ -5,11 +5,74 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.Streams
 
+/** Row type for the dedup-stream test (top level so Spark finds an Encoder). */
+case class DedupEv(event_id: Long, event_ts: java.sql.Timestamp, value: Double)
+
 /** Drives the streaming plans with the static events table as a one-batch
   * stream (memory sink, processAllAvailable). Cross-checks the tumbling
   * aggregation against its batch twin (EventOps.s01). */
 class StreamsSpec extends AnyFunSuite {
   import TestSpark._
+
+  test("streaming sliding windows match the batch twin (s07)") {
+    val q = Streams.slidingCounts(Streams.readEvents(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding_out")
+      .select(unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n_events"))
+    val batch = ext.EventOps.s07Sliding(spark, sf)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("streaming dedup suppresses at-least-once redelivery") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[DedupEv]
+    val q = Streams.dedupedEvents(source.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    val t0 = 1700000000000L
+    val batch1 = (1L to 50L).map(i =>
+      DedupEv(i, new java.sql.Timestamp(t0 + i * 1000), i.toDouble))
+    source.addData(batch1: _*)
+    q.processAllAvailable()
+    // redeliver the same 50 plus 10 new
+    val batch2 = batch1 ++ (51L to 60L).map(i =>
+      DedupEv(i, new java.sql.Timestamp(t0 + i * 1000), i.toDouble))
+    source.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() == 60)
+    assert(out.select("event_id").distinct().count() == 60)
+  }
+
+  test("stream-stream interval join matches the batch range join (s06)") {
+    val streamed0 = Streams.clickPurchaseJoin(
+      Streams.readEvents(spark, sf), Streams.readEvents(spark, sf))
+    val q = streamed0
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin_out")
+      .select("click_id", "purchase_id", "gap_sec")
+    val batch = ext.EventOps.s06RangeJoin(spark, sf)
+      .select("click_id", "purchase_id", "gap_sec")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
 
   test("streaming tumbling windows match the batch twin") {
     val q = Streams.tumblingCounts(Streams.readEvents(spark, sf))
