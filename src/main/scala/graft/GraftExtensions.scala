@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{Md5Hex, Md5Lanes, VecDot, VecNorm}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so the SQL front-end (ops.Sql)
+  * and any `spark.sql` user can call them by name — the same expressions
+  * the DataFrame API exposes through graft.functions.
+  *
+  * Two activation paths:
+  *   - config: `spark.sql.extensions=graft.GraftExtensions` (spark-submit /
+  *     session builder), the standard extension mechanism;
+  *   - programmatic: `GraftExtensions.register(spark)` for an already-built
+  *     session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name)
+
+  private[graft] val registrations
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_md5",
+      info("graft_md5", "md5 hex digest (thread-local, codegen'd)"),
+      (c: Seq[Expression]) => Md5Hex(c.head)),
+    ("graft_md5_lanes",
+      info("graft_md5_lanes", "8 minhash lanes from 2 md5 digests"),
+      (c: Seq[Expression]) => Md5Lanes(c.head)),
+    ("graft_vec_dot",
+      info("graft_vec_dot", "double dot product of float vectors"),
+      (c: Seq[Expression]) => VecDot(c.head, c(1))),
+    ("graft_vec_norm",
+      info("graft_vec_norm", "double L2 norm of a float vector"),
+      (c: Seq[Expression]) => VecNorm(c.head)))
+
+  /** Register into an existing session's function registry (same builders
+    * the extension injects). */
+  def register(s: SparkSession): Unit =
+    registrations.foreach { case (name, i, builder) =>
+      s.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+}

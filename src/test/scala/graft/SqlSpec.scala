@@ -38,6 +38,30 @@ class SqlSpec extends AnyFunSuite {
     assert(sqlAnti.count() == dfAnti.count())
   }
 
+  test("custom Catalyst expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    // md5: matches the built-in (bit-identical digest, different kernel)
+    val m = spark.sql(
+      "SELECT graft_md5('hello') AS g, md5('hello') AS b").head
+    assert(m.getString(0) == m.getString(1))
+    // vec kernels over a real embedding, vs the HOF formulation
+    graft.ops.Sql.registerViews(spark, sf)
+    val v = spark.sql(
+      """SELECT graft_vec_dot(embedding, embedding) AS d,
+        |  graft_vec_norm(embedding) AS n,
+        |  aggregate(zip_with(embedding, embedding,
+        |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |    CAST(0.0 AS DOUBLE), (a, x) -> a + x) AS hof
+        |FROM embeddings WHERE vec_id = 0""".stripMargin).head
+    assert(v.getDouble(0) == v.getDouble(2))
+    assert(math.abs(math.sqrt(v.getDouble(0)) - v.getDouble(1)) < 1e-12)
+    // usable inside a full SQL query through the engine's SQL front-end
+    val dedup = graft.ops.Sql.run(spark, sf,
+      """SELECT count(DISTINCT graft_md5(text)) AS n_unique
+        |FROM documents""".stripMargin).head.getLong(0)
+    assert(dedup > 0)
+  }
+
   test("q20 HLL approx distinct lands within tolerance for every group") {
     val verdicts = ops.Relational.q20ApproxDistinct(spark, sf)
     assert(verdicts.count() > 0)
