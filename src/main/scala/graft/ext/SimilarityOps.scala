@@ -289,6 +289,42 @@ object SimilarityOps {
     """SELECT DISTINCT vec_id AS qid, true AS recall_ok
       |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin
 
+  /** e08: int8 scalar quantization of the embedding column — the storage
+    * path that cuts vector bytes 4× before ANN at scale. Per vector:
+    * symmetric scale 127/max|x|, quantize q = floor(x·scale + 0.5) (the
+    * explicit half-up form — both engines run the identical IEEE sequence,
+    * avoiding round() rounding-mode ambiguity), report the quantized
+    * checksum and the mean dequantization error. Map-only, no shuffle. */
+  def e08QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scale = lit(127.0) / array_max(transform(col("v"), x => abs(x)))
+    val q = (x: Column) => floor(x * col("scale") + 0.5)
+    embeddings(s, dir)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("scale", scale)
+      .select(col("vec_id"),
+        aggregate(transform(col("v"), x => q(x)), lit(0.0), _ + _)
+          .cast("long").as("qsum"),
+        round(
+          aggregate(transform(col("v"), x => abs(x - q(x) / col("scale"))),
+            lit(0.0), _ + _) / size(col("v")), 6).as("mean_err"))
+      .sortedSmall("vec_id")
+  }
+
+  val e08Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      |      FROM e)
+      |SELECT vec_id,
+      |  CAST(list_sum(list_transform(v, x -> floor(x * scale + 0.5)))
+      |    AS BIGINT) AS qsum,
+      |  round(list_sum(list_transform(v,
+      |    x -> abs(x - floor(x * scale + 0.5) / scale))) / len(v), 6)
+      |    AS mean_err
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -296,5 +332,6 @@ object SimilarityOps {
     Q("e04_ann_bucketed", e04AnnBucketed, Some(e04Oracle)),
     Q("e05_cosine_dedup", e05CosineDedup, Some(e05Oracle)),
     Q("e06_ann_ivf", e06AnnIvf, None),
-    Q("e07_ann_recall", e07AnnRecall, Some(e07Oracle)))
+    Q("e07_ann_recall", e07AnnRecall, Some(e07Oracle)),
+    Q("e08_quantize_int8", e08QuantizeInt8, Some(e08Oracle)))
 }

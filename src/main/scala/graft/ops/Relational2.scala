@@ -248,6 +248,23 @@ object Relational2 {
       |  date_trunc('quarter', o_orderdate)::DATE AS qtr
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q36: TPC-H Q17-flavor correlated aggregate — revenue from
+    * small-quantity outlier lines, where "small" is 20% of that part's own
+    * average quantity. Catalyst decorrelates the per-part scalar subquery
+    * into an aggregate + join (no per-row re-scan); exact decimal sums keep
+    * the threshold and total engine-identical. Expressed through the SQL
+    * front-end: the identical text runs on both engines. */
+  val q36Sql: String =
+    s"""SELECT round(${dsumSql("l_extendedprice")} / 7.0, 2) AS avg_yearly
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand = 'Brand#13'
+       |  AND l_quantity < 0.2 * (
+       |    SELECT ${davgSql("l2.l_quantity")}
+       |    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  def q36OutlierRevenue(s: SparkSession, dir: String): DataFrame =
+    Sql.run(s, dir, q36Sql)
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -258,5 +275,6 @@ object Relational2 {
     Q("q32_rank_suite", q32RankSuite, Some(q32Oracle)),
     Q("q33_nullsafe_join", q33NullSafeJoin, Some(q33Oracle)),
     Q("q34_histogram", q34Histogram, Some(q34Oracle)),
-    Q("q35_calendar_ops", q35CalendarOps, Some(q35Oracle)))
+    Q("q35_calendar_ops", q35CalendarOps, Some(q35Oracle)),
+    Q("q36_outlier_revenue", q36OutlierRevenue, Some(q36Sql)))
 }

@@ -28,6 +28,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.filter(col("width") <= 0 || col("height") <= 0).count() == 0)
   }
 
+  test("binaryFile source ingests opaque media files into the same pipeline") {
+    // The production ingest path for real media: files on disk → Spark's
+    // binaryFile source → (path, length, content) → the same binary-column
+    // pipeline the m-queries run on the synthesized table.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_media")
+    val payloads = (0 until 8).map { i =>
+      i.toLong -> Array.tabulate[Byte](100 + i * 37)(j => ((i * j) % 251).toByte)
+    }
+    payloads.foreach { case (id, bytes) =>
+      Files.write(Paths.get(dir.toString, f"media_$id%03d.bin"), bytes)
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1)
+          .cast("long").as("media_id"),
+        col("length"), col("content"))
+    assert(files.count() == 8)
+    val rows = files.collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val content = r.getAs[Array[Byte]]("content")
+      assert(content.sameElements(payloads(id.toInt)._2),
+        s"content mismatch for media $id")
+      assert(r.getAs[Long]("length") == payloads(id.toInt)._2.length)
+    }
+  }
+
   test("frame sample: stride-64 frames cover every byte exactly once") {
     val frames = MultimodalOps.m03FrameSample(spark, sf)
     val perMedia = frames.groupBy("media_id")
