@@ -400,36 +400,41 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** t08: SimHash (16-bit, word-token level) — the other classic near-dup
-    * sketch. Bit j of a token's md5 votes ±1; sign of the vote sum per bit
-    * forms the fingerprint. One explode + one groupBy(doc_id). */
-  def t08Simhash(s: SparkSession, dir: String): DataFrame = {
+  /** SimHash signature (16-bit, word-token level): bit j of a token's md5
+    * votes ±1; sign of the vote sum per bit forms the fingerprint. One
+    * explode + one groupBy(doc_id). Shared by t08 (signatures) and t13
+    * (hamming-banded near-dup pairs). */
+  private def simhashSig(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir)
       .repartition(col("doc_id")) // parallelize the explode (see shingles)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("hv", conv(substring(graft_md5(col("tok")), 1, 8), 16, 10)
         .cast("long"))
-    val votes = (0 until 16).map(j =>
+    val votes = (0 until 32).map(j =>
       sum(when(col("hv").bitwiseAND(lit(1L << j)) =!= 0L, 1L)
         .otherwise(-1L)).as(s"v$j"))
-    val sig = (0 until 16)
+    val sig = (0 until 32)
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
     toks.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
-      .sortedSmall("doc_id")
   }
 
-  /** t08 oracle: DuckDB replicates the md5-derived 32-bit token hash
+  /** t08: the SimHash fingerprint table. */
+  def t08Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashSig(s, dir).sortedSmall("doc_id")
+
+  /** DuckDB replica of [[simhashSig]]: the md5-derived 32-bit token hash
     * (`('0x' || substr(md5(tok),1,8))::BIGINT` == Spark's
     * `conv(substring(md5, 1, 8), 16, 10)`), the ±1 per-bit votes, and the
-    * sign-bit reassembly. */
-  val t08Oracle: String = {
-    val votes = (0 until 16).map(j =>
+    * sign-bit reassembly. Standalone query (no trailing ORDER BY) so t08
+    * and t13 can both embed it. */
+  private val simhashSqlBody: String = {
+    val votes = (0 until 32).map(j =>
       s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
       .mkString(", ")
-    val sig = (0 until 16)
+    val sig = (0 until 32)
       .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH toks AS (
@@ -441,8 +446,10 @@ object TextOps {
        |  FROM toks),
        |v AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
-       |FROM v ORDER BY doc_id""".stripMargin
+       |FROM v""".stripMargin
   }
+
+  val t08Oracle: String = simhashSqlBody + "\nORDER BY doc_id"
 
   /** t10: the composed training-data filter — exact dedup (keeper only) →
     * language gate → quality gates (token count + stopword ratio), emitting
@@ -570,6 +577,60 @@ object TextOps {
        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.doc
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** t13: SimHash near-dup pairs — hamming distance ≤ 2 on the 16-bit
+    * fingerprints, found WITHOUT all-pairs: the signature splits into 3
+    * bands (6+5+5 bits), and by pigeonhole any pair within hamming 2 agrees
+    * exactly on ≥1 band, so candidates come from an equi-join on
+    * (band index, band value) and only candidates pay the exact
+    * bit_count(xor) check. The same band trick is how simhash dedup runs
+    * at 100 TB (candidate volume ~ bucket collisions, not n²). */
+  def t13SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(s, dir).persist()
+    sig.count()
+    val bands = Seq(
+      (0, col("simhash").bitwiseAND(lit(63L))),
+      (1, shiftright(col("simhash"), 6).bitwiseAND(lit(31L))),
+      (2, shiftright(col("simhash"), 11).bitwiseAND(lit(31L))))
+    val buckets = bands.map { case (i, b) =>
+      sig.select(col("doc_id"), lit(i).as("band"), b.as("bval"))
+    }.reduce(_ union _)
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("simhash").as("sb")), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 2)
+      .sortedSmall("a", "b")
+  }
+
+  val t13Oracle: String =
+    s"""WITH ssig AS ($simhashSqlBody),
+       |bkt AS (
+       |  SELECT doc_id, 0 AS band, simhash & 63 AS bval FROM ssig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, (simhash >> 6) & 31 AS bval FROM ssig
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS band, (simhash >> 11) & 31 AS bval FROM ssig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bkt x JOIN bkt y
+       |    ON x.band = y.band AND x.bval = y.bval
+       |   AND x.doc_id < y.doc_id)
+       |SELECT a, b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN ssig sa ON cand.a = sa.doc_id
+       |JOIN ssig sb ON cand.b = sb.doc_id
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
+       |ORDER BY a, b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_dedup_exact", t01DedupExact, Some(t01Oracle)),
     Q("t02_token_stats", t02TokenStats, Some(t02Oracle)),
@@ -582,5 +643,6 @@ object TextOps {
     Q("t09_jaccard_verify", t09JaccardVerify, Some(t09Oracle)),
     Q("t10_training_mix", t10TrainingMix, Some(t10Oracle)),
     Q("t11_edit_distance", t11EditDistance, Some(t11Oracle)),
-    Q("t12_dedup_clusters", t12DedupClusters, Some(t12Oracle)))
+    Q("t12_dedup_clusters", t12DedupClusters, Some(t12Oracle)),
+    Q("t13_simhash_pairs", t13SimhashPairs, Some(t13Oracle)))
 }
