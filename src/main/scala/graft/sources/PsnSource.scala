@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,7 +82,7 @@ final class PsnTable(tableName: String, pageSize: Int)
   override def name(): String = s"psn.$tableName"
   override def schema(): StructType = PsnSource.schemaFor(tableName)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PsnScanBuilder(tableName, pageSize)
 }
@@ -93,20 +94,59 @@ final class PsnScanBuilder(tableName: String, pageSize: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private def pagePartitions(): Array[InputPartition] =
+    if (tableName == "trophies") Array(PsnPage(0, 1))
+    else {
+      val n = PsnSource.client().titleStats().size
+      val pages = math.max(1, (n + pageSize - 1) / pageSize)
+      (0 until pages).map(p => PsnPage(p * pageSize, pageSize)
+        .asInstanceOf[InputPartition]).toArray
+    }
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    override def toMicroBatchStream(
+        checkpointLocation: String): MicroBatchStream =
+      new PsnMicroBatchStream(tableName, required, pagePartitions())
     override def planInputPartitions(): Array[InputPartition] =
-      if (tableName == "trophies") Array(PsnPage(0, 1))
-      else {
-        val n = PsnSource.client().titleStats().size
-        val pages = math.max(1, (n + pageSize - 1) / pageSize)
-        (0 until pages).map(p => PsnPage(p * pageSize, pageSize)
-          .asInstanceOf[InputPartition]).toArray
-      }
+      pagePartitions()
     override def createReaderFactory(): PartitionReaderFactory =
       new PsnReaderFactory(tableName, required)
   }
+}
+
+/** Streaming (micro-batch) read: each batch is one poll of the API —
+  * the reference's daily Cloud Scheduler trigger (deploy.sh:8-12) elevated
+  * to a Structured Streaming source. Offsets count polls, so checkpoint
+  * recovery resumes at the next poll and every batch re-reads the
+  * authoritative current snapshot (exactly the reference's semantics, where
+  * each run reads current state and downstream keyed state computes
+  * deltas — streaming.Streams.playDeltas). */
+final class PsnMicroBatchStream(tableName: String, required: StructType,
+    pages: Array[InputPartition]) extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private final class PollOffset(val n: Long) extends Offset {
+    override def json: String = n.toString
+  }
+  @volatile private var polls: Long = 0L
+
+  override def initialOffset(): Offset = new PollOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    new PollOffset(json.toLong)
+  /** Each trigger observes one new poll. */
+  override def latestOffset(): Offset = { polls += 1; new PollOffset(polls) }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PollOffset].n
+    val e = end.asInstanceOf[PollOffset].n
+    // one full page set per poll in (s, e] — normally exactly one poll
+    (s until e).toArray.flatMap(_ => pages)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PsnReaderFactory(tableName, required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class PsnPage(offset: Int, size: Int) extends InputPartition

@@ -35,6 +35,30 @@ class PsnSourceSpec extends AnyFunSuite {
     assert(t.count() == 1 && r.getAs[Long]("bronze") == 120)
   }
 
+  test("streaming read: each micro-batch is one full API poll") {
+    val expected = graft.psn.FakePsnClient.default.titleStats().size
+    val stream = spark.readStream.format("graft.sources.PsnSource")
+      .option("table", "titles").load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("psn_stream_out")
+      .start()
+    // default trigger: latestOffset advances one poll per trigger; wait for
+    // at least two polls (two "days"), then stop.
+    val deadline = System.currentTimeMillis() + 60000
+    def polled: Long = spark.table("psn_stream_out").count()
+    while (polled < 2L * expected && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+    }
+    q.stop()
+    val n = polled
+    assert(n >= 2L * expected, s"expected >= ${2 * expected} rows, got $n")
+    assert(n % expected == 0, s"partial poll: $n not a multiple of $expected")
+    // every poll re-reads the full authoritative snapshot
+    val perTitle = spark.table("psn_stream_out")
+      .groupBy("title_id").count().select("count").distinct().collect()
+    assert(perTitle.length == 1)
+  }
+
   test("source path and createDataFrame path agree after cleanup") {
     val viaSource = titles
       .select(col("title_id"), col("play_count"),
