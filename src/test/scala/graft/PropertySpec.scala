@@ -72,4 +72,90 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect, s"partitions=$p")
     }
   }
+
+  test("distributed global rank == driver-side sort rank, random data") {
+    import spark.implicits._
+    val gen = for {
+      v <- Gen.choose(-1000000, 1000000)
+      k <- Gen.choose(0, 100000)
+    } yield (v.toDouble / 100, k.toLong)
+    val cases = sample(gen, 400).distinct
+    val df = cases.toDF("spent", "k").repartition(7)
+    val (ranked, n) = graft.ops.Rank.withGlobalRankN(
+      df, Seq(col("spent").desc, col("k")), "r")
+    assert(n == cases.size)
+    val got = ranked.orderBy(col("r"))
+      .collect().map(r => (r.getAs[Double]("spent"), r.getAs[Long]("k")))
+    val expect = cases.sortBy { case (s, k) => (-s, k) }
+    assert(got.toSeq == expect)
+    // rank values are exactly 1..n with no gaps
+    val ranks = ranked.select(col("r")).collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to n).toSeq)
+  }
+
+  test("ntile/cume_dist from rank == Spark's window functions, random sizes") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    for (n <- Seq(1, 2, 3, 7, 40, 101)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 7919) % 1000))
+        .toDF("id", "v")
+      val w = Window.orderBy(col("v"), col("id"))
+      val viaWindow = df.select(col("id"),
+          ntile(4).over(w).cast("long").as("nt"),
+          cume_dist().over(w).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(_._1)
+      val (ranked, total) = graft.ops.Rank.withGlobalRankN(
+        df, Seq(col("v"), col("id")), "r")
+      val viaRank = ranked.select(col("id"),
+          graft.ops.Rank.ntileFromRank(col("r"), total, 4).as("nt"),
+          graft.ops.Rank.cumeDistFromRank(col("r"), total).as("cd"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(_._1)
+      assert(viaRank == viaWindow, s"n=$n")
+    }
+  }
+
+  test("simhash banding finds exactly the brute-force hamming<=2 pairs") {
+    // structure check for t13's pigeonhole bands on adversarial random sigs
+    val rnd = new scala.util.Random(42)
+    val sigs = (0 until 120).map(i =>
+      (i.toLong, rnd.nextInt().toLong & 0xFFFFFFFFL)) ++
+      // inject near-dups at controlled hamming distances 0,1,2,3
+      Seq((200L, 0x0F0F0F0FL), (201L, 0x0F0F0F0FL),
+        (202L, 0x0F0F0F0EL), (203L, 0x0F0F0F0CL), (204L, 0x8F0F0F0CL))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 2
+    } yield (a, b)).toSet
+    // replicate t13's production bands (11+11+10 bits of 32)
+    val bands32 = (s: Long) =>
+      Seq((0, s & 0x7FF), (1, (s >> 11) & 0x7FF), (2, (s >> 22) & 0x3FF))
+    val byBucket = sigs.flatMap { case (id, s) =>
+      bands32(s).map(b => (b, id, s)) }
+      .groupBy(_._1)
+    val banded = byBucket.values.flatMap { grp =>
+      for {
+        (_, a, sa) <- grp; (_, b, sb) <- grp if a < b
+        if java.lang.Long.bitCount(sa ^ sb) <= 2
+      } yield (a, b)
+    }.toSet
+    assert(banded == brute)
+  }
+
+  test("t12 clusters: endpoints of every LSH edge share a cluster label") {
+    import org.apache.spark.sql.functions._
+    val clusters = ext.TextOps.t12DedupClusters(spark, sf)
+    // labels are minimal: cluster <= doc_id everywhere
+    assert(clusters.filter(col("cluster") > col("doc_id")).count() == 0)
+    // every pair the verifier would consider connected shares a label
+    val pairs = ext.TextOps.t07LshPairs(spark, sf)
+      .filter(col("jaccard_est") >= 0.875).select("a", "b")
+    val ca = clusters.withColumnRenamed("doc_id", "a")
+      .withColumnRenamed("cluster", "cl_a")
+    val cb = clusters.withColumnRenamed("doc_id", "b")
+      .withColumnRenamed("cluster", "cl_b")
+    assert(pairs.join(ca, "a").join(cb, "b")
+      .filter(col("cl_a") =!= col("cl_b")).count() == 0)
+  }
 }
