@@ -99,6 +99,23 @@ object Streams {
           unix_timestamp(col("click_ts"))).as("gap_sec"))
   }
 
+  /** Streaming merge-upsert sink: each micro-batch upserts into a
+    * TableStore table via foreachBatch — the K4 merge sink
+    * (main.py:256-287 UPDATE…FROM) driven from a stream. The merge's
+    * atomic directory swap runs once per micro-batch, so readers always
+    * see a complete table version; because the merge is idempotent on
+    * (id → latest snapshot values), at-least-once batch redelivery after
+    * checkpoint recovery converges to the same table. */
+  def mergeSink(updates: DataFrame, store: graft.psn.TableStore,
+      table: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.merge(table, batch)
+      }
+      .start()
+
   final case class UserTotal(total: Double)
   final case class UserDelta(user_id: Long, delta: Double, total: Double)
 

@@ -189,6 +189,50 @@ class StreamsSpec extends AnyFunSuite {
     assert(all2.head.getAs[Long]("play_count_diff") == 1)
   }
 
+  test("foreachBatch merge sink applies per-batch upserts transactionally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.psn._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_mwh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mck").toString
+    val store = new TableStore(spark, wh)
+    Bootstrap.run(spark, FakePsnClient.default, store)
+    val before = store.read("game").count()
+
+    val source = MemoryStream[GameTitle]
+    val q = graft.streaming.Streams.mergeSink(
+      source.toDS().toDF(), store, "game", ckpt)
+    def titles(c: PsnClient): Seq[GameTitle] =
+      Typed.gameTitles(spark, c).collect().toSeq
+    // batch 1: Beta Racer's stats advance → merge updates exactly that row
+    val day2 = new FakePsnClient(
+      TrophySummary(121, 45, 12, 2),
+      FakePsnClient.default.titleStats().map {
+        case g if g.title_id == "CUSA_00002" =>
+          g.copy(play_count = 10, play_duration = "PT14H5M30S")
+        case g => g
+      })
+    source.addData(titles(day2): _*)
+    q.processAllAvailable()
+    val after1 = store.read("game")
+    assert(after1.count() == before) // upsert, not append
+    assert(after1.filter(col("play_count") === 10).count() == 1)
+    // batch 2: further advance → second transactional swap
+    val day3 = new FakePsnClient(day2.profileTrophies(),
+      day2.titleStats().map {
+        case g if g.title_id == "CUSA_00002" => g.copy(play_count = 11)
+        case g => g
+      })
+    source.addData(titles(day3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val after2 = store.read("game")
+    assert(after2.count() == before)
+    assert(after2.filter(col("play_count") === 11).count() == 1)
+    assert(after2.filter(col("play_count") === 10).count() == 0)
+  }
+
   test("flatMapGroupsWithState emits per-user running deltas") {
     val q = Streams.valueDeltas(spark, Streams.readEvents(spark, sf))
       .writeStream.outputMode("append")
