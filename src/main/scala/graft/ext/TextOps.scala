@@ -631,6 +631,71 @@ object TextOps {
        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
        |ORDER BY a, b""".stripMargin
 
+  /** t14: deterministic train/eval split — hash-based stratified
+    * assignment (md5 of a salted doc key mod 100, 80/20). The split is a
+    * pure function of the document id: stable across runs, machines, and
+    * engine versions, which is the property a training pipeline needs for
+    * reproducible data splits. Map-only + one tiny aggregation. */
+  def t14HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(
+      graft_md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+    documents(s, dir)
+      .select(col("lang"),
+        when(bucket < 80, "train").otherwise("eval").as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .sortedSmall("lang", "split")
+  }
+
+  val t14Oracle: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CASE WHEN CAST(('0x' || substr(
+      |        md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % 100 < 80
+      |      THEN 'train' ELSE 'eval' END AS split,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT lang, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |FROM d GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  /** t15: token-budget shard packing — assign documents (in doc_id order)
+    * to fixed-budget training shards: shard = exclusive-prefix-sum(tokens)
+    * div budget. The sequential-looking running total is computed
+    * distributed by [[graft.ops.Rank.withPrefixSum]] (range partition +
+    * per-partition running sum + broadcast partition offsets), the same
+    * two-pass shape as the global rank — no single-partition window, no
+    * driver loop. */
+  def t15ShardPacking(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val d = documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.Rank
+      .withPrefixSum(d, Seq(col("doc_id")), col("n_tokens"), "start_tok")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("start_tok") / budget).cast("long").as("shard"))
+      .sortedSmall("doc_id")
+  }
+
+  val t15Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS start_tok
+      |  FROM d)
+      |SELECT doc_id, n_tokens,
+      |  CAST(start_tok // 2000 AS BIGINT) AS shard
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_dedup_exact", t01DedupExact, Some(t01Oracle)),
     Q("t02_token_stats", t02TokenStats, Some(t02Oracle)),
@@ -644,5 +709,7 @@ object TextOps {
     Q("t10_training_mix", t10TrainingMix, Some(t10Oracle)),
     Q("t11_edit_distance", t11EditDistance, Some(t11Oracle)),
     Q("t12_dedup_clusters", t12DedupClusters, Some(t12Oracle)),
-    Q("t13_simhash_pairs", t13SimhashPairs, Some(t13Oracle)))
+    Q("t13_simhash_pairs", t13SimhashPairs, Some(t13Oracle)),
+    Q("t14_hash_split", t14HashSplit, Some(t14Oracle)),
+    Q("t15_shard_packing", t15ShardPacking, Some(t15Oracle)))
 }

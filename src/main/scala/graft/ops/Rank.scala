@@ -62,6 +62,40 @@ object Rank {
     (ranked, counts.map(_._2).sum)
   }
 
+  /** Distributed exclusive prefix sum of `value` (a long column) in the
+    * total order given by `order` — same two-pass shape as the rank:
+    * range-repartition + persist, per-partition totals → cumulative
+    * offsets on the driver, then a per-partition running sum plus the
+    * partition's offset. Exact for integral values under any
+    * partitioning. */
+  def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pid = "_graft_pid"
+    val v = "_graft_v"
+    val parted = df
+      .withColumn(v, value)
+      .repartitionByRange(n, order: _*)
+      .withColumn(pid, spark_partition_id())
+      .persist()
+    val totals = parted.groupBy(col(pid)).agg(sum(col(v)).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+    val offsetOf = totals.map(_._1).zip(offsets.map(_._2)).toMap
+    val entries = offsetOf.toSeq.sortBy(_._1)
+      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+    val offsetExpr =
+      if (entries.isEmpty) lit(0L)
+      else element_at(map(entries: _*), col(pid))
+    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn(outCol,
+        coalesce(sum(col(v)).over(w), lit(0L)) + offsetExpr)
+      .drop(pid, v)
+  }
+
   /** ntile(buckets) from a unique 1-based rank over n rows (SQL semantics:
     * the first `n % buckets` tiles get the extra row). */
   def ntileFromRank(rank: Column, n: Long, buckets: Int): Column = {

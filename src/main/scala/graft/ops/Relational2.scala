@@ -265,6 +265,25 @@ object Relational2 {
   def q36OutlierRevenue(s: SparkSession, dir: String): DataFrame =
     Sql.run(s, dir, q36Sql)
 
+  /** q37: two-phase salted aggregation (ops.Skew) as a gated query — the
+    * skew-resilient form of a groupBy sum: phase 1 aggregates on
+    * (key, salt) so no reducer ever owns more than 1/salts of a hot key,
+    * phase 2 merges the partials. The oracle is the PLAIN group-by sum:
+    * salting must be a pure execution-strategy change with identical
+    * results (decimal partials keep the double sum order-independent). */
+  def q37SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(lineitem(s, dir),
+      col("l_returnflag"),
+      col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(30, 2)),
+      salts = 16, entropy = col("l_orderkey"))
+      .select(col("k").as("l_returnflag"),
+        col("salted_sum").cast("double").as("sum_qty"))
+      .sortedSmall("l_returnflag")
+
+  val q37Oracle: String =
+    s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -276,5 +295,6 @@ object Relational2 {
     Q("q33_nullsafe_join", q33NullSafeJoin, Some(q33Oracle)),
     Q("q34_histogram", q34Histogram, Some(q34Oracle)),
     Q("q35_calendar_ops", q35CalendarOps, Some(q35Oracle)),
-    Q("q36_outlier_revenue", q36OutlierRevenue, Some(q36Sql)))
+    Q("q36_outlier_revenue", q36OutlierRevenue, Some(q36Sql)),
+    Q("q37_salted_agg", q37SaltedAgg, Some(q37Oracle)))
 }
