@@ -284,6 +284,31 @@ object Relational2 {
     s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q38: sketch quantiles — approx_percentile (KLL-style mergeable
+    * sketch, the constant-memory scale path that replaces q24's exact
+    * expand at 100 TB). Like q20, the oracle checks the accuracy
+    * *contract*: each approximate quantile must land within 2% relative
+    * error of the exact value (accuracy parameter 10000 ⇒ rank error
+    * ≤ 0.01%), which DuckDB asserts as constant-true against its own
+    * exact quantiles. */
+  def q38ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    def apx(p: Double) =
+      expr(s"approx_percentile(o_totalprice, $p, 10000)")
+    def exact(p: Double) =
+      expr(s"percentile(o_totalprice, $p)")
+    def ok(p: Double) =
+      (abs(apx(p) - exact(p)) / exact(p) <= 0.02)
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(ok(0.5).as("p50_ok"), ok(0.9).as("p90_ok"), ok(0.99).as("p99_ok"))
+      .sortedSmall("o_orderstatus")
+  }
+
+  val q38Oracle: String =
+    """SELECT o_orderstatus,
+      |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -296,5 +321,6 @@ object Relational2 {
     Q("q34_histogram", q34Histogram, Some(q34Oracle)),
     Q("q35_calendar_ops", q35CalendarOps, Some(q35Oracle)),
     Q("q36_outlier_revenue", q36OutlierRevenue, Some(q36Sql)),
-    Q("q37_salted_agg", q37SaltedAgg, Some(q37Oracle)))
+    Q("q37_salted_agg", q37SaltedAgg, Some(q37Oracle)),
+    Q("q38_approx_quantiles", q38ApproxQuantiles, Some(q38Oracle)))
 }

@@ -37,6 +37,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // AQE runtime filters: a selective filter on the build side injects a
+    // bloom-filter semi-join predicate into the probe-side scan, cutting
+    // shuffle volume before the join. At 100 TB the application-side size
+    // threshold (default 10 GB) triggers naturally; test data is far below
+    // it, so the threshold is lowered to demonstrate the mechanics.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = graft.tables.Tables.lineitem(spark, sf)
+      val o = graft.tables.Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 450000)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "expected a bloom-filter runtime filter on the probe side")
+      // the filter is pure pruning: result equals the unfiltered-plan join
+      val expect = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        val n = l.join(o, col("l_orderkey") === col("o_orderkey")).count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        n
+      }
+      assert(j.count() == expect)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("q02 plan: filters and projection reach the parquet scan") {
     val plan = ops.Relational.q02FilterProject(spark, sf)
       .queryExecution.explainString(
