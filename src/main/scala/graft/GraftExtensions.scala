@@ -27,22 +27,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions", name)
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${children.size}")
+      build(children)
+    }
 
   private[graft] val registrations
       : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_md5",
-      info("graft_md5", "md5 hex digest (thread-local, codegen'd)"),
-      (c: Seq[Expression]) => Md5Hex(c.head)),
+      info("graft_md5", "graft_md5(str) - md5 hex digest (thread-local, codegen'd)"),
+      arity("graft_md5", 1)(c => Md5Hex(c.head))),
     ("graft_md5_lanes",
-      info("graft_md5_lanes", "8 minhash lanes from 2 md5 digests"),
-      (c: Seq[Expression]) => Md5Lanes(c.head)),
+      info("graft_md5_lanes", "graft_md5_lanes(str) - 8 minhash lanes from 2 md5 digests"),
+      arity("graft_md5_lanes", 1)(c => Md5Lanes(c.head))),
     ("graft_vec_dot",
-      info("graft_vec_dot", "double dot product of float vectors"),
-      (c: Seq[Expression]) => VecDot(c.head, c(1))),
+      info("graft_vec_dot", "graft_vec_dot(a, b) - double dot product of float vectors"),
+      arity("graft_vec_dot", 2)(c => VecDot(c.head, c(1)))),
     ("graft_vec_norm",
-      info("graft_vec_norm", "double L2 norm of a float vector"),
-      (c: Seq[Expression]) => VecNorm(c.head)))
+      info("graft_vec_norm", "graft_vec_norm(a) - double L2 norm of a float vector"),
+      arity("graft_vec_norm", 1)(c => VecNorm(c.head))))
 
   /** Register into an existing session's function registry (same builders
     * the extension injects). */

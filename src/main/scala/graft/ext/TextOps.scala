@@ -400,7 +400,7 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** SimHash signature (16-bit, word-token level): bit j of a token's md5
+  /** SimHash signature (32-bit, word-token level): bit j of a token's md5
     * votes ±1; sign of the vote sum per bit forms the fingerprint. One
     * explode + one groupBy(doc_id). Shared by t08 (signatures) and t13
     * (hamming-banded near-dup pairs). */
@@ -577,9 +577,9 @@ object TextOps {
        |FROM documents d LEFT JOIN reach r ON d.doc_id = r.doc
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
-  /** t13: SimHash near-dup pairs — hamming distance ≤ 2 on the 16-bit
+  /** t13: SimHash near-dup pairs — hamming distance ≤ 2 on the 32-bit
     * fingerprints, found WITHOUT all-pairs: the signature splits into 3
-    * bands (6+5+5 bits), and by pigeonhole any pair within hamming 2 agrees
+    * bands (11+11+10 bits), and by pigeonhole any pair within hamming 2 agrees
     * exactly on ≥1 band, so candidates come from an equi-join on
     * (band index, band value) and only candidates pay the exact
     * bit_count(xor) check. The same band trick is how simhash dedup runs
@@ -588,9 +588,9 @@ object TextOps {
     val sig = simhashSig(s, dir).persist()
     sig.count()
     val bands = Seq(
-      (0, col("simhash").bitwiseAND(lit(63L))),
-      (1, shiftright(col("simhash"), 6).bitwiseAND(lit(31L))),
-      (2, shiftright(col("simhash"), 11).bitwiseAND(lit(31L))))
+      (0, col("simhash").bitwiseAND(lit(0x7FFL))),
+      (1, shiftright(col("simhash"), 11).bitwiseAND(lit(0x7FFL))),
+      (2, shiftright(col("simhash"), 22).bitwiseAND(lit(0x3FFL))))
     val buckets = bands.map { case (i, b) =>
       sig.select(col("doc_id"), lit(i).as("band"), b.as("bval"))
     }.reduce(_ union _)
@@ -613,11 +613,11 @@ object TextOps {
   val t13Oracle: String =
     s"""WITH ssig AS ($simhashSqlBody),
        |bkt AS (
-       |  SELECT doc_id, 0 AS band, simhash & 63 AS bval FROM ssig
+       |  SELECT doc_id, 0 AS band, simhash & 2047 AS bval FROM ssig
        |  UNION ALL
-       |  SELECT doc_id, 1 AS band, (simhash >> 6) & 31 AS bval FROM ssig
+       |  SELECT doc_id, 1 AS band, (simhash >> 11) & 2047 AS bval FROM ssig
        |  UNION ALL
-       |  SELECT doc_id, 2 AS band, (simhash >> 11) & 31 AS bval FROM ssig),
+       |  SELECT doc_id, 2 AS band, (simhash >> 22) & 1023 AS bval FROM ssig),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bkt x JOIN bkt y

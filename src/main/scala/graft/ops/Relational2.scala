@@ -135,9 +135,12 @@ object Relational2 {
 
   /** q31: min_by / max_by (argmin/argmax) — ordering key made unique by
     * folding the argument into it, so ties cannot make the result
-    * engine-dependent. */
+    * engine-dependent. The 1e8 multiplier keeps (quantity, orderkey)
+    * lexicographic (no cross-term collisions) for orderkeys up to 1e8 —
+    * 600× the 10× replica's max — while staying exactly representable in
+    * a double (max ≈ 5e9 + 1e8 ≪ 2^53). */
   def q31ArgMinMax(s: SparkSession, dir: String): DataFrame = {
-    val ord = col("l_quantity") * 1000000 + col("l_orderkey")
+    val ord = col("l_quantity") * 100000000L + col("l_orderkey")
     lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(max_by(col("l_orderkey"), ord).as("biggest_order"),
@@ -148,9 +151,9 @@ object Relational2 {
 
   val q31Oracle: String =
     """SELECT l_returnflag,
-      |  arg_max(l_orderkey, l_quantity * 1000000 + l_orderkey)
+      |  arg_max(l_orderkey, l_quantity * 100000000 + l_orderkey)
       |    AS biggest_order,
-      |  arg_min(l_orderkey, l_quantity * 1000000 + l_orderkey)
+      |  arg_min(l_orderkey, l_quantity * 100000000 + l_orderkey)
       |    AS smallest_order,
       |  max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

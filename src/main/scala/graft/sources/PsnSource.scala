@@ -133,10 +133,17 @@ final class PsnMicroBatchStream(tableName: String, required: StructType,
   @volatile private var polls: Long = 0L
 
   override def initialOffset(): Offset = new PollOffset(0)
-  override def deserializeOffset(json: String): Offset =
-    new PollOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    // checkpoint recovery hands back the committed offset here; fast-forward
+    // the poll counter so latestOffset() resumes AFTER it instead of
+    // regressing behind the WAL (a fresh instance starts at 0)
+    val n = json.toLong
+    synchronized { polls = math.max(polls, n) }
+    new PollOffset(n)
+  }
   /** Each trigger observes one new poll. */
-  override def latestOffset(): Offset = { polls += 1; new PollOffset(polls) }
+  override def latestOffset(): Offset =
+    synchronized { polls += 1; new PollOffset(polls) }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PollOffset].n
     val e = end.asInstanceOf[PollOffset].n

@@ -59,6 +59,20 @@ class PsnSourceSpec extends AnyFunSuite {
     assert(perTitle.length == 1)
   }
 
+  test("streaming offsets fast-forward on checkpoint recovery") {
+    // A restarted stream deserializes the committed offset before asking
+    // for the latest; the poll counter must resume AFTER it, never behind
+    // (a fresh instance otherwise restarts at poll 1 and regresses the WAL).
+    import graft.sources.{PsnMicroBatchStream, PsnSource}
+    val ms = new PsnMicroBatchStream("titles",
+      PsnSource.titlesSchema, Array.empty)
+    val restored = ms.deserializeOffset("5")
+    val next = ms.latestOffset()
+    assert(next.json.toLong == 6,
+      s"latestOffset after recovery at 5 must be 6, got ${next.json}")
+    assert(ms.planInputPartitions(restored, next).length >= 0) // (5,6] plans
+  }
+
   test("source path and createDataFrame path agree after cleanup") {
     val viaSource = titles
       .select(col("title_id"), col("play_count"),

@@ -14,6 +14,24 @@ import sys
 
 import duckdb
 
+# Columns are grouped into key FAMILIES (the foreign-key equivalence
+# classes); every member of a family shifts by the family-wide base =
+# max over ALL member columns + 1, so FK joins stay intact in every copy
+# even when one side's max key is unreferenced by the other.
+FAMILIES = {
+    "regionkey": [("region", "r_regionkey"), ("nation", "n_regionkey")],
+    "nationkey": [("nation", "n_nationkey"), ("customer", "c_nationkey"),
+                  ("supplier", "s_nationkey")],
+    "custkey":   [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey":  [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey":   [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey":   [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "event_id":  [("events", "event_id")],
+    "user_id":   [("events", "user_id")],
+    "doc_id":    [("documents", "doc_id")],
+    "vec_id":    [("embeddings", "vec_id")],
+}
+
 SHIFTS = {
     "region":   [("r_regionkey", "INTEGER")],
     "nation":   [("n_nationkey", "INTEGER"), ("n_regionkey", "INTEGER")],
@@ -29,18 +47,33 @@ SHIFTS = {
 }
 
 
+def family_bases(con, src):
+    """column name -> family-wide shift base."""
+    base_of_col = {}
+    for members in FAMILIES.values():
+        mx = 0
+        for table, colname in members:
+            path = f"{src}/{table}.parquet"
+            if os.path.exists(path):
+                v = con.execute(
+                    f"SELECT max({colname}) FROM '{path}'").fetchone()[0]
+                mx = max(mx, v or 0)
+        for _, colname in members:
+            base_of_col[colname] = mx + 1
+    return base_of_col
+
+
 def main(src, dst, copies=10):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    base_of_col = family_bases(con, src)
     for table, keys in SHIFTS.items():
         path = f"{src}/{table}.parquet"
         if not os.path.exists(path):
             continue
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
-        bases = {k: con.execute(
-            f"SELECT max({k}) + 1 FROM '{path}'").fetchone()[0]
-            for k, _ in keys}
+        bases = {k: base_of_col[k] for k, _ in keys}
         selects = []
         for i in range(copies):
             proj = ", ".join(
