@@ -238,6 +238,48 @@ object EventOps {
        |  ${dsumSql("value")} AS sum_value
        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** s08: ordered funnel — how many users progressed view → click →
+    * purchase in strict time order. Each stage is a conditional min-ts
+    * aggregation joined against the previous stage's first-hit time (the
+    * standard funnel shape: S stages = S shuffles on user_id, never a
+    * per-user event sort on the driver). */
+  def s08Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("sec", tsSec)
+    def firstAfter(evType: String, prev: DataFrame, prevTs: String,
+        outTs: String): DataFrame =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("sec") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("sec")).as(outTs))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("v_ts"))
+    val c = firstAfter("click", v, "v_ts", "c_ts")
+    val p = firstAfter("purchase", c, "c_ts", "p_ts")
+    val mk = (stage: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"),
+        col("n_users"))
+    mk("1_view", v).union(mk("2_click", c)).union(mk("3_purchase", p))
+      .sortedSmall("stage")
+  }
+
+  val s08Oracle: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |           FROM events),
+      |v AS (SELECT user_id, min(sec) AS v_ts FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(sec) AS c_ts
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND sec > v_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(sec) AS p_ts
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND sec > c_ts GROUP BY 1)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT '2_click', COUNT(*) FROM c
+      |UNION ALL
+      |SELECT '3_purchase', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -245,5 +287,6 @@ object EventOps {
     Q("s04_hourly_top", s04HourlyTop, Some(s04Oracle)),
     Q("s05_asof_attribution", s05AsOfAttribution, Some(s05Oracle)),
     Q("s06_range_join", s06RangeJoin, Some(s06Oracle)),
-    Q("s07_sliding_window", s07Sliding, Some(s07Oracle)))
+    Q("s07_sliding_window", s07Sliding, Some(s07Oracle)),
+    Q("s08_funnel", s08Funnel, Some(s08Oracle)))
 }

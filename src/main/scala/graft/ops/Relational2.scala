@@ -312,6 +312,28 @@ object Relational2 {
       |  true AS p50_ok, true AS p90_ok, true AS p99_ok
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q39: explicit GROUPING SETS — the general grouping-set form beyond
+    * q17's rollup and q26's cube: two disjoint single-column groupings in
+    * one pass (one Expand + one shuffle). Spark spells the set id
+    * `grouping_id(...)`, DuckDB `GROUPING(...)` — same bit convention
+    * (first column = MSB). */
+  def q39GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Sql.run(s, dir,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  grouping_id(l_returnflag, l_linestatus) AS gid,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+
+  val q39Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -325,5 +347,6 @@ object Relational2 {
     Q("q35_calendar_ops", q35CalendarOps, Some(q35Oracle)),
     Q("q36_outlier_revenue", q36OutlierRevenue, Some(q36Sql)),
     Q("q37_salted_agg", q37SaltedAgg, Some(q37Oracle)),
-    Q("q38_approx_quantiles", q38ApproxQuantiles, Some(q38Oracle)))
+    Q("q38_approx_quantiles", q38ApproxQuantiles, Some(q38Oracle)),
+    Q("q39_grouping_sets", q39GroupingSets, Some(q39Oracle)))
 }
