@@ -696,6 +696,43 @@ object TextOps {
       |  CAST(start_tok // 2000 AS BIGINT) AS shard
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** t16: character-trigram frequency profile per language — the n-gram
+    * feature table behind statistical language ID (t04 is the cheap
+    * stopword scorer; this is the profile a model-based identifier
+    * trains on). Map-side explode → (lang, trigram) hash agg → grouped
+    * top-k via partitioned window. */
+  def t16TrigramProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tri = documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("lang"),
+        explode(sequence(lit(1), greatest(col("n_chars") - 2, lit(1))))
+          .as("i"),
+        col("text"))
+      .select(col("lang"), col("text").substr(col("i"), lit(3)).as("tri"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("tri"))
+    tri.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .sortedSmall("lang", "rnk")
+  }
+
+  val t16Oracle: String =
+    """WITH tri AS (
+      |  SELECT lang, substr(text, CAST(i AS INT), 3) AS tri
+      |  FROM documents JOIN (
+      |    SELECT CAST(x AS BIGINT) AS i
+      |    FROM generate_series(1, 2048) t(x)) s
+      |  ON s.i <= greatest(n_chars - 2, 1)),
+      |c AS (SELECT lang, tri, COUNT(*) AS n FROM tri GROUP BY 1, 2),
+      |r AS (SELECT lang, tri, n,
+      |        row_number() OVER (PARTITION BY lang
+      |                           ORDER BY n DESC, tri) AS rnk
+      |      FROM c)
+      |SELECT lang, tri, n, rnk FROM r WHERE rnk <= 3
+      |ORDER BY lang, rnk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_dedup_exact", t01DedupExact, Some(t01Oracle)),
     Q("t02_token_stats", t02TokenStats, Some(t02Oracle)),
@@ -711,5 +748,6 @@ object TextOps {
     Q("t12_dedup_clusters", t12DedupClusters, Some(t12Oracle)),
     Q("t13_simhash_pairs", t13SimhashPairs, Some(t13Oracle)),
     Q("t14_hash_split", t14HashSplit, Some(t14Oracle)),
-    Q("t15_shard_packing", t15ShardPacking, Some(t15Oracle)))
+    Q("t15_shard_packing", t15ShardPacking, Some(t15Oracle)),
+    Q("t16_trigram_profile", t16TrigramProfile, Some(t16Oracle)))
 }
