@@ -334,6 +334,50 @@ object Relational2 {
        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** q40: explicit window FRAMES — 4-day moving sum and average of daily
+    * revenue (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), partitioned by
+    * month so the window shuffles on a real key (never a bare global
+    * orderBy). Completes the frame surface beyond q08's lag and s05's
+    * unbounded-preceding. */
+  def q40MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val w = Window.partitionBy(col("mo")).orderBy(col("day"))
+      .rowsBetween(-3, Window.currentRow)
+    // decimal window sums: windowed double addition is association-order
+    // dependent across engines (DuckDB segment-trees large frames); decimal
+    // is exact under any order. avg = sum/count keeps the division in
+    // double with identical operands on both sides; rounded at scale 6,
+    // where no quotient of a 2-decimal sum by 1..4 can sit exactly on a
+    // rounding boundary (scale 2 can: sum .14 / 4 = .785 — and Spark
+    // rounds the decimal string while DuckDB rounds the binary value).
+    val dec = org.apache.spark.sql.types.DecimalType(30, 2)
+    val mvSum = sum(col("rev").cast(dec)).over(w).cast("double")
+    val mvCnt = count(lit(1)).over(w)
+    daily
+      .select(col("day"), mvSum.as("mv_sum"),
+        round(mvSum / mvCnt, 6).as("mv_avg"))
+      .sortedSmall("day")
+  }
+
+  val q40Oracle: String =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('month', o_orderdate)::DATE AS mo,
+       |    o_orderdate::DATE AS day,
+       |    ${dsumSql("o_totalprice")} AS rev
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT day,
+       |  CAST(SUM(CAST(rev AS DECIMAL(30,2))) OVER w AS DOUBLE) AS mv_sum,
+       |  round(CAST(SUM(CAST(rev AS DECIMAL(30,2))) OVER w AS DOUBLE)
+       |    / COUNT(*) OVER w, 6) AS mv_avg
+       |FROM daily
+       |WINDOW w AS (PARTITION BY mo ORDER BY day
+       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -348,5 +392,6 @@ object Relational2 {
     Q("q36_outlier_revenue", q36OutlierRevenue, Some(q36Sql)),
     Q("q37_salted_agg", q37SaltedAgg, Some(q37Oracle)),
     Q("q38_approx_quantiles", q38ApproxQuantiles, Some(q38Oracle)),
-    Q("q39_grouping_sets", q39GroupingSets, Some(q39Oracle)))
+    Q("q39_grouping_sets", q39GroupingSets, Some(q39Oracle)),
+    Q("q40_moving_avg", q40MovingAvg, Some(q40Oracle)))
 }
