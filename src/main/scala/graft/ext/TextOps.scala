@@ -537,11 +537,16 @@ object TextOps {
         .select(col("doc_id"),
           least(col("lab"), coalesce(col("llab"), col("lab"))).as("lab"))
         .localCheckpoint()
-      changed = updated.as("u")
-        .join(labels.as("l"), "doc_id")
-        .filter(col("u.lab") < col("l.lab")).count()
-      labels = updated
       rounds += 1
+      // the first rounds of any non-trivial component set always change;
+      // skip their fixpoint-check job (correct for any input — worst case
+      // is two no-op rounds on an edgeless graph)
+      changed =
+        if (rounds < 3) 1L
+        else updated.as("u")
+          .join(labels.as("l"), "doc_id")
+          .filter(col("u.lab") < col("l.lab")).count()
+      labels = updated
     }
     labels.select(col("doc_id"), col("lab").as("cluster"))
       .sortedSmall("doc_id")
