@@ -297,17 +297,23 @@ object SimilarityOps {
     * checksum and the mean dequantization error. Map-only, no shuffle. */
   def e08QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
-    val scale = lit(127.0) / array_max(transform(col("v"), x => abs(x)))
+    // nullif guards the all-zero vector: 127/0 would be Inf, 0*Inf NaN,
+    // and the NaN→long cast throws under ANSI. A null scale makes qsum
+    // and mean_err null-coalesce to 0 — the correct quantization of a
+    // zero vector (same CASE guard in the oracle).
+    val scale = lit(127.0) /
+      nullif(array_max(transform(col("v"), x => abs(x))), lit(0.0))
     val q = (x: Column) => floor(x * col("scale") + 0.5)
     embeddings(s, dir)
       .select(col("vec_id"), v.as("v"))
       .withColumn("scale", scale)
       .select(col("vec_id"),
-        aggregate(transform(col("v"), x => q(x)), lit(0.0), _ + _)
-          .cast("long").as("qsum"),
-        round(
+        coalesce(
+          aggregate(transform(col("v"), x => q(x)), lit(0.0), _ + _),
+          lit(0.0)).cast("long").as("qsum"),
+        coalesce(round(
           aggregate(transform(col("v"), x => abs(x - q(x) / col("scale"))),
-            lit(0.0), _ + _) / size(col("v")), 6).as("mean_err"))
+            lit(0.0), _ + _) / size(col("v")), 6), lit(0.0)).as("mean_err"))
       .sortedSmall("vec_id")
   }
 
@@ -315,13 +321,15 @@ object SimilarityOps {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
       |s AS (SELECT vec_id, v,
-      |        127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      |        127.0 / nullif(list_max(list_transform(v, x -> abs(x))), 0.0)
+      |          AS scale
       |      FROM e)
       |SELECT vec_id,
-      |  CAST(list_sum(list_transform(v, x -> floor(x * scale + 0.5)))
+      |  CAST(coalesce(
+      |    list_sum(list_transform(v, x -> floor(x * scale + 0.5))), 0.0)
       |    AS BIGINT) AS qsum,
-      |  round(list_sum(list_transform(v,
-      |    x -> abs(x - floor(x * scale + 0.5) / scale))) / len(v), 6)
+      |  coalesce(round(list_sum(list_transform(v,
+      |    x -> abs(x - floor(x * scale + 0.5) / scale))) / len(v), 6), 0.0)
       |    AS mean_err
       |FROM s ORDER BY vec_id""".stripMargin
 

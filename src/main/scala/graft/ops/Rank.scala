@@ -26,6 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  private val pidCol = "_graft_pid"
+
+  /** Pass 1: range-repartition on the sort key, tag rows with their
+    * partition id, and persist (pass 2 must observe exactly the
+    * partitioning pass 1 measured — range boundaries come from sampling
+    * and are not reproducible across re-executions). */
+  private def rangeParted(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartitionByRange(n, order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .persist()
+  }
+
+  /** Pass 2 driver step, shared by rank and prefix sum: collect one
+    * aggregate value per partition, turn the values into exclusive
+    * cumulative offsets, and return (pid -> offset as a literal map-lookup
+    * Column — one small codegen'd expression, no join, no second
+    * shuffle; plus the grand total). */
+  private def partitionOffsets(perPartition: Array[(Int, Long)]): (Column, Long) = {
+    val sorted = perPartition.sortBy(_._1)
+    val offsets = sorted.scanLeft((0, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
+    val entries = sorted.map(_._1).zip(offsets.map(_._2))
+      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+    val offsetExpr =
+      if (entries.isEmpty) lit(0L)
+      else element_at(map(entries.toSeq: _*), col(pidCol))
+    (offsetExpr, sorted.map(_._2).sum)
+  }
+
   /** Adds `rankCol` (1-based long, dense total order) ordered by `order`.
     * The returned frame is persisted (pass 2 must reuse pass 1's range
     * partitioning); callers owning long pipelines should unpersist.
@@ -37,29 +66,15 @@ object Rank {
     * the sum of the per-partition counts pass 2 needs anyway), which the
     * rank-arithmetic helpers below take as `n`. */
   def withGlobalRankN(df: DataFrame, order: Seq[Column], rankCol: String): (DataFrame, Long) = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val pid = "_graft_pid"
-    val parted = df
-      .repartitionByRange(n, order: _*)
-      .withColumn(pid, spark_partition_id())
-      .persist()
-    val counts = parted.groupBy(col(pid)).count().collect()
+    val parted = rangeParted(df, order)
+    val counts = parted.groupBy(col(pidCol)).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
-    val offsetOf = counts.map(_._1).zip(offsets.map(_._2)).toMap
-    // pid -> offset as a literal map lookup: one small expression, codegen'd,
-    // no join and no second shuffle.
-    val entries = offsetOf.toSeq.sortBy(_._1)
-      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }
-    val offsetExpr =
-      if (entries.isEmpty) lit(0L)
-      else element_at(map(entries: _*), col(pid))
-    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+    val (offsetExpr, total) = partitionOffsets(counts)
+    val w = Window.partitionBy(col(pidCol)).orderBy(order: _*)
     val ranked = parted
       .withColumn(rankCol, row_number().over(w).cast("long") + offsetExpr)
-      .drop(pid)
-    (ranked, counts.map(_._2).sum)
+      .drop(pidCol)
+    (ranked, total)
   }
 
   /** Distributed exclusive prefix sum of `value` (a long column) in the
@@ -70,30 +85,18 @@ object Rank {
     * partitioning. */
   def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
       outCol: String): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val pid = "_graft_pid"
     val v = "_graft_v"
-    val parted = df
-      .withColumn(v, value)
-      .repartitionByRange(n, order: _*)
-      .withColumn(pid, spark_partition_id())
-      .persist()
-    val totals = parted.groupBy(col(pid)).agg(sum(col(v)).as("t")).collect()
+    val parted = rangeParted(df.withColumn(v, value), order)
+    val totals = parted.groupBy(col(pidCol))
+      .agg(coalesce(sum(col(v)), lit(0L)).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
-    val offsetOf = totals.map(_._1).zip(offsets.map(_._2)).toMap
-    val entries = offsetOf.toSeq.sortBy(_._1)
-      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }
-    val offsetExpr =
-      if (entries.isEmpty) lit(0L)
-      else element_at(map(entries: _*), col(pid))
-    val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+    val (offsetExpr, _) = partitionOffsets(totals)
+    val w = Window.partitionBy(col(pidCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     parted
       .withColumn(outCol,
         coalesce(sum(col(v)).over(w), lit(0L)) + offsetExpr)
-      .drop(pid, v)
+      .drop(pidCol, v)
   }
 
   /** ntile(buckets) from a unique 1-based rank over n rows (SQL semantics:

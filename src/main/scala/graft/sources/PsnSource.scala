@@ -108,7 +108,7 @@ final class PsnScanBuilder(tableName: String, pageSize: Int)
     override def toBatch: Batch = this
     override def toMicroBatchStream(
         checkpointLocation: String): MicroBatchStream =
-      new PsnMicroBatchStream(tableName, required, pagePartitions())
+      new PsnMicroBatchStream(tableName, required, () => pagePartitions())
     override def planInputPartitions(): Array[InputPartition] =
       pagePartitions()
     override def createReaderFactory(): PartitionReaderFactory =
@@ -124,7 +124,7 @@ final class PsnScanBuilder(tableName: String, pageSize: Int)
   * each run reads current state and downstream keyed state computes
   * deltas — streaming.Streams.playDeltas). */
 final class PsnMicroBatchStream(tableName: String, required: StructType,
-    pages: Array[InputPartition]) extends MicroBatchStream {
+    pages: () => Array[InputPartition]) extends MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private final class PollOffset(val n: Long) extends Offset {
@@ -147,8 +147,11 @@ final class PsnMicroBatchStream(tableName: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PollOffset].n
     val e = end.asInstanceOf[PollOffset].n
-    // one full page set per poll in (s, e] — normally exactly one poll
-    (s until e).toArray.flatMap(_ => pages)
+    // one full page set per poll in (s, e] — normally exactly one poll.
+    // Pages are re-planned per batch (not frozen at stream start) so a
+    // grown title list is picked up by the next poll, matching the batch
+    // scan's behavior.
+    (s until e).toArray.flatMap(_ => pages())
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PsnReaderFactory(tableName, required)

@@ -63,14 +63,18 @@ class PsnSourceSpec extends AnyFunSuite {
     // A restarted stream deserializes the committed offset before asking
     // for the latest; the poll counter must resume AFTER it, never behind
     // (a fresh instance otherwise restarts at poll 1 and regresses the WAL).
-    import graft.sources.{PsnMicroBatchStream, PsnSource}
+    import graft.sources.{PsnMicroBatchStream, PsnPage, PsnSource}
+    val pages = Array[org.apache.spark.sql.connector.read.InputPartition](
+      PsnPage(0, 2), PsnPage(2, 2))
     val ms = new PsnMicroBatchStream("titles",
-      PsnSource.titlesSchema, Array.empty)
+      PsnSource.titlesSchema, () => pages)
     val restored = ms.deserializeOffset("5")
     val next = ms.latestOffset()
     assert(next.json.toLong == 6,
       s"latestOffset after recovery at 5 must be 6, got ${next.json}")
-    assert(ms.planInputPartitions(restored, next).length >= 0) // (5,6] plans
+    // (5,6] = one poll = one full page set; (5,5] = nothing
+    assert(ms.planInputPartitions(restored, next).length == pages.length)
+    assert(ms.planInputPartitions(restored, restored).isEmpty)
   }
 
   test("source path and createDataFrame path agree after cleanup") {
