@@ -378,6 +378,55 @@ object Relational2 {
        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
        |ORDER BY day""".stripMargin
 
+  /** q41: FULL OUTER join — completes the explicit join surface (inner
+    * q03/q07, semi q04, anti q05, null-safe q33, range s06, as-of s05):
+    * per-customer order stats where either side may be missing (customers
+    * with no orders / order rows whose customer filter dropped them).
+    * Coalesced indicator columns make the null sides first-class. */
+  def q41OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    val o = orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spent"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name").isNotNull.as("rich"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spent"), lit(0.0)).as("spent"))
+      .sortedSmall("custkey")
+  }
+
+  val q41Oracle: String =
+    s"""WITH c AS (SELECT c_custkey, c_name FROM customer
+       |           WHERE c_acctbal > 9000),
+       |o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+       |        ${dsumSql("o_totalprice")} AS spent
+       |      FROM orders GROUP BY o_custkey)
+       |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       |  c_name IS NOT NULL AS rich,
+       |  coalesce(n_orders, 0) AS n_orders,
+       |  coalesce(spent, 0.0) AS spent
+       |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+       |ORDER BY custkey""".stripMargin
+
+  /** q42: CROSS join — the deliberate cartesian (region × nation grid with
+    * a membership flag). Fine when one side is tiny and broadcast; the
+    * plan is BroadcastNestedLoopJoin, never a shuffled cartesian. */
+  def q42CrossJoin(s: SparkSession, dir: String): DataFrame =
+    region(s, dir).select(col("r_regionkey"), col("r_name"))
+      .crossJoin(nation(s, dir).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey")))
+      .select(col("r_name"), col("n_name"),
+        (col("n_regionkey") === col("r_regionkey")).as("belongs"))
+      .sortedSmall("r_name", "n_name")
+
+  val q42Oracle: String =
+    """SELECT r_name, n_name, n_regionkey = r_regionkey AS belongs
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -393,5 +442,7 @@ object Relational2 {
     Q("q37_salted_agg", q37SaltedAgg, Some(q37Oracle)),
     Q("q38_approx_quantiles", q38ApproxQuantiles, Some(q38Oracle)),
     Q("q39_grouping_sets", q39GroupingSets, Some(q39Oracle)),
-    Q("q40_moving_avg", q40MovingAvg, Some(q40Oracle)))
+    Q("q40_moving_avg", q40MovingAvg, Some(q40Oracle)),
+    Q("q41_outer_join", q41OuterJoin, Some(q41Oracle)),
+    Q("q42_cross_join", q42CrossJoin, Some(q42Oracle)))
 }

@@ -116,6 +116,16 @@ object Streams {
       }
       .start()
 
+  /** Stream-static join: enrich a live event stream with a static
+    * dimension snapshot (the classic fact-stream × dimension shape). The
+    * static side re-resolves per micro-batch — at scale it is a broadcast
+    * against each batch, no stream state at all (unlike stream-stream
+    * joins). */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"))
+
   final case class UserTotal(total: Double)
   final case class UserDelta(user_id: Long, delta: Double, total: Double)
 

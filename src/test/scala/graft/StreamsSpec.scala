@@ -189,6 +189,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(all2.head.getAs[Long]("play_count_diff") == 1)
   }
 
+  test("stream-static join enriches every event with its dimension row") {
+    val userDim = graft.tables.Tables.events(spark, sf)
+      .select("user_id").distinct()
+      .withColumn("segment",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val q = Streams.enrichedEvents(Streams.readEvents(spark, sf), userDim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched_out")
+    val total = graft.tables.Tables.events(spark, sf).count()
+    assert(out.count() == total)
+    assert(out.filter(col("segment").isNull).count() == 0)
+    assert(out.filter(
+      (col("user_id") % 2 === 0 && col("segment") =!= "even") ||
+      (col("user_id") % 2 =!= 0 && col("segment") =!= "odd")).count() == 0)
+  }
+
   test("foreachBatch merge sink applies per-batch upserts transactionally") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
