@@ -738,6 +738,47 @@ object TextOps {
       |SELECT lang, tri, n, rnk FROM r WHERE rnk <= 3
       |ORDER BY lang, rnk""".stripMargin
 
+  /** t17: dedup APPLIED — the capstone composition: t12's connected
+    * components pick one canonical document per near-dup cluster
+    * (keeper = the doc whose id equals its cluster label), and the
+    * surviving corpus is summarized per language with its retained token
+    * budget and dedup rate. This is the actual shape of a production
+    * dedup stage: cluster → elect keeper → semi-join the corpus down. */
+  def t17DedupApply(s: SparkSession, dir: String): DataFrame = {
+    val keepers = t12DedupClusters(s, dir)
+      .filter(col("doc_id") === col("cluster"))
+      .select(col("doc_id"))
+    documents(s, dir)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_kept"))
+      .join(documents(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total")), "lang")
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        round(lit(1.0) - col("n_kept") / col("n_total"), 4)
+          .as("dedup_rate"),
+        col("tokens_kept"))
+      .sortedSmall("lang")
+  }
+
+  val t17Oracle: String =
+    s"""WITH clusters AS ($t12Oracle),
+       |kept AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN clusters c ON d.doc_id = c.doc_id AND c.cluster = d.doc_id),
+       |k AS (
+       |  SELECT lang, COUNT(*) AS n_kept,
+       |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |      AS BIGINT) AS tokens_kept
+       |  FROM kept GROUP BY lang),
+       |t AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+       |SELECT t.lang, n_total, n_kept,
+       |  round(1.0 - n_kept / CAST(n_total AS DOUBLE), 4) AS dedup_rate,
+       |  tokens_kept
+       |FROM k JOIN t ON k.lang = t.lang
+       |ORDER BY t.lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_dedup_exact", t01DedupExact, Some(t01Oracle)),
     Q("t02_token_stats", t02TokenStats, Some(t02Oracle)),
@@ -754,5 +795,6 @@ object TextOps {
     Q("t13_simhash_pairs", t13SimhashPairs, Some(t13Oracle)),
     Q("t14_hash_split", t14HashSplit, Some(t14Oracle)),
     Q("t15_shard_packing", t15ShardPacking, Some(t15Oracle)),
-    Q("t16_trigram_profile", t16TrigramProfile, Some(t16Oracle)))
+    Q("t16_trigram_profile", t16TrigramProfile, Some(t16Oracle)),
+    Q("t17_dedup_apply", t17DedupApply, Some(t17Oracle)))
 }
