@@ -333,6 +333,48 @@ object SimilarityOps {
       |    AS mean_err
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** e09: quantization-quality contract for SEARCH — top-10 cosine
+    * neighbors computed over int8-dequantized vectors must overlap ≥ 0.6
+    * with the full-precision top-10 (observed 0.9-1.0 across scales; 0.6
+    * leaves margin). Ties e08's storage path to e02's search quality the
+    * way e07 ties e06's index to it. Dequantized vectors are doubles, so
+    * the kernels here are the HOF forms (the codegen'd VecOps kernels
+    * read float arrays). */
+  def e09QuantizedSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale", lit(127.0) /
+        nullif(array_max(transform(col("v"), x => abs(x))), lit(0.0)))
+      .withColumn("dq",
+        transform(col("v"), x => floor(x * col("scale") + 0.5) / col("scale")))
+    def topk(vc: String): DataFrame = {
+      val d = e.select(col("vec_id"), col(vc).as("vec"))
+      val q = d.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("vec").as("qv"))
+      val cos = aggregate(zip_with(col("qv"), col("vec"),
+        (a, b) => a * b), lit(0.0), _ + _) /
+        (sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), _ + _)) *
+          sqrt(aggregate(transform(col("vec"), x => x * x), lit(0.0), _ + _)))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(cos, 4).desc, col("vec_id"))
+      d.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("qid"), col("vec_id").as("cid"))
+    }
+    val quant = topk("dq").withColumn("hit", lit(1L))
+    topk("v").join(quant, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("overlap"))
+      .select(col("qid"), (col("overlap") >= 0.6).as("search_ok"))
+      .sortedSmall("qid")
+  }
+
+  val e09Oracle: String =
+    """SELECT DISTINCT vec_id AS qid, true AS search_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -341,5 +383,6 @@ object SimilarityOps {
     Q("e05_cosine_dedup", e05CosineDedup, Some(e05Oracle)),
     Q("e06_ann_ivf", e06AnnIvf, None),
     Q("e07_ann_recall", e07AnnRecall, Some(e07Oracle)),
-    Q("e08_quantize_int8", e08QuantizeInt8, Some(e08Oracle)))
+    Q("e08_quantize_int8", e08QuantizeInt8, Some(e08Oracle)),
+    Q("e09_quantized_search", e09QuantizedSearch, Some(e09Oracle)))
 }
