@@ -193,9 +193,11 @@ object SimilarityOps {
     * DataFrame ops (deterministic seeds = lowest-K vec_ids, 2 Lloyd
     * iterations; assignment = one broadcast join of K centroids against the
     * partitioned vector scan), then search probes only the query's
-    * `nprobe`=2 nearest cells. Rows-only gate: centroid means are
-    * float-order dependent, so there is no cross-engine oracle; recall@10
-    * vs brute force (e02) is bounded in the spec.
+    * `nprobe`=2 nearest cells. Centroid means go through exact decimal
+    * sums ([[graft.expr.Exprs.dsum]]) cast back float, so the whole
+    * pipeline is order-independent and the DuckDB oracle below replicates
+    * the two Lloyd rounds bit-for-bit (every other op — dot, norm,
+    * argmin — is a fixed IEEE sequence in both engines).
     *
     * At 100 TB: centroids are a tiny broadcast table, assignment is a
     * narrow map over the vector scan, and each query touches nprobe/K of
@@ -221,7 +223,12 @@ object SimilarityOps {
     def recompute(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"), col("pos"))
+        // Exact decimal mean (order-independent across partitions AND
+        // engines) — a double avg() would be float-summation-order
+        // dependent, which is what kept e06 oracle-less in round 2.
+        .agg((graft.expr.Exprs.dsum(col("v").cast("double"), 12) /
+          count(col("v"))).as("m"))
         .groupBy(col("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -266,6 +273,66 @@ object SimilarityOps {
       .select(col("qid"), col("cid2").as("cid"), col("cos_r"),
         col("rnk").cast("long").as("rnk"))
       .sortedSmall("qid", "rnk")
+  }
+
+  /** DuckDB replica of [[e06AnnIvf]]: same seeds (vec_id < 16), same two
+    * Lloyd rounds with decimal-exact means cast float, same |c|²−2a·c
+    * assignment, same nprobe=2 probe + rounded-cosine top-10.
+    * `list_inner_product` over DOUBLE[] is a sequential left fold —
+    * verified bit-identical to the codegen'd VecOps kernels. */
+  val e06Oracle: String = {
+    // dist(v, c) exactly as the Spark side computes it: cn*cn − dot*2
+    // with cn = sqrt(Σc²) (sqrt-then-square, NOT Σc² — the lost bits are
+    // part of the contract).
+    def dist(v: String, c: String): String =
+      s"sqrt(list_inner_product($c, $c)) * sqrt(list_inner_product($c, $c))" +
+        s" - list_inner_product($v, $c) * 2"
+    def assign(src: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM $src e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    def recompute(assigned: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cid, CAST(list(mf ORDER BY pos) AS DOUBLE[]) AS cv FROM (
+         |    SELECT cid, pos,
+         |      CAST(CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+         |           / COUNT(x) AS FLOAT) AS mf
+         |    FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+         |            unnest(v) AS x FROM $assigned)
+         |    GROUP BY cid, pos)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |${assign("e", "c0", "a1")},
+       |${recompute("a1", "c1")},
+       |${assign("e", "c1", "a2")},
+       |${recompute("a2", "c2")},
+       |${assign("e", "c2", "a3")},
+       |probes AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 5)
+       |  WHERE rn <= 2),
+       |p AS (
+       |  SELECT p.qid, a.vec_id AS cid,
+       |    round(list_inner_product(p.qv, a.v) /
+       |      (sqrt(list_inner_product(p.qv, p.qv)) *
+       |       sqrt(list_inner_product(a.v, a.v))), 4) AS cos_r
+       |  FROM probes p JOIN a3 a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |r AS (
+       |  SELECT qid, cid, cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_r DESC, cid) AS rnk
+       |  FROM p)
+       |SELECT qid, cid, cos_r, rnk FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** e07: recall gate for the IVF index — measures recall@10 of e06 against
@@ -381,7 +448,7 @@ object SimilarityOps {
     Q("e03_lsh_buckets", e03LshBuckets, Some(e03Oracle)),
     Q("e04_ann_bucketed", e04AnnBucketed, Some(e04Oracle)),
     Q("e05_cosine_dedup", e05CosineDedup, Some(e05Oracle)),
-    Q("e06_ann_ivf", e06AnnIvf, None),
+    Q("e06_ann_ivf", e06AnnIvf, Some(e06Oracle)),
     Q("e07_ann_recall", e07AnnRecall, Some(e07Oracle)),
     Q("e08_quantize_int8", e08QuantizeInt8, Some(e08Oracle)),
     Q("e09_quantized_search", e09QuantizedSearch, Some(e09Oracle)))

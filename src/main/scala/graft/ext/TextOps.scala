@@ -517,6 +517,11 @@ object TextOps {
       .select(col("a"), col("b"))
     val adj = edges.union(edges.select(col("b"), col("a")))
       .toDF("src", "dst").localCheckpoint()
+    // adj is materialized (localCheckpoint is eager) — the signatures are
+    // dead weight from here; holding them through 10+ label rounds at
+    // bench scale is avoidable cache pressure (driver-measured t12
+    // variance chased to this).
+    sig.unpersist()
     var labels = documents(s, dir)
       .select(col("doc_id"), col("doc_id").as("lab")).localCheckpoint()
     var changed = 1L
