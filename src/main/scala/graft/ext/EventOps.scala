@@ -31,7 +31,7 @@ object EventOps {
       .groupBy((sec - sec % 300).as("bucket_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         dsum(col("value")).as("sum_value"))
-      .sortedSmall("bucket_start", "event_type")
+      .sortedWide("bucket_start", "event_type")
   }
 
   val s01Oracle: String =
@@ -59,7 +59,7 @@ object EventOps {
     sessions.groupBy(col("user_id"))
       .agg(max(col("sess_id")).as("n_sessions"),
         count(lit(1)).as("n_events"))
-      .sortedSmall("user_id")
+      .sortedWide("user_id")
   }
 
   val s02Oracle: String =
@@ -116,7 +116,7 @@ object EventOps {
     counts.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select("hour_start", "event_type", "n")
-      .sortedSmall("hour_start")
+      .sortedWide("hour_start")
   }
 
   val s04Oracle: String =
@@ -153,7 +153,7 @@ object EventOps {
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("click_id"),
         (tsSec - col("click_sec")).as("gap_sec"))
-      .sortedSmall("purchase_id")
+      .sortedWide("purchase_id")
   }
 
   val s05Oracle: String =
@@ -196,7 +196,7 @@ object EventOps {
         col("p_sec") <= col("c_sec") + window)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (col("p_sec") - col("c_sec")).as("gap_sec"))
-      .sortedSmall("click_id", "purchase_id")
+      .sortedWide("click_id", "purchase_id")
   }
 
   val s06Oracle: String =
@@ -224,7 +224,7 @@ object EventOps {
         explode(array(w0, w0 - 300)).as("window_start"))
       .groupBy(col("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      .sortedSmall("window_start", "event_type")
+      .sortedWide("window_start", "event_type")
   }
 
   val s07Oracle: String =

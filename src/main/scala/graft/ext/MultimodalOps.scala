@@ -43,7 +43,7 @@ object MultimodalOps {
     media(s, dir)
       .select(col("media_id"), col("kind"),
         length(col("content")).cast("long").as("n_bytes"))
-      .sortedSmall("media_id")
+      .sortedWide("media_id")
 
   val m01Oracle: String =
     """SELECT doc_id AS media_id,
@@ -65,7 +65,7 @@ object MultimodalOps {
         rows.map(decodeStub)
       }
       .toDF()
-      .sortedSmall("media_id")
+      .sortedWide("media_id")
   }
 
   /** STUB decode — deterministic byte statistics standing in for a codec.
@@ -123,7 +123,7 @@ object MultimodalOps {
           lit(stride)).as("frame_bytes"))
       .select(col("media_id"), col("kind"), col("frame_no"),
         length(col("frame_bytes")).cast("long").as("frame_len"))
-      .sortedSmall("media_id", "frame_no")
+      .sortedWide("media_id", "frame_no")
   }
 
   /** m03 oracle: stride-64 chunk indices and lengths from octet_length
@@ -161,7 +161,7 @@ object MultimodalOps {
       }
       .toDF("media_id", "kind", "resized", "orig_bytes", "resized_bytes")
       .select("media_id", "kind", "orig_bytes", "resized_bytes")
-      .sortedSmall("media_id")
+      .sortedWide("media_id")
   }
 
   /** m04 oracle: ceil(n / 4) output bytes. */

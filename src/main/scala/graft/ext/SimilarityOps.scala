@@ -36,7 +36,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"),
         round(norm2(col("embedding")), 6).as("l2_norm"),
         size(col("embedding")).cast("long").as("dim"))
-      .sortedSmall("vec_id")
+      .sortedWide("vec_id")
 
   val e01Oracle: String =
     """SELECT vec_id, label,
@@ -177,7 +177,7 @@ object SimilarityOps {
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
           .as("cos_r"))
       .filter(col("cos_r") > 0.4)
-      .sortedSmall("label", "a", "b")
+      .sortedWide("label", "a", "b")
   }
 
   val e05Oracle: String =
@@ -381,7 +381,7 @@ object SimilarityOps {
         coalesce(round(
           aggregate(transform(col("v"), x => abs(x - q(x) / col("scale"))),
             lit(0.0), _ + _) / size(col("v")), 6), lit(0.0)).as("mean_err"))
-      .sortedSmall("vec_id")
+      .sortedWide("vec_id")
   }
 
   val e08Oracle: String =

@@ -36,7 +36,7 @@ object TextOps {
     documents(s, dir)
       .groupBy(graft_md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
-      .sortedSmall("h")
+      .sortedWide("h")
 
   val t01Oracle: String =
     """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
@@ -52,7 +52,7 @@ object TextOps {
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
           .cast("long").as("n_subwords"),
         col("n_chars"))
-      .sortedSmall("doc_id")
+      .sortedWide("doc_id")
 
   val t02Oracle: String =
     """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -71,7 +71,7 @@ object TextOps {
         ((col("n_chars") - nTokens + 1) / nTokens).as("avg_token_len"),
         theCnt.as("the_cnt"),
         (theCnt / nTokens).as("stopword_ratio"))
-      .sortedSmall("doc_id")
+      .sortedWide("doc_id")
   }
 
   val t03Oracle: String = {
@@ -99,7 +99,7 @@ object TextOps {
           .when(scoreEs >= scoreFr && scoreEs > 0, "es")
           .when(scoreFr > 0, "fr")
           .otherwise("und").as("predicted_lang"))
-      .sortedSmall("doc_id")
+      .sortedWide("doc_id")
   }
 
   val t04Oracle: String = {
@@ -177,7 +177,7 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(min(col("d1")).as("fp"),
         countDistinct(col("d1")).as("n_shingles"))
-      .sortedSmall("doc_id")
+      .sortedWide("doc_id")
 
   val t05Oracle: String =
     s"""WITH d AS ($digestsSql)
@@ -206,7 +206,7 @@ object TextOps {
 
   /** t06: per-document MinHash signatures + LSH band bucket keys. */
   def t06MinhashSig(s: SparkSession, dir: String): DataFrame =
-    minhashSig(s, dir).sortedSmall("doc_id")
+    minhashSig(s, dir).sortedWide("doc_id")
 
   private val sigSql: String = {
     val hs = (0 until K)
@@ -257,7 +257,7 @@ object TextOps {
   def t07LshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir).persist()
     sig.count()
-    bandCandidates(sig).sortedSmall("a", "b")
+    bandCandidates(sig).sortedWide("a", "b")
   }
 
   val t07Oracle: String = {
@@ -320,7 +320,7 @@ object TextOps {
       .select(col("a"), col("b"),
         round(col("i") / (col("na") + col("nb") - col("i")), 4)
           .as("jaccard"))
-      .sortedSmall("a", "b")
+      .sortedWide("a", "b")
   }
 
   val t09Oracle: String = {
@@ -371,7 +371,7 @@ object TextOps {
       .join(d.select(col("doc_id").as("b"), col("prefix").as("pb")), Seq("b"))
       .select(col("a"), col("b"),
         levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
-      .sortedSmall("a", "b")
+      .sortedWide("a", "b")
   }
 
   val t11Oracle: String = {
@@ -423,7 +423,7 @@ object TextOps {
 
   /** t08: the SimHash fingerprint table. */
   def t08Simhash(s: SparkSession, dir: String): DataFrame =
-    simhashSig(s, dir).sortedSmall("doc_id")
+    simhashSig(s, dir).sortedWide("doc_id")
 
   /** DuckDB replica of [[simhashSig]]: the md5-derived 32-bit token hash
     * (`('0x' || substr(md5(tok),1,8))::BIGINT` == Spark's
@@ -472,7 +472,7 @@ object TextOps {
         col("n_tokens") >= 30 && col("n_tokens") <= 110 &&
         col("stopword_ratio") < 0.2)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
-      .sortedSmall("doc_id")
+      .sortedWide("doc_id")
   }
 
   val t10Oracle: String = {
@@ -554,7 +554,7 @@ object TextOps {
       labels = updated
     }
     labels.select(col("doc_id"), col("lab").as("cluster"))
-      .sortedSmall("doc_id")
+      .sortedWide("doc_id")
   }
 
   val t12Oracle: String =
@@ -617,7 +617,7 @@ object TextOps {
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= 2)
-      .sortedSmall("a", "b")
+      .sortedWide("a", "b")
   }
 
   val t13Oracle: String =
@@ -688,7 +688,7 @@ object TextOps {
       .withPrefixSum(d, Seq(col("doc_id")), col("n_tokens"), "start_tok")
       .select(col("doc_id"), col("n_tokens"),
         (col("start_tok") / budget).cast("long").as("shard"))
-      .sortedSmall("doc_id")
+      .sortedWide("doc_id")
   }
 
   val t15Oracle: String =

@@ -22,5 +22,17 @@ object Out {
       df.repartition(1).sortWithinPartitions(cols: _*)
     def sortedSmall(first: String, rest: String*): DataFrame =
       sortedSmall((first +: rest).map(col): _*)
+
+    /** Final ordering for UNBOUNDED result sets — anything whose row count
+      * scales with the input (per-row transforms, per-key reports over
+      * input-sized key domains, candidate-pair lists, time-range windows).
+      * A `repartition(1)` sink on those is a single-partition funnel at
+      * 100 TB; the distributed range sort keeps every executor writing.
+      * The extra cost vs [[sortedSmall]] is the range-sampling pass —
+      * cheap for the map-heavy children these queries have, and the
+      * price of a plan that survives a 100× scale-up. */
+    def sortedWide(cols: Column*): DataFrame = df.orderBy(cols: _*)
+    def sortedWide(first: String, rest: String*): DataFrame =
+      sortedWide((first +: rest).map(col): _*)
   }
 }

@@ -54,7 +54,7 @@ object Relational {
         col("l_shipdate") < lit("1997-03-01").cast("timestamp") &&
         col("l_discount") > 0.05 && col("l_quantity") < 10)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .sortedSmall("l_orderkey", "l_linenumber")
+      .sortedWide("l_orderkey", "l_linenumber")
 
   val q02Oracle: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -102,7 +102,7 @@ object Relational {
         .select(col("l_orderkey")),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
-      .sortedSmall("o_orderkey")
+      .sortedWide("o_orderkey")
 
   val q04Oracle: String =
     """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -117,7 +117,7 @@ object Relational {
       .join(orders(s, dir).select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .sortedSmall("c_custkey")
+      .sortedWide("c_custkey")
 
   val q05Oracle: String =
     """SELECT c_custkey, c_name FROM customer
@@ -135,7 +135,7 @@ object Relational {
           substring(lpad(regexp_replace(col("o_orderpriority"), "-", ""),
             7, "0"), -7, 7),
           keyDateFormat(col("o_orderdate"))).as("sk"))
-      .sortedSmall("o_orderkey")
+      .sortedWide("o_orderkey")
 
   val q06Oracle: String =
     """SELECT o_orderkey,
@@ -161,7 +161,7 @@ object Relational {
       .withColumn("qty_diff", col("qty_new") - col("qty_old"))
       .filter(col("qty_old").isNotNull && col("qty_diff") > 0)
       .select("l_orderkey", "qty_diff")
-      .sortedSmall("l_orderkey")
+      .sortedWide("l_orderkey")
   }
 
   val q07Oracle: String = {
@@ -189,7 +189,7 @@ object Relational {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= 3)
-      .sortedSmall(col("o_custkey"), col("rn"))
+      .sortedWide(col("o_custkey"), col("rn"))
   }
 
   val q08Oracle: String =
@@ -222,7 +222,7 @@ object Relational {
       .agg(count(lit(1)).as("order_count"),
         dsum(col("o_totalprice")).as("total_spent"))
       .filter(col("order_count") >= 15)
-      .sortedSmall("o_custkey")
+      .sortedWide("o_custkey")
 
   val q10Oracle: String =
     s"""SELECT o_custkey, COUNT(*) AS order_count,
@@ -282,7 +282,7 @@ object Relational {
         regexp_replace(col("p_type"), " ", "_").as("type_us"),
         concat(col("p_brand"), lit("#"), col("p_size").cast("string"))
           .as("brand_size"))
-      .sortedSmall("p_partkey")
+      .sortedWide("p_partkey")
 
   val q13Oracle: String =
     """SELECT p_partkey,
@@ -358,7 +358,7 @@ object Relational {
           .as("merged_price"),
         when(col("u_orderkey").isNotNull, lit("updated"))
           .otherwise(lit("kept")).as("merge_action"))
-      .sortedSmall("o_orderkey")
+      .sortedWide("o_orderkey")
   }
 
   val q16Oracle: String =
@@ -475,7 +475,7 @@ object Relational {
     val o = orders(s, dir)
     o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
       .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
-      .sortedSmall("o_custkey")
+      .sortedWide("o_custkey")
   }
 
   val q22Oracle: String =
@@ -494,7 +494,7 @@ object Relational {
       .select(col("o_orderkey"),
         datediff(col("first_ship"), col("o_orderdate")).cast("long")
           .as("lag_days"))
-      .sortedSmall("o_orderkey")
+      .sortedWide("o_orderkey")
 
   val q23Oracle: String =
     """SELECT o_orderkey,
@@ -540,7 +540,7 @@ object Relational {
         Rank.ntileFromRank(col("_r"), n, 4).as("quartile"),
         round(Rank.cumeDistFromRank(col("_r"), n), 6).as("cd"))
       .filter(col("quartile") === 1)
-      .sortedSmall("o_custkey")
+      .sortedWide("o_custkey")
   }
 
   val q25Oracle: String =

@@ -40,7 +40,7 @@ object Relational2 {
       .select(col("c_custkey").as("custkey"))
       .intersect(orders(s, dir).filter(col("o_totalprice") > 400000)
         .select(col("o_custkey").as("custkey")))
-      .sortedSmall("custkey")
+      .sortedWide("custkey")
 
   val q27Oracle: String =
     """SELECT c_custkey AS custkey FROM customer
@@ -104,7 +104,7 @@ object Relational2 {
         posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
       .select(col("p_partkey"), col("pos").cast("long").as("pos"),
         col("word"))
-      .sortedSmall("p_partkey", "pos")
+      .sortedWide("p_partkey", "pos")
 
   val q29Oracle: String =
     """WITH w AS (
@@ -173,7 +173,7 @@ object Relational2 {
         dense_rank().over(w).cast("long").as("drnk"),
         round(percent_rank().over(w), 6).as("prnk"))
       .filter(col("rnk") <= 3)
-      .sortedSmall("n_name", "rnk", "c_custkey")
+      .sortedWide("n_name", "rnk", "c_custkey")
   }
 
   val q32Oracle: String =
@@ -242,7 +242,7 @@ object Relational2 {
         add_months(col("o_orderdate"), 3).as("due_date"),
         last_day(col("o_orderdate")).as("eom"),
         date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"))
-      .sortedSmall("o_orderkey")
+      .sortedWide("o_orderkey")
 
   val q35Oracle: String =
     """SELECT o_orderkey,
@@ -360,7 +360,7 @@ object Relational2 {
     daily
       .select(col("day"), mvSum.as("mv_sum"),
         round(mvSum / mvCnt, 6).as("mv_avg"))
-      .sortedSmall("day")
+      .sortedWide("day")
   }
 
   val q40Oracle: String =
@@ -395,7 +395,7 @@ object Relational2 {
         col("c_name").isNotNull.as("rich"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("spent"), lit(0.0)).as("spent"))
-      .sortedSmall("custkey")
+      .sortedWide("custkey")
   }
 
   val q41Oracle: String =

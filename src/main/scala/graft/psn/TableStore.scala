@@ -3,62 +3,177 @@ package graft.psn
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Sink abstraction (SURVEY §2.2 K1-K6) over a parquet warehouse directory.
   *
   * append  = K1/K2 (`insert_rows_from_dataframe` / WRITE_APPEND loads)
   * overwrite = K3 (WRITE_TRUNCATE)
-  * merge   = K4 (`UPDATE … FROM temp` — read-join-overwrite, made
-  *           atomic-enough via write-to-temp-dir + directory swap, the
-  *           parquet stand-in for BigQuery DML atomicity; Delta MERGE plans
-  *           the same join when a transactional format is available)
+  * merge   = K4 (`UPDATE … FROM temp` — the reference runs it inside
+  *           BigQuery's transactional DML; here the same semantics come from
+  *           a version-pointer commit protocol, below)
   * drop    = K5 (`delete_table(not_found_ok=True)`)
+  *
+  * == Version-pointer commit protocol ==
+  *
+  * Rewriting writes (overwrite, merge) never touch live data. Each commit:
+  *
+  *   1. claims `<table>/v<N+1>/` via atomic `createDirectory` (two racing
+  *      writers cannot claim the same version number),
+  *   2. materializes the full new table into the claimed directory,
+  *   3. commits by atomically renaming a staged pointer file onto
+  *      `<table>/_current` (the pointer's content, `v<N+1>`, is the commit).
+  *
+  * Readers resolve `_current` once at DataFrame creation, so:
+  *   - a reader mid-merge sees exactly the old or the new version, never a
+  *     mix (the two directories are disjoint);
+  *   - a crash anywhere before step 3 leaves `_current` — and thus the
+  *     table — untouched; the orphaned claim directory is swept by a later
+  *     commit's GC once it falls behind the retention window;
+  *   - an in-flight reader of the previous version keeps its snapshot: GC
+  *     retains one version behind `_current` (readers are assumed to finish
+  *     within one upstream commit — tighten by widening `gcKeep`).
+  *
+  * Writer-writer conflicts are resolved last-commit-wins (no optimistic
+  * re-validation against the base version — that is Delta/Iceberg territory;
+  * the claim step only guarantees physical isolation of their file sets).
+  *
+  * Appends write new part-files into the CURRENT version directory through
+  * Spark's job committer (task output lands in `_temporary` and is moved on
+  * job commit), so a crashed append leaves no visible rows either.
+  *
+  * Tables created before this protocol (bare part-files in `<table>/`) read
+  * as the implicit v0; the first rewriting write upgrades them to v1 and
+  * leaves the v0 files in place as the retained previous snapshot.
   *
   * The empty-append guard the reference needs (main.py:184) is a no-op here:
   * appending an empty DataFrame writes no row files.
   */
 final class TableStore(spark: SparkSession, warehouse: String) {
 
-  private def path(table: String): Path = Paths.get(warehouse, table)
+  private def dir(table: String): Path = Paths.get(warehouse, table)
+  private def pointer(table: String): Path = dir(table).resolve("_current")
 
-  def exists(table: String): Boolean = Files.exists(path(table))
+  /** Committed version number; 0 = no pointer (legacy flat table or none). */
+  private def currentVersion(table: String): Int =
+    if (Files.exists(pointer(table)))
+      Files.readString(pointer(table)).trim.stripPrefix("v").toInt
+    else 0
+
+  /** Directory a reader of `table` scans right now. */
+  private def resolve(table: String): Path = {
+    val v = currentVersion(table)
+    if (v > 0) dir(table).resolve(s"v$v") else dir(table)
+  }
+
+  private def listDir(table: String): Seq[Path] =
+    if (!Files.exists(dir(table))) Nil
+    else {
+      val s = Files.list(dir(table))
+      try s.iterator().asScala.toList finally s.close()
+    }
+
+  /** Flat pre-protocol data: any entry that is neither a version dir nor
+    * bookkeeping (covers part-files and hive partition dirs alike). */
+  private def legacyData(table: String): Boolean =
+    listDir(table).exists { p =>
+      val n = p.getFileName.toString
+      !n.matches("v\\d+") && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  def exists(table: String): Boolean =
+    currentVersion(table) > 0 || legacyData(table)
 
   def read(table: String): DataFrame =
-    spark.read.parquet(path(table).toString)
+    spark.read.parquet(resolve(table).toString)
+
+  /** Atomically claim the next free version directory (≥ committed + 1,
+    * skipping orphaned claims from crashed or in-flight writers). */
+  private def claimNext(table: String): (Int, Path) = {
+    Files.createDirectories(dir(table))
+    val taken = listDir(table).map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+    var n = math.max(currentVersion(table),
+      if (taken.isEmpty) 0 else taken.max) + 1
+    while (true) {
+      try {
+        val p = dir(table).resolve(s"v$n")
+        Files.createDirectory(p)
+        return (n, p)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => n += 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Step 3: stage the new pointer content, then atomic rename — the only
+    * mutation of live state in the whole commit. */
+  private def commitPointer(table: String, v: Int): Unit = {
+    val staged = dir(table).resolve(s"_current.staged.v$v")
+    Files.writeString(staged, s"v$v")
+    Files.move(staged, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Versions retained behind `_current` for in-flight readers. */
+  private val gcKeep = 1
+
+  private def gc(table: String, committed: Int): Unit =
+    listDir(table).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.matches("v\\d+") && n.drop(1).toInt < committed - gcKeep)
+        deleteRecursive(p)
+    }
+
+  /** Full-table rewrite through the commit protocol (steps 1-3 + GC). */
+  private def commitRewrite(table: String, df: DataFrame): Unit = {
+    val (v, claimed) = claimNext(table)
+    // Append mode: the claimed directory is empty and MUST survive the
+    // write (Overwrite would delete-and-recreate it, dropping the claim).
+    df.write.mode(SaveMode.Append).parquet(claimed.toString)
+    commitPointer(table, v)
+    gc(table, v)
+  }
 
   def append(table: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(table).toString)
+    if (exists(table))
+      df.write.mode(SaveMode.Append).parquet(resolve(table).toString)
+    else commitRewrite(table, df) // first write creates + commits v1
 
   /** Append with hive-style partitioning — the 100 TB layout for fact
     * tables (time_play partitioned by day): date-filtered scans prune whole
     * partition directories instead of reading and filtering. */
   def appendPartitioned(table: String, df: DataFrame,
-      partitionCol: String): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(partitionCol)
-      .parquet(path(table).toString)
-
-  def overwrite(table: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path(table).toString)
-
-  /** Upsert: replace `target` with `Ops.mergeUpdates(target, updates)`.
-    * The rewritten table materializes into `<table>.__tmp` first, then swaps
-    * directories — readers never observe a half-written table, and the source
-    * scan is never overwritten while still being read (the classic
-    * read-overwrite-same-path parquet trap). */
-  def merge(table: String, updates: DataFrame): Unit = {
-    val tmp = Paths.get(warehouse, table + ".__tmp")
-    val merged = Ops.mergeUpdates(read(table), updates)
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val live = path(table)
-    val retired = Paths.get(warehouse, table + ".__old")
-    deleteRecursive(retired)
-    Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(retired)
+      partitionCol: String): Unit = {
+    if (!exists(table)) {
+      val (v, claimed) = claimNext(table)
+      df.write.mode(SaveMode.Append).partitionBy(partitionCol)
+        .parquet(claimed.toString)
+      commitPointer(table, v)
+    } else
+      df.write.mode(SaveMode.Append).partitionBy(partitionCol)
+        .parquet(resolve(table).toString)
   }
 
-  def drop(table: String): Unit = deleteRecursive(path(table)) // K5
+  def overwrite(table: String, df: DataFrame): Unit = // K3
+    commitRewrite(table, df)
+
+  /** Upsert (K4): materialize `Ops.mergeUpdates(target, updates)` into a
+    * claimed version directory, then commit the pointer. The source scan
+    * reads the old version while the new one is written — different
+    * directories, so the classic read-overwrite-same-path parquet trap
+    * cannot occur, and no reader ever observes a half-merged table. */
+  def merge(table: String, updates: DataFrame): Unit =
+    mergeWith(table)(Ops.mergeUpdates(_, updates))
+
+  /** Generic transactional rewrite: `f` maps the table's current contents
+    * to its next version, committed through the same protocol. [[merge]]
+    * is `mergeWith(t)(Ops.mergeUpdates(_, updates))`. */
+  def mergeWith(table: String)(f: DataFrame => DataFrame): Unit =
+    commitRewrite(table, f(read(table)))
+
+  def drop(table: String): Unit = deleteRecursive(dir(table)) // K5
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.psn.TableStore
+
+/** The K4 transactional posture (VERDICT r2 §missing-1): TableStore's
+  * version-pointer commit protocol must give (a) snapshot isolation to a
+  * reader concurrent with a merge, (b) a readable table after a crash at
+  * any point before the pointer rename, (c) bounded disk via GC of
+  * versions behind the retention window. */
+class VersionedStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshStore() = {
+    val wh = Files.createTempDirectory("vstore").toString
+    (new TableStore(spark, wh), wh)
+  }
+
+  private def kv(rows: (Int, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  /** Key-based upsert expressed through the generic rewrite commit. */
+  private def upsert(store: TableStore, table: String,
+      updates: org.apache.spark.sql.DataFrame): Unit =
+    store.mergeWith(table) { cur =>
+      val u = updates.select(col("k"), col("v").as("uv"))
+      cur.join(u, Seq("k"), "full")
+        .select(col("k"), coalesce(col("uv"), col("v")).as("v"))
+    }
+
+  test("merge commits atomically; concurrent reader keeps its snapshot") {
+    val (store, wh) = freshStore()
+    store.append("t", kv(1 -> "a", 2 -> "b"))
+    assert(Files.readString(Paths.get(wh, "t", "_current")).trim == "v1")
+
+    // a reader that planned its scan BEFORE the merge…
+    val snapshot = store.read("t")
+
+    upsert(store, "t", kv(2 -> "B2", 3 -> "c"))
+
+    // …still sees the old version in full (v1 files retained by GC),
+    assert(snapshot.orderBy("k").collect().map(r => (r.getInt(0),
+      r.getString(1))).toSeq == Seq(1 -> "a", 2 -> "b"))
+    // while a new reader sees exactly the merged state.
+    assert(store.read("t").orderBy("k").collect().map(r => (r.getInt(0),
+      r.getString(1))).toSeq == Seq(1 -> "a", 2 -> "B2", 3 -> "c"))
+    assert(Files.readString(Paths.get(wh, "t", "_current")).trim == "v2")
+  }
+
+  test("crash between data write and pointer commit leaves old version live") {
+    val (store, wh) = freshStore()
+    store.append("t", kv(1 -> "a"))
+
+    // Simulate a writer that died after step 2 (data fully written into a
+    // claimed version dir) but before step 3 (pointer rename): the claim
+    // exists on disk, the pointer was never moved.
+    val orphan = Paths.get(wh, "t", "v7")
+    kv(9 -> "ghost").write.parquet(orphan.resolve("data").toString)
+
+    // Readers are unaffected — the commit IS the pointer.
+    assert(store.read("t").collect().map(_.getInt(0)).toSeq == Seq(1))
+
+    // The next merge claims a version BEYOND the orphan (never reuses or
+    // trusts it) and commits normally.
+    upsert(store, "t", kv(1 -> "a2"))
+    assert(Files.readString(Paths.get(wh, "t", "_current")).trim == "v8")
+    assert(store.read("t").collect().map(_.getString(1)).toSeq == Seq("a2"))
+  }
+
+  test("GC keeps current + previous version only") {
+    val (store, wh) = freshStore()
+    store.append("t", kv(1 -> "a")) // v1
+    upsert(store, "t", kv(1 -> "b")) // v2
+    upsert(store, "t", kv(1 -> "c")) // v3 → v1 swept
+    def vdirs = {
+      val s = Files.list(Paths.get(wh, "t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("v\\d+")).toList.sorted
+      } finally s.close()
+    }
+    assert(vdirs == List("v2", "v3"))
+    assert(store.read("t").collect().map(_.getString(1)).toSeq == Seq("c"))
+  }
+
+  test("pre-protocol flat table reads as v0 and upgrades on first rewrite") {
+    val (store, wh) = freshStore()
+    // table written by an external tool: bare part-files, no pointer
+    kv(1 -> "legacy").write.parquet(Paths.get(wh, "t").toString)
+    assert(store.exists("t"))
+    assert(store.read("t").collect().map(_.getString(1)).toSeq ==
+      Seq("legacy"))
+
+    upsert(store, "t", kv(1 -> "upgraded", 2 -> "new"))
+    assert(Files.readString(Paths.get(wh, "t", "_current")).trim == "v1")
+    assert(store.read("t").orderBy("k").collect().map(_.getString(1))
+      .toSeq == Seq("upgraded", "new"))
+  }
+
+  test("overwrite (K3) goes through the same commit protocol") {
+    val (store, wh) = freshStore()
+    store.append("t", kv(1 -> "a", 2 -> "b"))
+    val snapshot = store.read("t")
+    store.overwrite("t", kv(9 -> "z"))
+    assert(store.read("t").collect().map(_.getInt(0)).toSeq == Seq(9))
+    assert(snapshot.count() == 2) // old snapshot intact
+  }
+}
