@@ -24,17 +24,22 @@ object Ingest {
     * casts (E4), surrogate key (E5+E6), ISO duration → seconds (E8). */
   def gameTitles(spark: SparkSession, client: PsnClient): DataFrame = {
     import spark.implicits._
-    client.titleStats().toDS().toDF()
-      .select(
-        Exprs.deriveId(col("title_id"), col("first_played_date_time"))
-          .as("id"),
-        Exprs.stripUnderscores(col("title_id")).as("title_id"),
-        col("name").cast("string").as("title_name"),
-        col("image_url").cast("string").as("image"),
-        Exprs.lastChars(col("category"), 3).as("category"),
-        col("first_played_date_time"),
-        col("last_played_date_time"),
-        col("play_count").cast("long").as("play_count"),
-        Exprs.isoDurationSeconds(col("play_duration")).as("play_duration"))
+    cleanGameTitles(client.titleStats().toDS().toDF())
   }
+
+  /** The cleanup chain as a pure `DataFrame => DataFrame` — the same plan
+    * fragment serves the driver-side `createDataFrame` path above and the
+    * DSv2 streaming path (`Streams.psnGameSnapshots`). */
+  def cleanGameTitles(raw: DataFrame): DataFrame =
+    raw.select(
+      Exprs.deriveId(col("title_id"), col("first_played_date_time"))
+        .as("id"),
+      Exprs.stripUnderscores(col("title_id")).as("title_id"),
+      col("name").cast("string").as("title_name"),
+      col("image_url").cast("string").as("image"),
+      Exprs.lastChars(col("category"), 3).as("category"),
+      col("first_played_date_time"),
+      col("last_played_date_time"),
+      col("play_count").cast("long").as("play_count"),
+      Exprs.isoDurationSeconds(col("play_duration")).as("play_duration"))
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +25,10 @@ import graft.psn.{FakePsnClient, GameTitleRaw, PsnClient}
   * scan: each InputPartition is one API page, so pages fetch concurrently on
   * executors; `SupportsPushDownRequiredColumns` prunes record fields at the
   * source exactly as the reference's list-comprehension projection does
-  * (/root/reference/main.py:91-93).
+  * (/root/reference/main.py:91-93), and `SupportsPushDownFilters` evaluates
+  * title_id/play_count predicates source-side — whole pages with no
+  * matching record are pruned at plan time and never fetched, mirroring
+  * the reference's remote `SELECT … WHERE` (S3, main.py:153-157).
   *
   * Usage:
   * {{{
@@ -70,8 +74,13 @@ object PsnSource {
     case _          => titlesSchema
   }
 
-  /** Executor-side client factory — the only stubbed seam. */
-  def client(): PsnClient = FakePsnClient.default
+  /** Executor-side client factory — the only stubbed seam. Installable so
+    * tests can script a day-by-day-growing API (and a production wiring
+    * can construct its HTTP client here); note an installed factory is
+    * process-local, which is exactly right in local mode and for tests
+    * (production would pass credentials through options instead). */
+  @volatile var clientFactory: () => PsnClient = () => FakePsnClient.default
+  def client(): PsnClient = clientFactory()
 
   def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
@@ -87,24 +96,72 @@ final class PsnTable(tableName: String, pageSize: Int)
     new PsnScanBuilder(tableName, pageSize)
 }
 
+/** Predicates the remote PSN engine can evaluate — the source-side subset
+  * of the reference's remote `SELECT … WHERE` (S3, main.py:153-157).
+  * Kept as a standalone evaluator so the planner (page pruning) and the
+  * reader (row filtering before deserialization) share one semantics. */
+object PsnFilters {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("title_id", _) | In("title_id", _) => true
+    case EqualTo("play_count", _) | GreaterThan("play_count", _) |
+        GreaterThanOrEqual("play_count", _) | LessThan("play_count", _) |
+        LessThanOrEqual("play_count", _) => true
+    case _ => false
+  }
+
+  private def num(v: Any): Long = v.asInstanceOf[Number].longValue
+
+  def matches(pushed: Array[Filter], g: GameTitleRaw): Boolean =
+    pushed.forall {
+      case EqualTo("title_id", v)             => g.title_id == v
+      case In("title_id", vs)                 => vs.contains(g.title_id)
+      case EqualTo("play_count", v)           => g.play_count == num(v)
+      case GreaterThan("play_count", v)       => g.play_count > num(v)
+      case GreaterThanOrEqual("play_count", v) => g.play_count >= num(v)
+      case LessThan("play_count", v)          => g.play_count < num(v)
+      case LessThanOrEqual("play_count", v)   => g.play_count <= num(v)
+      case _                                  => true
+    }
+}
+
 final class PsnScanBuilder(tableName: String, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PsnSource.schemaFor(tableName)
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Accept the supported subset for source-side evaluation; return ALL
+    * filters as residual so Spark re-applies them post-scan — pushdown
+    * here is a data-volume optimization (skip pages / rows at the
+    * source), never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(PsnFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   private def pagePartitions(): Array[InputPartition] =
     if (tableName == "trophies") Array(PsnPage(0, 1))
     else {
-      val n = PsnSource.client().titleStats().size
-      val pages = math.max(1, (n + pageSize - 1) / pageSize)
-      (0 until pages).map(p => PsnPage(p * pageSize, pageSize)
-        .asInstanceOf[InputPartition]).toArray
+      // Plan only pages that contain ≥1 matching record — the paged
+      // equivalent of the reference pushing its WHERE into the remote
+      // engine: pruned pages are never fetched by any executor.
+      val all = PsnSource.client().titleStats()
+      val pages = math.max(1, (all.size + pageSize - 1) / pageSize)
+      (0 until pages)
+        .filter(p => all.slice(p * pageSize, p * pageSize + pageSize)
+          .exists(PsnFilters.matches(pushed, _)))
+        .map(p => PsnPage(p * pageSize, pageSize)
+          .asInstanceOf[InputPartition]).toArray
     }
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
+    override def description(): String =
+      s"psn.$tableName PushedFilters: [${pushed.mkString(", ")}]"
     override def toBatch: Batch = this
     override def toMicroBatchStream(
         checkpointLocation: String): MicroBatchStream =
@@ -112,7 +169,7 @@ final class PsnScanBuilder(tableName: String, pageSize: Int)
     override def planInputPartitions(): Array[InputPartition] =
       pagePartitions()
     override def createReaderFactory(): PartitionReaderFactory =
-      new PsnReaderFactory(tableName, required)
+      new PsnReaderFactory(tableName, required, pushed)
   }
 }
 
@@ -161,7 +218,8 @@ final class PsnMicroBatchStream(tableName: String, required: StructType,
 
 final case class PsnPage(offset: Int, size: Int) extends InputPartition
 
-final class PsnReaderFactory(tableName: String, required: StructType)
+final class PsnReaderFactory(tableName: String, required: StructType,
+    pushed: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val page = p.asInstanceOf[PsnPage]
@@ -175,8 +233,11 @@ final class PsnReaderFactory(tableName: String, required: StructType)
             "silver" -> t.silver, "gold" -> t.gold, "platinum" -> t.platinum)
           Iterator(project(full))
         } else {
+          // pushed filters drop rows before deserialization (in
+          // production: inside the remote request itself)
           c.titleStats().slice(page.offset, page.offset + page.size)
-            .iterator.map(g => project(fields(g)))
+            .iterator.filter(PsnFilters.matches(pushed, _))
+            .map(g => project(fields(g)))
         }
       }
       private def fields(g: GameTitleRaw): Map[String, Any] = Map(

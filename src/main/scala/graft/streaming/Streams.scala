@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2.8). The reference is a daily
@@ -113,6 +113,68 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) store.merge(table, batch)
+      }
+      .start()
+
+  /** Cleaned game snapshots streamed from the DSv2 PSN source — one poll
+    * per micro-batch, run through the reference's cleanup chain
+    * (psn.Ingest.cleanGameTitles). The streaming head of the end-to-end
+    * DailyRun composition. */
+  def psnGameSnapshots(spark: SparkSession,
+      pageSize: Int = 2): Dataset[graft.psn.GameTitle] = {
+    import spark.implicits._
+    graft.psn.Ingest.cleanGameTitles(
+      spark.readStream.format("graft.sources.PsnSource")
+        .option("table", "titles").option("pageSize", pageSize.toString)
+        .load())
+      .as[graft.psn.GameTitle]
+  }
+
+  /** Streaming twin of DailyRun's game-table maintenance (main.py:330-360):
+    * per micro-batch, bootstrap on first sight, else append unseen games
+    * (K1, the new-game anti-join) then merge-upsert the snapshot (K4,
+    * through TableStore's version-pointer commit). A catch-up batch can
+    * carry several polls, so the latest snapshot per id wins before the
+    * merge (play_count is the recency proxy, as in playDeltas). */
+  def gameTableSink(snapshots: Dataset[graft.psn.GameTitle],
+      store: graft.psn.TableStore, table: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id"))
+            .orderBy(col("play_count").desc, col("play_duration").desc)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          if (!store.exists(table)) store.append(table, latest)
+          else {
+            val fresh = graft.psn.Ops.newGames(latest, store.read(table))
+            if (!fresh.isEmpty) store.append(table, fresh)
+            store.merge(table, latest)
+          }
+        }
+      }
+      .start()
+
+  /** Streaming twin of DailyRun's fact append (K2): keyed-state play
+    * deltas, stamped once per batch (the reference stamps once per run,
+    * main.py:203), appended to the time_play table. */
+  def playDeltaSink(spark: SparkSession,
+      snapshots: Dataset[graft.psn.GameTitle], store: graft.psn.TableStore,
+      table: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    playDeltas(spark, snapshots).toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.append(table,
+          batch.withColumn("date", lit(java.sql.Timestamp.valueOf(
+            java.time.LocalDate.now().atStartOfDay()))))
       }
       .start()
 

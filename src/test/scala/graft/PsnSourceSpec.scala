@@ -28,6 +28,29 @@ class PsnSourceSpec extends AnyFunSuite {
       Seq("CUSA_00001", "CUSA_00002", "PPSA_10003"))
   }
 
+  test("filter pushdown prunes whole pages at plan time") {
+    // play_count > 100 matches only Gamma Souls (133) on page 2 of 2 —
+    // page 1 (42, 7) must not be planned at all.
+    val filtered = titles.filter(col("play_count") > 100)
+    assert(filtered.rdd.getNumPartitions == 1)
+    assert(filtered.collect().map(_.getAs[String]("title_id")).toSeq ==
+      Seq("PPSA_10003"))
+    // the scan advertises what it pushed
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [GreaterThan(play_count,100)]"))
+    // title_id equality: same single-page plan
+    val one = titles.filter(col("title_id") === "CUSA_00002")
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.collect().map(_.getAs[Long]("play_count")).toSeq == Seq(7))
+  }
+
+  test("unsupported predicates leave the plan unpruned but correct") {
+    val f = titles.filter(col("name").endsWith("Racer"))
+    assert(f.rdd.getNumPartitions == 2) // nothing pushed, both pages fetched
+    assert(f.collect().map(_.getAs[String]("title_id")).toSeq ==
+      Seq("CUSA_00002"))
+  }
+
   test("trophies table yields the single profile row") {
     val t = spark.read.format("graft.sources.PsnSource")
       .option("table", "trophies").load()

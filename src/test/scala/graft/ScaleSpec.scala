@@ -99,8 +99,10 @@ class ScaleSpec extends AnyFunSuite {
       .select(col("o_orderkey"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("month"))
     store.appendPartitioned("facts", facts, "month")
-    // hive-style layout on disk
-    assert(new java.io.File(s"$wh/facts").listFiles()
+    // hive-style layout on disk, inside the committed version directory
+    assert(Files.readString(
+      java.nio.file.Paths.get(wh, "facts", "_current")).trim == "v1")
+    assert(new java.io.File(s"$wh/facts/v1").listFiles()
       .exists(_.getName.startsWith("month=")))
     val pruned = store.read("facts").filter(col("month") === "1996-03")
     val plan = pruned.queryExecution.explainString(

@@ -269,4 +269,91 @@ class StreamsSpec extends AnyFunSuite {
       .filter(abs(col("total") - col("expect_total")) > 1e-6)
     assert(joined.count() == 0)
   }
+
+  test("end-to-end streaming DailyRun: N polls converge game + time_play " +
+      "to the batch pipeline's state") {
+    import java.sql.Timestamp
+    import graft.psn._
+    import graft.sources.PsnSource
+    import org.apache.spark.sql.streaming.Trigger
+    def ts(s: String) = Timestamp.valueOf(s)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    // three scripted days: day2 bumps Beta Racer and adds a new game,
+    // day3 bumps Gamma Souls (same script as PsnPipelineSpec + one day)
+    val day1 = FakePsnClient.default
+    val day2 = new FakePsnClient(TrophySummary(121, 45, 12, 2),
+      day1.titleStats().map {
+        case g if g.title_id == "CUSA_00002" =>
+          g.copy(play_count = 10, play_duration = "PT14H5M30S",
+            last_played_date_time = ts("2024-08-01 12:00:00"))
+        case g => g
+      } :+ GameTitleRaw("CUSA_99999", "Delta Farm", "http://img/9",
+        "ps4_game", ts("2024-07-15 09:00:00"), ts("2024-08-01 20:00:00"),
+        1, "PT2H"))
+    val day3 = new FakePsnClient(day2.profileTrophies(),
+      day2.titleStats().map {
+        case g if g.title_id == "PPSA_10003" =>
+          g.copy(play_count = 140, play_duration = "PT347H",
+            last_played_date_time = ts("2024-08-02 01:00:00"))
+        case g => g
+      })
+    val days = IndexedSeq(day1, day2, day3)
+
+    // batch reference: bootstrap + N-1 daily runs
+    val storeB = new TableStore(spark, tmp("e2e_batch"))
+    Bootstrap.run(spark, day1, storeB)
+    DailyRun.run(spark, day2, storeB)
+    DailyRun.run(spark, day3, storeB)
+
+    // streaming twin: one Trigger.Once poll per day through the DSv2
+    // source; checkpoints carry offsets AND keyed state across restarts
+    val storeS = new TableStore(spark, tmp("e2e_stream"))
+    @volatile var day = 0
+    val saved = PsnSource.clientFactory
+    PsnSource.clientFactory = () => days(day)
+    // both sinks run continuously; each poll re-reads the scripted "today"
+    // (extra polls of an unchanged day are no-ops: no deltas, same merge)
+    val qG = Streams.gameTableSink(Streams.psnGameSnapshots(spark),
+      storeS, "game", tmp("e2e_ckg"),
+      Trigger.ProcessingTime("100 milliseconds"))
+    val qD = Streams.playDeltaSink(spark, Streams.psnGameSnapshots(spark),
+      storeS, "time_play", tmp("e2e_ckd"),
+      Trigger.ProcessingTime("100 milliseconds"))
+    def awaitConverged(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(cond, "stream did not converge within 60s")
+    }
+    try {
+      // day 1: first poll bootstraps the dimension, seeds delta state
+      awaitConverged(storeS.exists("game") &&
+        storeS.read("game").count() == 3)
+      day = 1 // new game appended + Beta Racer upserted + one delta fact
+      awaitConverged(storeS.exists("time_play") &&
+        storeS.read("game").count() == 4 &&
+        storeS.read("time_play").count() == 1)
+      day = 2 // Gamma Souls upserted + second delta fact
+      awaitConverged(storeS.read("time_play").count() == 2 &&
+        storeS.read("game")
+          .filter(col("play_count") === 140).count() == 1)
+    } finally {
+      qG.stop(); qD.stop()
+      PsnSource.clientFactory = saved
+    }
+
+    // the game dimension converged to exactly the batch state
+    val gB = storeB.read("game")
+    val gS = storeS.read("game")
+    assert(gS.count() == 4 && gB.count() == 4)
+    assert(gS.exceptAll(gB).count() == 0 && gB.exceptAll(gS).count() == 0)
+
+    // the delta facts match: one per changed game per day
+    val cols = Seq("id", "play_count_diff", "play_duration_diff", "date")
+    val tB = storeB.read("time_play").select(cols.map(col): _*)
+    val tS = storeS.read("time_play").select(cols.map(col): _*)
+    assert(tS.count() == 2)
+    assert(tS.exceptAll(tB).count() == 0 && tB.exceptAll(tS).count() == 0)
+  }
 }
