@@ -186,22 +186,48 @@ object TextOps {
 
   private val K = 8 // minhash permutations (2 bands × 4 rows)
 
+  /** LSH banding knob for the minhash pipeline: `k` signature lanes split
+    * into `bands` bands of `k/bands` rows; a band's digest is the bucket
+    * key. Pigeonhole guarantee (property-tested in BandingSpec): a pair
+    * with fewer than `bands` mismatched lanes agrees on at least one full
+    * band and is ALWAYS a candidate. Trade-off, measured on the 10×/100×
+    * replicas (PLANS.md): more/narrower bands → recall reaches lower
+    * similarities but candidate volume grows toward n² within
+    * near-duplicate cliques; fewer/wider bands → candidates stay ~true
+    * collisions but the recall floor rises ((1/bands)-quantile of lane
+    * agreement). The default (8, 2) — threshold s ≈ (1/2)^(1/4) ≈ 0.84 —
+    * is the gate contract the t06/t07 oracles pin down. */
+  final case class MinHashBanding(k: Int = K, bands: Int = 2) {
+    require(k >= 1 && k <= K && k % bands == 0,
+      s"bands ($bands) must divide k ($k) and k <= $K")
+    val rows: Int = k / bands
+  }
+
+  /** Band-digest columns band0..band(n-1) derived from lane columns
+    * h0..h(k-1) — shared by the production signatures and the property
+    * test's synthetic ones. */
+  private[graft] def withBands(sig: DataFrame,
+      b: MinHashBanding = MinHashBanding()): DataFrame =
+    (0 until b.bands).foldLeft(sig) { case (df, i) =>
+      df.withColumn(s"band$i", graft_md5(concat(
+        (i * b.rows until (i + 1) * b.rows).map(j => col(s"h$j")): _*)))
+    }
+
   /** Unsorted MinHash signatures — min over the shingle *multiset* equals
     * min over the set, so no distinct is needed. One shuffle (groupBy
     * doc_id), 8 lane-mins in one pass over 2 digests; band digests are the
     * LSH bucket keys. Stays unsorted so downstream self-joins keep the
     * natural (doc_id-hashed, parallel) partitioning. */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSig(s: SparkSession, dir: String,
+      banding: MinHashBanding = MinHashBanding()): DataFrame = {
     import graft.functions.Md5Lanes.graft_md5_lanes
-    shingles(s, dir)
-      .select(col("doc_id"), graft_md5_lanes(col("sh")).as("lv"))
-      .groupBy(col("doc_id"))
-      .agg(laneMinAggs.head, laneMinAggs.tail: _*)
-      .select(col("doc_id") +: hexLanes: _*)
-      .withColumn("band0",
-        graft_md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
-      .withColumn("band1",
-        graft_md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
+    withBands(
+      shingles(s, dir)
+        .select(col("doc_id"), graft_md5_lanes(col("sh")).as("lv"))
+        .groupBy(col("doc_id"))
+        .agg(laneMinAggs.head, laneMinAggs.tail: _*)
+        .select(col("doc_id") +: hexLanes: _*),
+      banding)
   }
 
   /** t06: per-document MinHash signatures + LSH band bucket keys. */
@@ -226,11 +252,12 @@ object TextOps {
     * doc_id, h0..h7, band0, band1 (t06 signatures or the t09 sketch) and
     * should be persisted+materialized by the caller — it is referenced 4×
     * (two band projections + both estimate join sides). */
-  private def bandCandidates(sig: DataFrame): DataFrame = {
-    val buckets = sig.select(col("doc_id"), lit(0).as("band"),
-        col("band0").as("bkt"))
-      .union(sig.select(col("doc_id"), lit(1).as("band"),
-        col("band1").as("bkt")))
+  private[graft] def bandCandidates(sig: DataFrame,
+      banding: MinHashBanding = MinHashBanding()): DataFrame = {
+    val buckets = (0 until banding.bands).map(i =>
+        sig.select(col("doc_id"), lit(i).as("band"),
+          col(s"band$i").as("bkt")))
+      .reduce(_ union _)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
@@ -238,12 +265,12 @@ object TextOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val sa = sig.select(col("doc_id").as("a") +:
-      (0 until K).map(j => col(s"h$j").as(s"a_h$j")): _*)
+      (0 until banding.k).map(j => col(s"h$j").as(s"a_h$j")): _*)
     val sb = sig.select(col("doc_id").as("b") +:
-      (0 until K).map(j => col(s"h$j").as(s"b_h$j")): _*)
-    val est = (0 until K)
+      (0 until banding.k).map(j => col(s"h$j").as(s"b_h$j")): _*)
+    val est = (0 until banding.k)
       .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1.0).otherwise(0.0))
-      .reduce(_ + _) / K
+      .reduce(_ + _) / banding.k
     cand.join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"), est.as("jaccard_est"))
   }
@@ -301,10 +328,7 @@ object TextOps {
       .agg(laneMinAggs.head,
         laneMinAggs.tail :+ collect_set(col("sh")).as("sset"): _*)
       .select(col("doc_id") +: col("sset") +: hexLanes: _*)
-      .withColumn("band0",
-        graft_md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))))
-      .withColumn("band1",
-        graft_md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))))
+      .transform(withBands(_))
       .persist()
     sketch.count() // materialize once before the multi-branch self-joins
     bandCandidates(sketch)
@@ -594,15 +618,32 @@ object TextOps {
     * (band index, band value) and only candidates pay the exact
     * bit_count(xor) check. The same band trick is how simhash dedup runs
     * at 100 TB (candidate volume ~ bucket collisions, not n²). */
-  def t13SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSig(s, dir).persist()
-    sig.count()
-    val bands = Seq(
-      (0, col("simhash").bitwiseAND(lit(0x7FFL))),
-      (1, shiftright(col("simhash"), 11).bitwiseAND(lit(0x7FFL))),
-      (2, shiftright(col("simhash"), 22).bitwiseAND(lit(0x3FFL))))
-    val buckets = bands.map { case (i, b) =>
-      sig.select(col("doc_id"), lit(i).as("band"), b.as("bval"))
+  /** `nBands` near-equal splits of a `width`-bit signature, widest first
+    * — (shift, mask) per band. Pigeonhole: hamming ≤ nBands-1 ⇒ ≥1 band
+    * agrees exactly (property-tested in BandingSpec). nBands is the
+    * candidate-volume knob: more bands catch larger hamming radii but
+    * each band gets fewer bits, so random bucket collisions grow
+    * (2^-bits per band). 3 bands over 32 bits = the 11+11+10 default. */
+  private[graft] def simhashBandBits(nBands: Int,
+      width: Int = 32): Seq[(Int, Long)] = {
+    require(nBands >= 1 && nBands <= width)
+    val base = width / nBands
+    val extra = width % nBands
+    val sizes = Seq.tabulate(nBands)(i => if (i < extra) base + 1 else base)
+    sizes.scanLeft(0)(_ + _).zip(sizes).map {
+      case (shift, sz) => (shift, (1L << sz) - 1)
+    }
+  }
+
+  /** Hamming-banded candidate pairs over a (doc_id, simhash) table —
+    * exact hamming attached, candidates only (never all-pairs). */
+  private[graft] def simhashBandedPairs(sig: DataFrame,
+      nBands: Int): DataFrame = {
+    val buckets = simhashBandBits(nBands).zipWithIndex.map {
+      case ((shift, mask), i) =>
+        sig.select(col("doc_id"), lit(i).as("band"),
+          shiftright(col("simhash"), shift).bitwiseAND(lit(mask))
+            .as("bval"))
     }.reduce(_ union _)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
@@ -616,6 +657,12 @@ object TextOps {
       .select(col("a"), col("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long")
           .as("hamming"))
+  }
+
+  def t13SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(s, dir).persist()
+    sig.count()
+    simhashBandedPairs(sig, nBands = 3)
       .filter(col("hamming") <= 2)
       .sortedWide("a", "b")
   }
