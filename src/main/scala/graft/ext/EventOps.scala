@@ -280,6 +280,38 @@ object EventOps {
       |SELECT '3_purchase', COUNT(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** s09: cohort retention — users bucketed by first-activity week
+    * (cohort), counted distinct per week-offset since their cohort. The
+    * canonical engagement matrix every analytics stack computes. Two
+    * shuffles on user_id (cohort min + distinct activity), one on the
+    * bounded (cohort, offset) matrix; week arithmetic is integer epoch
+    * math (portable — no calendar/timezone dependence). */
+  def s09CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // integer div end-to-end (`div`, not `/`): a double quotient near a
+    // week boundary could round across it and disagree with DuckDB's `//`
+    val weeks = events(s, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000000000) div 604800").as("wk"))
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    weeks.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .sortedSmall("cohort_wk", "offset")
+  }
+
+  val s09Oracle: String =
+    """WITH w AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY 1)
+      |SELECT cohort_wk, wk - cohort_wk AS offset,
+      |  COUNT(DISTINCT w.user_id) AS n_users
+      |FROM w JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -288,5 +320,6 @@ object EventOps {
     Q("s05_asof_attribution", s05AsOfAttribution, Some(s05Oracle)),
     Q("s06_range_join", s06RangeJoin, Some(s06Oracle)),
     Q("s07_sliding_window", s07Sliding, Some(s07Oracle)),
-    Q("s08_funnel", s08Funnel, Some(s08Oracle)))
+    Q("s08_funnel", s08Funnel, Some(s08Oracle)),
+    Q("s09_cohort_retention", s09CohortRetention, Some(s09Oracle)))
 }

@@ -119,8 +119,8 @@ object TextOps {
   /** Character 5-gram shingles (raw text, one row per (doc, position)). The
     * explode is map-side (no shuffle); downstream aggs shuffle on doc_id
     * only. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       // The documents table arrives as one parquet split; without an explicit
       // redistribution the ~550× shingle explode and md5 minhash all run on
       // a single core. Repartition on doc_id: parallelizes the heavy map AND
@@ -133,16 +133,22 @@ object TextOps {
         col("text"))
       .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("sh"))
 
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(documents(s, dir))
+
   // DuckDB 1.0 generate_series only accepts constant bounds (no lateral
   // column refs, no subqueries), so build a constant 1..2048 series — the
   // corpus max n_chars is 577 at every scale factor — and theta-join it down
-  // to each document's shingle positions.
-  private val shinglesSql: String =
-    """SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
-      |FROM documents JOIN (
-      |  SELECT CAST(x AS BIGINT) AS i
-      |  FROM generate_series(1, 2048) t(x)) s
-      |ON s.i <= greatest(n_chars - 4, 1)""".stripMargin
+  // to each document's shingle positions. Parameterized by source relation
+  // so the dedup-composed t18 can run it over the keeper corpus.
+  private def shinglesSqlFrom(src: String): String =
+    s"""SELECT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+       |FROM $src JOIN (
+       |  SELECT CAST(x AS BIGINT) AS i
+       |  FROM generate_series(1, 2048) t(x)) s
+       |ON s.i <= greatest(n_chars - 4, 1)""".stripMargin
+
+  private val shinglesSql: String = shinglesSqlFrom("documents")
 
   /** Two seeded digests per shingle; each yields four independent 32-bit
     * (8-hex) minhash lanes — 8 permutations from 2 md5 calls instead of 8
@@ -218,11 +224,11 @@ object TextOps {
     * doc_id), 8 lane-mins in one pass over 2 digests; band digests are the
     * LSH bucket keys. Stays unsorted so downstream self-joins keep the
     * natural (doc_id-hashed, parallel) partitioning. */
-  private def minhashSig(s: SparkSession, dir: String,
+  private def minhashSigOf(docs: DataFrame,
       banding: MinHashBanding = MinHashBanding()): DataFrame = {
     import graft.functions.Md5Lanes.graft_md5_lanes
     withBands(
-      shingles(s, dir)
+      shinglesOf(docs)
         .select(col("doc_id"), graft_md5_lanes(col("sh")).as("lv"))
         .groupBy(col("doc_id"))
         .agg(laneMinAggs.head, laneMinAggs.tail: _*)
@@ -230,20 +236,27 @@ object TextOps {
       banding)
   }
 
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigOf(documents(s, dir))
+
   /** t06: per-document MinHash signatures + LSH band bucket keys. */
   def t06MinhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSig(s, dir).sortedWide("doc_id")
 
-  private val sigSql: String = {
+  private def sigSqlFrom(src: String): String = {
     val hs = (0 until K)
       .map(j => s"min(${laneSql(j)}) AS h$j").mkString(", ")
-    s"""WITH d AS ($digestsSql),
+    s"""WITH d AS (
+       |  SELECT doc_id, md5('0' || sh) AS d1, md5('1' || sh) AS d2
+       |  FROM (${shinglesSqlFrom(src)}) sh),
        |sig AS (SELECT doc_id, $hs FROM d GROUP BY doc_id)
        |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
        |  md5(h0 || h1 || h2 || h3) AS band0,
        |  md5(h4 || h5 || h6 || h7) AS band1
        |FROM sig""".stripMargin
   }
+
+  private val sigSql: String = sigSqlFrom("documents")
 
   val t06Oracle: String = s"$sigSql ORDER BY doc_id"
 
@@ -831,6 +844,50 @@ object TextOps {
        |FROM k JOIN t ON k.lang = t.lang
        |ORDER BY t.lang""".stripMargin
 
+  /** t18: the production dedup ORDERING as one composed plan — exact
+    * dedup first (t01's hash-groupBy keepers), THEN MinHash/LSH candidate
+    * generation over the surviving corpus only. PLANS.md's 100× replica
+    * measures why this ordering matters: on a corpus with c-way exact
+    * duplication, LSH-first pays ~n·C(c,2) clique pairs (25 M at 100×)
+    * while dedup-first collapses every clique in one hash-agg pass and
+    * the quadratic stage sees unique documents only. Same two shuffles
+    * as t07 plus the keeper semi-join (broadcast at this cardinality,
+    * bucketed co-location at 100 TB). */
+  def t18DedupThenLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val keepers = d
+      .groupBy(graft_md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sig = minhashSigOf(d.join(keepers, Seq("doc_id"), "left_semi"))
+      .persist()
+    sig.count()
+    bandCandidates(sig).sortedWide("a", "b")
+  }
+
+  val t18Oracle: String = {
+    val est = (0 until K)
+      .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1.0 ELSE 0.0 END")
+      .mkString("(", " + ", s") / $K")
+    s"""WITH kept AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
+       |        GROUP BY md5(text)) k ON d.doc_id = k.doc_id),
+       |sig AS (${sigSqlFrom("kept")}),
+       |buckets AS (
+       |  SELECT doc_id, 0 AS band, band0 AS bkt FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, band1 AS bkt FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id)
+       |SELECT a, b, $est AS jaccard_est
+       |FROM cand JOIN sig x ON cand.a = x.doc_id
+       |          JOIN sig y ON cand.b = y.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t01_dedup_exact", t01DedupExact, Some(t01Oracle)),
     Q("t02_token_stats", t02TokenStats, Some(t02Oracle)),
@@ -848,5 +905,6 @@ object TextOps {
     Q("t14_hash_split", t14HashSplit, Some(t14Oracle)),
     Q("t15_shard_packing", t15ShardPacking, Some(t15Oracle)),
     Q("t16_trigram_profile", t16TrigramProfile, Some(t16Oracle)),
-    Q("t17_dedup_apply", t17DedupApply, Some(t17Oracle)))
+    Q("t17_dedup_apply", t17DedupApply, Some(t17Oracle)),
+    Q("t18_dedup_then_lsh", t18DedupThenLsh, Some(t18Oracle)))
 }
