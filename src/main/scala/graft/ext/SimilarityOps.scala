@@ -442,6 +442,45 @@ object SimilarityOps {
     """SELECT DISTINCT vec_id AS qid, true AS search_ok
       |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin
 
+  /** e10: embedding near-dup with LSH-bucket blocking — e05's contract
+    * (cosine above threshold ⇒ duplicate pair) but candidates come from
+    * the sign-LSH bucket equi-join (e03's buckets) instead of a label
+    * key: the fully self-contained 100 TB shape, no metadata blocking
+    * key required. Near-identical vectors agree on every sign bit, so
+    * bucket-blocking loses only pairs straddling a hyperplane — the
+    * standard LSH recall trade, bounded here by using the same demo
+    * threshold as e05. */
+  def e10LshCosineDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"), signBucket.as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("bucket"), col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_r"))
+      .filter(col("cos_r") > 0.4)
+      .sortedWide("bucket", "a", "b")
+  }
+
+  val e10Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+      |   CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings)
+      |SELECT CAST(x.bucket AS BIGINT) AS bucket, x.vec_id AS a,
+      |  y.vec_id AS b,
+      |  round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
+      |FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      |WHERE round(list_cosine_similarity(x.v, y.v), 4) > 0.4
+      |ORDER BY bucket, a, b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -451,5 +490,6 @@ object SimilarityOps {
     Q("e06_ann_ivf", e06AnnIvf, Some(e06Oracle)),
     Q("e07_ann_recall", e07AnnRecall, Some(e07Oracle)),
     Q("e08_quantize_int8", e08QuantizeInt8, Some(e08Oracle)),
-    Q("e09_quantized_search", e09QuantizedSearch, Some(e09Oracle)))
+    Q("e09_quantized_search", e09QuantizedSearch, Some(e09Oracle)),
+    Q("e10_lsh_cosine_dedup", e10LshCosineDedup, Some(e10Oracle)))
 }
