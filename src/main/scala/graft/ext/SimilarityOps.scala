@@ -227,8 +227,7 @@ object SimilarityOps {
         // Exact decimal mean (order-independent across partitions AND
         // engines) — a double avg() would be float-summation-order
         // dependent, which is what kept e06 oracle-less in round 2.
-        .agg((graft.expr.Exprs.dsum(col("v").cast("double"), 12) /
-          count(col("v"))).as("m"))
+        .agg(graft.expr.Exprs.davg(col("v").cast("double"), 12).as("m"))
         .groupBy(col("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -299,8 +298,7 @@ object SimilarityOps {
       s"""$out AS (
          |  SELECT cid, CAST(list(mf ORDER BY pos) AS DOUBLE[]) AS cv FROM (
          |    SELECT cid, pos,
-         |      CAST(CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
-         |           / COUNT(x) AS FLOAT) AS mf
+         |      CAST(${graft.expr.Exprs.davgSql("x", 12)} AS FLOAT) AS mf
          |    FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
          |            unnest(v) AS x FROM $assigned)
          |    GROUP BY cid, pos)

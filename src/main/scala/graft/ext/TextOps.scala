@@ -158,9 +158,11 @@ object TextOps {
       graft_md5(concat(lit("0"), col("sh"))).as("d1"),
       graft_md5(concat(lit("1"), col("sh"))).as("d2"))
 
-  private val digestsSql: String =
+  private def digestsSqlFrom(src: String): String =
     s"""SELECT doc_id, md5('0' || sh) AS d1, md5('1' || sh) AS d2
-       |FROM ($shinglesSql) sh""".stripMargin
+       |FROM (${shinglesSqlFrom(src)}) sh""".stripMargin
+
+  private val digestsSql: String = digestsSqlFrom("documents")
 
   private def laneSql(j: Int): String = {
     val d = if (j < 4) "d1" else "d2"
@@ -246,9 +248,7 @@ object TextOps {
   private def sigSqlFrom(src: String): String = {
     val hs = (0 until K)
       .map(j => s"min(${laneSql(j)}) AS h$j").mkString(", ")
-    s"""WITH d AS (
-       |  SELECT doc_id, md5('0' || sh) AS d1, md5('1' || sh) AS d2
-       |  FROM (${shinglesSqlFrom(src)}) sh),
+    s"""WITH d AS (${digestsSqlFrom(src)}),
        |sig AS (SELECT doc_id, $hs FROM d GROUP BY doc_id)
        |SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
        |  md5(h0 || h1 || h2 || h3) AS band0,

@@ -28,10 +28,15 @@ object Out {
       * input-sized key domains, candidate-pair lists, time-range windows).
       * A `repartition(1)` sink on those is a single-partition funnel at
       * 100 TB; the distributed range sort keeps every executor writing.
-      * The extra cost vs [[sortedSmall]] is the range-sampling pass —
-      * cheap for the map-heavy children these queries have, and the
-      * price of a plan that survives a 100× scale-up. */
-    def sortedWide(cols: Column*): DataFrame = df.orderBy(cols: _*)
+      *
+      * The child is persisted first: a range sort runs a sampling job
+      * over its input before the shuffle, and without materialization
+      * that re-executes the whole upstream plan (measured 2× on the
+      * digest-heavy queries). The result set is being materialized for
+      * output anyway, so caching it costs one copy of the data being
+      * sorted — the same budget any engine's external sort spends. */
+    def sortedWide(cols: Column*): DataFrame =
+      df.persist().orderBy(cols: _*)
     def sortedWide(first: String, rest: String*): DataFrame =
       sortedWide((first +: rest).map(col): _*)
   }

@@ -116,24 +116,33 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Versions retained behind `_current` for in-flight readers. */
-  private val gcKeep = 1
-
-  private def gc(table: String, committed: Int): Unit =
+  /** Sweep versions that have left the retention window. `prev` is the
+    * version that was committed BEFORE this commit — the one in-flight
+    * readers may still be scanning — so retention is anchored to the
+    * pointer history, never to the new version number: claimNext skips
+    * orphaned claims, so `committed - 1` can be far above the live
+    * previous version and keying GC off it would delete what a reader is
+    * scanning while retaining ghosts. Deletes every vN < prev, plus the
+    * pre-protocol flat files once they too are behind the window
+    * (prev ≥ 1 means some vN replaced them as the retained snapshot). */
+  private def gc(table: String, prev: Int): Unit =
     listDir(table).foreach { p =>
       val n = p.getFileName.toString
-      if (n.matches("v\\d+") && n.drop(1).toInt < committed - gcKeep)
-        deleteRecursive(p)
+      if (n.matches("v\\d+")) {
+        if (n.drop(1).toInt < prev) deleteRecursive(p)
+      } else if (prev >= 1 && !n.startsWith("_") && !n.startsWith("."))
+        deleteRecursive(p) // legacy v0 flat data aged out of retention
     }
 
   /** Full-table rewrite through the commit protocol (steps 1-3 + GC). */
   private def commitRewrite(table: String, df: DataFrame): Unit = {
+    val prev = currentVersion(table)
     val (v, claimed) = claimNext(table)
     // Append mode: the claimed directory is empty and MUST survive the
     // write (Overwrite would delete-and-recreate it, dropping the claim).
     df.write.mode(SaveMode.Append).parquet(claimed.toString)
     commitPointer(table, v)
-    gc(table, v)
+    gc(table, prev)
   }
 
   def append(table: String, df: DataFrame): Unit =

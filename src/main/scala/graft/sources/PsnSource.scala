@@ -134,9 +134,13 @@ final class PsnScanBuilder(tableName: String, pageSize: Int)
     required = requiredSchema
 
   /** Accept the supported subset for source-side evaluation; return ALL
-    * filters as residual so Spark re-applies them post-scan — pushdown
-    * here is a data-volume optimization (skip pages / rows at the
-    * source), never a correctness dependency. */
+    * filters as residual so Spark re-applies them post-scan, so rows a
+    * page DOES deliver can never leak past the predicate. Page pruning
+    * itself assumes the remote data is stable between planning and
+    * reading (the snapshot assumption every paged remote scan makes —
+    * a row mutated into matching after planning sits on a page that was
+    * never planned). Streaming re-plans pages every micro-batch, so
+    * there the window is one poll. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(PsnFilters.supported)
     filters

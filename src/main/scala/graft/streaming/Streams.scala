@@ -152,9 +152,18 @@ object Streams {
             .filter(col("__rn") === 1).drop("__rn")
           if (!store.exists(table)) store.append(table, latest)
           else {
-            val fresh = graft.psn.Ops.newGames(latest, store.read(table))
-            if (!fresh.isEmpty) store.append(table, fresh)
-            store.merge(table, latest)
+            val stored = store.read(table)
+            // The poll source re-emits the full snapshot every trigger;
+            // an unchanged snapshot must NOT rewrite the table (write
+            // amplification + needless version churn against readers).
+            // Cost of the guard is one join on the game-library
+            // cardinality — tiny next to a table rewrite.
+            if (!latest.exceptAll(
+                stored.select(latest.columns.map(col): _*)).isEmpty) {
+              val fresh = graft.psn.Ops.newGames(latest, stored)
+              if (!fresh.isEmpty) store.append(table, fresh)
+              store.merge(table, latest)
+            }
           }
         }
       }

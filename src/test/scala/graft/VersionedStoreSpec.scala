@@ -71,6 +71,16 @@ class VersionedStoreSpec extends AnyFunSuite {
     upsert(store, "t", kv(1 -> "a2"))
     assert(Files.readString(Paths.get(wh, "t", "_current")).trim == "v8")
     assert(store.read("t").collect().map(_.getString(1)).toSeq == Seq("a2"))
+    // Retention is anchored to the pointer HISTORY, not the new version
+    // number: v1 (the live previous an in-flight reader may be scanning)
+    // must survive this commit even though 8 - 1 > it.
+    assert(Files.exists(Paths.get(wh, "t", "v1")),
+      "live previous version must not be GC'd past an orphan claim")
+    // One more commit moves the window: now v1 AND the ghost v7 are swept.
+    upsert(store, "t", kv(1 -> "a3"))
+    assert(!Files.exists(Paths.get(wh, "t", "v1")))
+    assert(!Files.exists(Paths.get(wh, "t", "v7")))
+    assert(Files.exists(Paths.get(wh, "t", "v8")))
   }
 
   test("GC keeps current + previous version only") {
@@ -102,6 +112,21 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(wh, "t", "_current")).trim == "v1")
     assert(store.read("t").orderBy("k").collect().map(_.getString(1))
       .toSeq == Seq("upgraded", "new"))
+    // flat v0 files are the retained previous snapshot for this commit…
+    def flatParts = {
+      val s = Files.list(Paths.get(wh, "t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString
+          .endsWith(".parquet"))
+      } finally s.close()
+    }
+    assert(flatParts > 0)
+    // …and age out of retention on the NEXT rewrite (no permanent leak)
+    upsert(store, "t", kv(2 -> "newer"))
+    assert(flatParts == 0)
+    assert(store.read("t").orderBy("k").collect().map(_.getString(1))
+      .toSeq == Seq("upgraded", "newer"))
   }
 
   test("overwrite (K3) goes through the same commit protocol") {
