@@ -51,10 +51,25 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout of a 60+-query run gets tail-truncated by log scrapers
-    // (BENCH_r02 lost 17 queries mid-JSON) — the file is the durable
-    // artifact; stdout stays for the driver's existing contract.
+    // The driver parses the bench JSON from a 2000-char stdout tail (measured
+    // from BENCH_r03.json), and sbt appends a ~75-char "[success]" footer —
+    // so the printed line must stay under ~1900 chars FOREVER, at any suite
+    // size. Full names at full precision blew it two rounds running
+    // (BENCH_r02/r03 "parsed": null). stdout therefore gets short query keys
+    // (the unique "q01"/"t17"/… prefix of each name) at 3 decimals; the
+    // full-name full-precision line goes to BENCH_LAST.json, the durable
+    // artifact committed alongside.
+    def shortKey(name: String): String = {
+      val cut = name.indexOf('_')
+      if (cut > 0) name.substring(0, cut) else name
+    }
+    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val shortQs = results
+      .map { case (k, v) => s"\"" + shortKey(k) + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    val shortLine =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
+    println(shortLine)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
