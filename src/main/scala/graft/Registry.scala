@@ -14,6 +14,6 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ops.Relational.all ++ ops.Relational2.all ++
-      ext.TextOps.all ++ ext.SimilarityOps.all ++
+      ext.TextOps.all ++ ext.TextOps2.all ++ ext.SimilarityOps.all ++
       ext.EventOps.all ++ ext.MultimodalOps.all
 }

@@ -1,0 +1,319 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.tables.Tables._
+import graft.functions.Md5Hex.graft_md5
+import graft.ops.Out._
+
+/** Second wave of LLM-training-pipeline text operators (t19-t25):
+  * chunking, PII scrubbing, repetition detection, bigram TF-IDF + sparse
+  * cosine similarity join, incremental dedup against a reference corpus,
+  * and deterministic stratified sampling.
+  *
+  * Same scale posture as TextOps: map-side explodes, shuffles keyed on
+  * doc_id/term only, broadcasts for the small side (per-stratum rates,
+  * document frequencies), never an all-pairs comparison — the similarity
+  * join is term-partitioned with a document-frequency cap, the standard
+  * stop-term prefix-filter that bounds join fanout at any corpus size.
+  */
+object TextOps2 {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** t19: RAG/training-prep chunking — split each document into overlapping
+    * token windows (40 tokens, stride 30). Map-only: the explode produces
+    * ~n_tokens/30 rows per document with no shuffle; at 100 TB this is the
+    * same narrow transform per scan split.
+    */
+  def t19Chunking(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(30))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / 30).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_token"),
+        least(size(col("t")) - col("start"), lit(40)).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("start") + 1, lit(40)), " ")
+          .as("chunk_text"))
+      .sortedWide("doc_id", "chunk_idx")
+
+  val t19Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |c AS (SELECT doc_id, t, unnest(range(0, len(t), 30)) AS start FROM d)
+      |SELECT doc_id,
+      |  start // 30 AS chunk_idx,
+      |  start AS start_token,
+      |  least(len(t) - start, 40) AS n_chunk_tokens,
+      |  array_to_string(list_slice(t, start + 1, least(start + 40, len(t))), ' ')
+      |    AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** t20: PII/URL scrubbing — redact emails, URLs, and long digit runs with
+    * engine-portable regexes, and count each redaction class. The corpus
+    * text is synthetic prose with no PII, so the operator runs on a
+    * deterministically enriched payload (doc_id-derived email/phone/URL
+    * appended) — the scrub path itself is what's under test. Map-only. */
+  def t20PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com ref 12345"),
+      col("doc_id"),
+      lit(" visit https://site.example/p/"), col("doc_id"))
+    val emailPat = "[a-z0-9.]+@[a-z0-9.]+"
+    val urlPat = "https?://[^ ]+"
+    val numPat = "[0-9][0-9][0-9][0-9][0-9]+"
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(payload, emailPat, "<EMAIL>"),
+        urlPat, "<URL>"),
+      numPat, "<NUM>")
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(payload, lit(emailPat), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(payload, lit(urlPat), lit(0))).cast("long")
+          .as("n_urls"),
+        size(regexp_extract_all(payload, lit(numPat), lit(0))).cast("long")
+          .as("n_nums"),
+        length(clean).as("clean_len"),
+        graft_md5(clean).as("clean_md5"))
+      .sortedWide("doc_id")
+  }
+
+  val t20Oracle: String = {
+    val payload = "(text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com ref 12345' || CAST(doc_id AS VARCHAR) || " +
+      "' visit https://site.example/p/' || CAST(doc_id AS VARCHAR))"
+    val clean = "regexp_replace(regexp_replace(regexp_replace(" + payload +
+      ", '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g')" +
+      ", 'https?://[^ ]+', '<URL>', 'g')" +
+      ", '[0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all($payload, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all($payload, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all($payload, '[0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_nums,
+       |  CAST(length($clean) AS INTEGER) AS clean_len,
+       |  md5($clean) AS clean_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Word n-gram list per document (order-preserving). `n` fixed per call. */
+  private def wordGrams(n: Int): Column =
+    transform(sequence(lit(0), size(col("t")) - n), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(col("t"), i + k + 1)): _*))
+
+  /** t21: intra-document repetition detection — word-trigram duplication
+    * ratio, the boilerplate/spam gate of a training-data pipeline. Explode
+    * is map-side; both aggregations shuffle on doc_id (the second collapses
+    * into the first's partitioning — one exchange total). */
+  def t21Repetition(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(wordGrams(3)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_gram_cnt"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("max_gram_cnt"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("rep_ratio"))
+      .sortedWide("doc_id")
+
+  val t21Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM d)),
+      |pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |  COUNT(*) AS n_distinct, MAX(cnt) AS max_gram_cnt,
+      |  (CAST(SUM(cnt) AS BIGINT) - COUNT(*)) / CAST(SUM(cnt) AS BIGINT)
+      |    AS rep_ratio
+      |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-(doc, bigram) term frequencies. The term space is word bigrams —
+    * the corpus vocabulary is ~31 unigrams (every unigram is a stop word at
+    * df≈75%), while bigrams spread over ~1000 terms at df≈5%, giving TF-IDF
+    * actual discriminative power. */
+  private def bigramTf(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(wordGrams(2)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  private val bigramTfSql: String =
+    """SELECT doc_id, t[i] || ' ' || t[i+1] AS term, COUNT(*) AS tf
+      |FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      |GROUP BY 1, 2""".stripMargin
+
+  /** t22: bigram TF-IDF weights. Integer-exact "linear idf":
+    * w_milli = tf * 1000 * N / df (floor) — engine-portable (no ln), same
+    * monotonicity in (tf, 1/df). Plan: one shuffle for (doc,term) tf, one
+    * tiny shuffle for df (vocabulary-sized), then a broadcast join back —
+    * the fact table is touched once. */
+  def t22Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = bigramTf(s, dir)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        expr("tf * 1000 * n_docs div df").as("w_milli"))
+      .sortedWide("doc_id", "term")
+  }
+
+  val t22Oracle: String =
+    s"""WITH tf AS ($bigramTfSql),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+       |SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       |  df.df AS df, (tf.tf * 1000 * n.n_docs) // df.df AS w_milli
+       |FROM tf, df, n WHERE tf.term = df.term
+       |ORDER BY 1, 2""".stripMargin
+
+  /** t23: sparse cosine similarity join over the t22 TF-IDF vectors — the
+    * classic term-partitioned set-similarity join. The document-frequency
+    * cap (df ≤ N/10) plays the prefix-filter role: stop-terms, whose
+    * posting lists drive the quadratic fanout, never enter the join, so
+    * per-term work is bounded at any corpus size. Weight products and
+    * squared norms accumulate in decimal (exact); cosine touches doubles
+    * only through decimal→double casts, sqrt, and division — all
+    * IEEE-identical across engines. */
+  def t23SimilarityJoin(s: SparkSession, dir: String): DataFrame = {
+    val tf = bigramTf(s, dir)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val v = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("doc_id"), col("term"),
+        expr("tf * 1000 * n_docs div df").as("w"))
+      .persist()
+    val dec = "decimal(38,0)"
+    val norms = v.groupBy(col("doc_id"))
+      .agg(sum(col("w").cast(dec) * col("w").cast(dec)).as("nrm2"))
+    val pairs = v.toDF("a", "term", "wa")
+      .join(v.toDF("b", "term", "wb"), "term")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("wa").cast(dec) * col("wb").cast(dec)).as("dot"))
+    pairs
+      .join(broadcast(norms.toDF("a", "na2")), "a")
+      .join(broadcast(norms.toDF("b", "nb2")), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
+          4).as("cos_r"))
+      .filter(col("n_shared") >= 5 && col("cos_r") >= 0.5)
+      .sortedWide("a", "b")
+  }
+
+  val t23Oracle: String =
+    s"""WITH tf AS ($bigramTfSql),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+       |v AS (SELECT tf.doc_id, tf.term,
+       |        (tf.tf * 1000 * n.n_docs) // df.df AS w
+       |      FROM tf, df, n WHERE tf.term = df.term AND df.df * 10 <= n.n_docs),
+       |nrm AS (SELECT doc_id,
+       |          SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS nrm2
+       |        FROM v GROUP BY doc_id),
+       |p AS (SELECT va.doc_id AS a, vb.doc_id AS b, COUNT(*) AS n_shared,
+       |        SUM(CAST(va.w AS HUGEINT) * CAST(vb.w AS HUGEINT)) AS dot
+       |      FROM v va, v vb
+       |      WHERE va.term = vb.term AND va.doc_id < vb.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT p.a, p.b, p.n_shared,
+       |  round(CAST(p.dot AS DOUBLE) /
+       |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))),
+       |    4) AS cos_r
+       |FROM p, nrm na, nrm nb
+       |WHERE na.doc_id = p.a AND nb.doc_id = p.b
+       |  AND p.n_shared >= 5
+       |  AND round(CAST(p.dot AS DOUBLE) /
+       |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))),
+       |    4) >= 0.5
+       |ORDER BY a, b""".stripMargin
+
+  /** t24: incremental dedup — dedupe a "daily increment" (doc_id % 10 < 2)
+    * against the reference corpus (the rest). The join key is an 8-hex-char
+    * content-hash block — the equi-join shape a Bloom/hash pre-filter gives
+    * at scale (candidates only, never corpus × increment) — followed by an
+    * exact text-equality verify inside the aggregation, so hash collisions
+    * cannot produce a false keeper. */
+  def t24IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val blk = substring(graft_md5(col("text")), 1, 8)
+    val inc = d.filter(col("doc_id") % 10 < 2)
+      .select(col("doc_id"), col("lang"), col("text"), blk.as("blk"))
+    val ref = d.filter(col("doc_id") % 10 >= 2)
+      .select(col("doc_id").as("rid"), col("text").as("rtext"), blk.as("blk"))
+    inc.join(ref, Seq("blk"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(when(col("rtext") === col("text"), col("rid"))).as("keeper"))
+      .select(col("doc_id"), col("lang"), col("keeper"),
+        col("keeper").isNotNull.as("is_dup"))
+      .sortedWide("doc_id")
+  }
+
+  val t24Oracle: String =
+    """SELECT d.doc_id, d.lang,
+      |  (SELECT MIN(r.doc_id) FROM documents r
+      |   WHERE r.doc_id % 10 >= 2 AND r.text = d.text) AS keeper,
+      |  (SELECT MIN(r.doc_id) FROM documents r
+      |   WHERE r.doc_id % 10 >= 2 AND r.text = d.text) IS NOT NULL AS is_dup
+      |FROM documents d WHERE d.doc_id % 10 < 2
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** t25: deterministic stratified sampling — equalize language strata by
+    * downsampling each to the smallest stratum's size (in expectation),
+    * keeping a row iff a salted content-independent hash of its id lands
+    * under the stratum's rate. Reproducible (pure function of doc_id),
+    * engine-portable (md5), and scan-parallel: rates are a
+    * vocabulary-of-strata-sized broadcast. */
+  def t25StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val minc = counts.agg(min(col("cnt")).as("mn"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .select(col("lang"), expr("mn * 1000000 div cnt").as("rate_ppm"))
+    val hashPpm = conv(substring(
+      graft_md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000
+    d.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"), hashPpm.as("hash_ppm"),
+        col("rate_ppm"))
+      .filter(col("hash_ppm") < col("rate_ppm"))
+      .sortedWide("doc_id")
+  }
+
+  val t25Oracle: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(cnt) AS mn FROM c),
+      |r AS (SELECT lang, (mn * 1000000) // cnt AS rate_ppm FROM c, m),
+      |h AS (SELECT doc_id, lang,
+      |        CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)),
+      |          1, 8)) AS BIGINT) % 1000000 AS hash_ppm
+      |      FROM documents)
+      |SELECT h.doc_id, h.lang, h.hash_ppm, r.rate_ppm
+      |FROM h, r WHERE h.lang = r.lang AND h.hash_ppm < r.rate_ppm
+      |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t19_chunking", t19Chunking, Some(t19Oracle)),
+    Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
+    Q("t21_repetition", t21Repetition, Some(t21Oracle)),
+    Q("t22_tfidf", t22Tfidf, Some(t22Oracle)),
+    Q("t23_similarity_join", t23SimilarityJoin, Some(t23Oracle)),
+    Q("t24_incremental_dedup", t24IncrementalDedup, Some(t24Oracle)),
+    Q("t25_stratified_sample", t25StratifiedSample, Some(t25Oracle)))
+}
