@@ -479,6 +479,45 @@ object SimilarityOps {
       |WHERE round(list_cosine_similarity(x.v, y.v), 4) > 0.4
       |ORDER BY bucket, a, b""".stripMargin
 
+  /** Deterministic ±1 sign matrix for e11 (8 projected dims × 64 input
+    * dims), derived from md5 parity of "rp:j:i" — reproducible anywhere,
+    * embedded as literals in BOTH the Spark expression tree and the oracle
+    * SQL so the two engines execute the identical IEEE addition chain. */
+  private lazy val rpSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(8, 64) { (j, i) =>
+      val h = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** e11: random-projection dimensionality reduction 64→8 — the cheap
+    * sketch that makes downstream clustering/ANN affordable (Achlioptas
+    * ±1 projections preserve pairwise distances in expectation). Map-only
+    * and fully codegen'd: each output dim is a literal-signed sum of the
+    * input floats, no HOFs, no shuffle — at 100 TB this runs at scan
+    * speed inside WholeStageCodegen. */
+  def e11RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    def proj(j: Int): Column =
+      (0 until 64).map { i =>
+        element_at(col("embedding"), i + 1).cast("double") * rpSigns(j)(i)
+      }.reduce(_ + _)
+    embeddings(s, dir)
+      .select(col("vec_id") +: col("label") +:
+        (0 until 8).map(j => round(proj(j), 6).as(s"r$j")): _*)
+      .sortedWide("vec_id")
+  }
+
+  val e11Oracle: String = {
+    def proj(j: Int): String =
+      (0 until 64).map { i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${rpSigns(j)(i)})"
+      }.mkString(" + ")
+    val cols = (0 until 8).map(j => s"round(${proj(j)}, 6) AS r$j")
+    s"SELECT vec_id, label, ${cols.mkString(", ")} " +
+      "FROM embeddings ORDER BY vec_id"
+  }
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -489,5 +528,6 @@ object SimilarityOps {
     Q("e07_ann_recall", e07AnnRecall, Some(e07Oracle)),
     Q("e08_quantize_int8", e08QuantizeInt8, Some(e08Oracle)),
     Q("e09_quantized_search", e09QuantizedSearch, Some(e09Oracle)),
-    Q("e10_lsh_cosine_dedup", e10LshCosineDedup, Some(e10Oracle)))
+    Q("e10_lsh_cosine_dedup", e10LshCosineDedup, Some(e10Oracle)),
+    Q("e11_random_projection", e11RandomProjection, Some(e11Oracle)))
 }
