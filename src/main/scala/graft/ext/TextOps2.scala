@@ -22,13 +22,27 @@ object TextOps2 {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Fan an under-parallel scan out to full parallelism before CPU-heavy
+    * per-row work (explodes, regex chains, digest hashing). Parquet split
+    * counts follow input BYTES, so a few-MB corpus arrives as one split
+    * even though the downstream work is compute-bound — and everything
+    * after it would run on one core. Conditional on the actual scan
+    * parallelism: at production scale the corpus arrives in thousands of
+    * splits and this is a no-op, so the extra shuffle only exists where
+    * it pays for itself (measured: t23's vector build 4.6 s → 0.9 s at
+    * sf0.1 local[32]). */
+  private def fanOut(d: DataFrame): DataFrame = {
+    val p = d.sparkSession.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < p) d.repartition(p, col("doc_id")) else d
+  }
+
   /** t19: RAG/training-prep chunking — split each document into overlapping
     * token windows (40 tokens, stride 30). Map-only: the explode produces
     * ~n_tokens/30 rows per document with no shuffle; at 100 TB this is the
     * same narrow transform per scan split.
     */
   def t19Chunking(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+    fanOut(documents(s, dir))
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - 1, lit(30))).as("start"))
@@ -71,7 +85,7 @@ object TextOps2 {
         regexp_replace(payload, emailPat, "<EMAIL>"),
         urlPat, "<URL>"),
       numPat, "<NUM>")
-    documents(s, dir)
+    fanOut(documents(s, dir))
       .select(col("doc_id"),
         size(regexp_extract_all(payload, lit(emailPat), lit(0))).cast("long")
           .as("n_emails"),
@@ -111,7 +125,7 @@ object TextOps2 {
     * is map-side; both aggregations shuffle on doc_id (the second collapses
     * into the first's partitioning — one exchange total). */
   def t21Repetition(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+    fanOut(documents(s, dir))
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(wordGrams(3)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
@@ -142,7 +156,7 @@ object TextOps2 {
     * df≈75%), while bigrams spread over ~1000 terms at df≈5%, giving TF-IDF
     * actual discriminative power. */
   private def bigramTf(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+    fanOut(documents(s, dir))
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(wordGrams(2)).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -203,15 +217,29 @@ object TextOps2 {
       .filter(col("df") * 10 <= col("n_docs"))
       .select(col("doc_id"), col("term"),
         expr("tf * 100 * n_docs div df").as("w"))
+      // Pin the cached posting table to full parallelism: its few MB would
+      // otherwise be AQE-coalesced to one partition, and the ~40M-row pair
+      // generation that probes it would run on one core (same trap as the
+      // pre-explode repartitions in TextOps — exchange sized by input
+      // bytes, blind to join fanout). Partitioned on term = the join key.
+      .repartition(s.sparkContext.defaultParallelism, col("term"))
       .persist()
     val norms = v.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("nrm2"))
+    // Repartition on (a,b) BEFORE the groupBy: the pair stream has ~1.2×
+    // key multiplicity per task, so a pre-shuffle partial aggregation
+    // would build a ~million-entry hash table per task to eliminate
+    // almost nothing — shuffling the skinny (a,b,product) rows directly
+    // and aggregating once post-shuffle is cheaper. (At higher
+    // multiplicity — e.g. a deduplicated real corpus — flip back to the
+    // plain groupBy and let the partial combine pay its way.)
     val pairs = v.toDF("a", "term", "wa")
       .join(v.toDF("b", "term", "wb"), "term")
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), (col("wa") * col("wb")).as("prod"))
+      .repartition(s.sparkContext.defaultParallelism, col("a"), col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_shared"),
-        sum(col("wa") * col("wb")).as("dot"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("prod")).as("dot"))
     pairs
       .join(broadcast(norms.toDF("a", "na2")), "a")
       .join(broadcast(norms.toDF("b", "nb2")), "b")
@@ -257,7 +285,7 @@ object TextOps2 {
     * exact text-equality verify inside the aggregation, so hash collisions
     * cannot produce a false keeper. */
   def t24IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = documents(s, dir)
+    val d = fanOut(documents(s, dir))
     val blk = substring(graft_md5(col("text")), 1, 8)
     val inc = d.filter(col("doc_id") % 10 < 2)
       .select(col("doc_id"), col("lang"), col("text"), blk.as("blk"))
