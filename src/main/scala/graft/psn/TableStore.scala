@@ -89,6 +89,29 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def read(table: String): DataFrame =
     spark.read.parquet(resolve(table).toString)
 
+  /** Versions currently on disk and readable (committed or retained —
+    * ascending; excludes claimed-but-uncommitted directories above the
+    * pointer). Legacy flat data reads as the implicit version 0. */
+  def versions(table: String): Seq[Int] = {
+    val committed = currentVersion(table)
+    val onDisk = listDir(table).map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      .filter(_ <= committed).sorted
+    if (onDisk.isEmpty && legacyData(table)) Seq(0) else onDisk
+  }
+
+  /** Time-travel read of a retained snapshot: the table exactly as some
+    * earlier commit left it. Bounded by the GC retention window (one
+    * version behind the pointer by default) — the versioned layout makes
+    * this free: a snapshot IS a directory, immutable once committed. */
+  def readVersion(table: String, v: Int): DataFrame = {
+    val have = versions(table)
+    require(have.contains(v),
+      s"version v$v of $table not available (readable: ${have.mkString(",")})")
+    val p = if (v == 0) dir(table) else dir(table).resolve(s"v$v")
+    spark.read.parquet(p.toString)
+  }
+
   /** Atomically claim the next free version directory (≥ committed + 1,
     * skipping orphaned claims from crashed or in-flight writers). */
   private def claimNext(table: String): (Int, Path) = {

@@ -138,3 +138,27 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(snapshot.count() == 2) // old snapshot intact
   }
 }
+
+class TimeTravelSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("readVersion serves retained snapshots; versions() tracks the window") {
+    val wh = Files.createTempDirectory("vstore_tt").toString
+    val store = new TableStore(spark, wh)
+    import spark.implicits._
+    store.append("t", Seq(1 -> "a", 2 -> "b").toDF("k", "v"))     // v1
+    store.overwrite("t", Seq(1 -> "a", 2 -> "B").toDF("k", "v"))  // v2
+    assert(store.versions("t") == Seq(1, 2))
+    // current = v2, time travel = v1
+    assert(store.read("t").filter(col("v") === "B").count() == 1)
+    val v1 = store.readVersion("t", 1)
+    assert(v1.filter(col("v") === "b").count() == 1)
+    assert(v1.count() == 2)
+    // a third commit ages v1 out of the retention window
+    store.overwrite("t", Seq(1 -> "a", 2 -> "C").toDF("k", "v"))  // v3
+    assert(store.versions("t") == Seq(2, 3))
+    intercept[IllegalArgumentException](store.readVersion("t", 1))
+    assert(store.readVersion("t", 2).filter(col("v") === "B").count() == 1)
+  }
+}
