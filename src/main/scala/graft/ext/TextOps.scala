@@ -780,8 +780,11 @@ object TextOps {
     * top-k via partitioned window. */
   def t16TrigramProfile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tri = documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // Conditional fan-out (not the pre-aligned explicit repartition the
+    // minhash/simhash chains use): the aggregation below keys on
+    // (lang, tri), so this exchange exists purely to parallelize the
+    // explode — at production split counts it should vanish.
+    val tri = graft.ops.Par.fanOut(documents(s, dir), "doc_id")
       .select(col("lang"),
         explode(sequence(lit(1), greatest(col("n_chars") - 2, lit(1))))
           .as("i"),

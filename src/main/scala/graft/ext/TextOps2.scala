@@ -22,19 +22,10 @@ object TextOps2 {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Fan an under-parallel scan out to full parallelism before CPU-heavy
-    * per-row work (explodes, regex chains, digest hashing). Parquet split
-    * counts follow input BYTES, so a few-MB corpus arrives as one split
-    * even though the downstream work is compute-bound — and everything
-    * after it would run on one core. Conditional on the actual scan
-    * parallelism: at production scale the corpus arrives in thousands of
-    * splits and this is a no-op, so the extra shuffle only exists where
-    * it pays for itself (measured: t23's vector build 4.6 s → 0.9 s at
-    * sf0.1 local[32]). */
-  private def fanOut(d: DataFrame): DataFrame = {
-    val p = d.sparkSession.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < p) d.repartition(p, col("doc_id")) else d
-  }
+  /** See graft.ops.Par: conditional scan fan-out before CPU-heavy per-row
+    * work (measured here: t23's vector build 4.6 s → 0.9 s at sf0.1). */
+  private def fanOut(d: DataFrame): DataFrame =
+    graft.ops.Par.fanOut(d, "doc_id")
 
   /** t19: RAG/training-prep chunking — split each document into overlapping
     * token windows (40 tokens, stride 30). Map-only: the explode produces
