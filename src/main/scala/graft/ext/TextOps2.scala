@@ -199,8 +199,13 @@ object TextOps2 {
     * any overflow loud, not silent. Cosine touches doubles only through
     * exact-integer casts, sqrt, and division — IEEE-identical across
     * engines. */
-  def t23SimilarityJoin(s: SparkSession, dir: String): DataFrame = {
-    val tf = bigramTf(s, dir)
+  def t23SimilarityJoin(s: SparkSession, dir: String): DataFrame =
+    simPairs(s, bigramTf(s, dir)).sortedWide("a", "b")
+
+  /** Candidate near-dup pairs (a < b, ≥5 shared capped terms, cos ≥ 0.5)
+    * from a (doc_id, term, tf) table — shared by t23 and t26 so a caller
+    * holding a persisted tf pays the vectorization once. */
+  private def simPairs(s: SparkSession, tf: DataFrame): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val v = tf.join(broadcast(df), "term")
@@ -239,7 +244,6 @@ object TextOps2 {
           (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
           4).as("cos_r"))
       .filter(col("n_shared") >= 5 && col("cos_r") >= 0.5)
-      .sortedWide("a", "b")
   }
 
   val t23Oracle: String =
@@ -333,6 +337,77 @@ object TextOps2 {
       |FROM h, r WHERE h.lang = r.lang AND h.hash_ppm < r.rate_ppm
       |ORDER BY doc_id""".stripMargin
 
+  /** t26: containment classification over the t23 near-dup pairs — the
+    * keep-which-one decision of a dedup stage. For each similar pair,
+    * exact bigram-set intersection against BOTH full documents (not just
+    * the df-capped join terms) yields Jaccard and directional containment;
+    * a pair where one side holds ≥90% of the other's bigrams is a
+    * subset/quote/boilerplate inclusion, not a symmetric edit. Thresholds
+    * compare as exact integer ratios (n_both·10 ≥ 9·|A|) — no float
+    * boundary ambiguity. Cost: candidates only (t23's output), each pair
+    * intersected via a term equi-join, never all-pairs. */
+  def t26Containment(s: SparkSession, dir: String): DataFrame = {
+    val tf = bigramTf(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("term"))
+      .persist()
+    val cand = simPairs(s, tf).select(col("a"), col("b"))
+    val sets = tf.select(col("doc_id"), col("term"))
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sets.toDF("a", "term"), "a")
+      .join(sets.toDF("b", "term"), Seq("b", "term"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.toDF("a", "sa")), "a")
+      .join(broadcast(sizes.toDF("b", "sb")), "b")
+      .select(col("a"), col("b"), col("sa"), col("sb"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("sa") + col("sb") - col("n_both")), 4).as("jaccard_r"),
+        when(col("n_both") * 10 >= col("sa") * 9 &&
+            col("n_both") * 10 >= col("sb") * 9, "duplicate")
+          .when(col("n_both") * 10 >= col("sa") * 9, "a_in_b")
+          .when(col("n_both") * 10 >= col("sb") * 9, "b_in_a")
+          .otherwise("overlaps").as("relation"))
+      .sortedWide("a", "b")
+  }
+
+  val t26Oracle: String =
+    s"""WITH tf AS ($bigramTfSql),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+       |v AS (SELECT tf.doc_id, tf.term,
+       |        (tf.tf * 100 * n.n_docs) // df.df AS w
+       |      FROM tf, df, n WHERE tf.term = df.term AND df.df * 10 <= n.n_docs),
+       |nrm AS (SELECT doc_id,
+       |          SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS nrm2
+       |        FROM v GROUP BY doc_id),
+       |p AS (SELECT va.doc_id AS a, vb.doc_id AS b, COUNT(*) AS n_shared,
+       |        SUM(CAST(va.w AS HUGEINT) * CAST(vb.w AS HUGEINT)) AS dot
+       |      FROM v va, v vb
+       |      WHERE va.term = vb.term AND va.doc_id < vb.doc_id
+       |      GROUP BY 1, 2),
+       |cand AS (SELECT p.a, p.b FROM p, nrm na, nrm nb
+       |  WHERE na.doc_id = p.a AND nb.doc_id = p.b AND p.n_shared >= 5
+       |    AND round(CAST(p.dot AS DOUBLE) /
+       |      (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))),
+       |      4) >= 0.5),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tf GROUP BY doc_id),
+       |inter AS (SELECT c.a, c.b, COUNT(*) AS n_both
+       |  FROM cand c, tf ta, tf tb
+       |  WHERE ta.doc_id = c.a AND tb.doc_id = c.b AND ta.term = tb.term
+       |  GROUP BY 1, 2)
+       |SELECT i.a, i.b, za.sz AS sa, zb.sz AS sb, i.n_both,
+       |  round(i.n_both / (za.sz + zb.sz - i.n_both), 4) AS jaccard_r,
+       |  CASE WHEN i.n_both * 10 >= za.sz * 9 AND i.n_both * 10 >= zb.sz * 9
+       |         THEN 'duplicate'
+       |       WHEN i.n_both * 10 >= za.sz * 9 THEN 'a_in_b'
+       |       WHEN i.n_both * 10 >= zb.sz * 9 THEN 'b_in_a'
+       |       ELSE 'overlaps' END AS relation
+       |FROM inter i, sz za, sz zb
+       |WHERE za.doc_id = i.a AND zb.doc_id = i.b
+       |ORDER BY a, b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t19_chunking", t19Chunking, Some(t19Oracle)),
     Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
@@ -340,5 +415,6 @@ object TextOps2 {
     Q("t22_tfidf", t22Tfidf, Some(t22Oracle)),
     Q("t23_similarity_join", t23SimilarityJoin, Some(t23Oracle)),
     Q("t24_incremental_dedup", t24IncrementalDedup, Some(t24Oracle)),
-    Q("t25_stratified_sample", t25StratifiedSample, Some(t25Oracle)))
+    Q("t25_stratified_sample", t25StratifiedSample, Some(t25Oracle)),
+    Q("t26_containment", t26Containment, Some(t26Oracle)))
 }

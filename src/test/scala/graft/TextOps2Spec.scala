@@ -93,6 +93,20 @@ class TextOps2Spec extends AnyFunSuite {
     assert(over.count() == 0)
   }
 
+  test("t26 containment: intersection bounded by set sizes, relation " +
+    "consistent with the integer thresholds") {
+    val r = ext.TextOps2.t26Containment(spark, sf).cache()
+    assert(r.filter(col("n_both") > col("sa") ||
+      col("n_both") > col("sb")).count() == 0)
+    assert(r.filter(col("relation") === "duplicate" &&
+      (col("n_both") * 10 < col("sa") * 9 ||
+        col("n_both") * 10 < col("sb") * 9)).count() == 0)
+    assert(r.filter(col("relation") === "a_in_b" &&
+      col("n_both") * 10 < col("sa") * 9).count() == 0)
+    assert(r.filter(col("jaccard_r") < 0 || col("jaccard_r") > 1)
+      .count() == 0)
+  }
+
   test("e11 projection is deterministic and distance-correlated on " +
     "duplicated vectors") {
     val r = ext.SimilarityOps.all.find(_.name == "e11_random_projection").get
