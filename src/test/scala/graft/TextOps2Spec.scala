@@ -122,3 +122,22 @@ class TextOps2Spec extends AnyFunSuite {
     }
   }
 }
+
+class ParSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("fanOut repartitions an under-split scan and is an identity at " +
+    "full parallelism") {
+    val d = graft.tables.Tables.documents(spark, sf)
+    assert(d.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism) // the trap exists at test scale
+    val fanned = graft.ops.Par.fanOut(d, "doc_id")
+    assert(fanned.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // already-parallel input: same plan comes back, no extra exchange
+    val wide = d.repartition(spark.sparkContext.defaultParallelism + 3,
+      col("doc_id"))
+    assert(graft.ops.Par.fanOut(wide, "doc_id") eq wide)
+  }
+}
