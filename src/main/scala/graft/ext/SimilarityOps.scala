@@ -518,6 +518,220 @@ object SimilarityOps {
       "FROM embeddings ORDER BY vec_id"
   }
 
+  private val pqM = 8     // subspaces
+  private val pqSub = 8   // dims per subspace
+  private val pqK = 16    // centroids per subspace
+
+  /** (vec_id, m, sv): each embedding split into M contiguous subvectors —
+    * the PQ decomposition, one exploded row per (vector, subspace). */
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(array((0 until pqM).map(m =>
+          slice(col("embedding"), m * pqSub + 1, pqSub)): _*))
+          .as(Seq("m", "sv")))
+
+  /** Per-subspace codebooks + assignments, all M subspaces trained in ONE
+    * DataFrame chain keyed by m (no per-subspace driver loop): seeds are
+    * the first K vectors' subvectors, then two Lloyd rounds with
+    * decimal-exact means (the e06 recipe, which DuckDB replicates
+    * bit-for-bit). Returns the final assignment (vec_id, m, sv, cid). */
+  private def pqAssignments(s: SparkSession, dir: String): DataFrame =
+    pqModel(s, dir)._1
+
+  /** (final assignment (vec_id, m, sv, cid), trained codebook
+    * (m, cid, cvec, cn)). */
+  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = pqSubvectors(s, dir)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("m"), col("vec_id"))
+        .orderBy(col("dist").asc, col("cid"))
+      subs.join(broadcast(cents), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sv"), col("cid"),
+          (col("cn") * col("cn") - dot(col("sv"), col("cvec")) * 2)
+            .as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("sv"), col("cid"))
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(graft.expr.Exprs.davg(col("v").cast("double"), 12).as("mm"))
+        .groupBy(col("m"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mm")))),
+          x => x.getField("mm").cast("float")).as("cvec"))
+        .withColumn("cn", norm2(col("cvec")))
+    var cents = subs.filter(col("vec_id") < pqK)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cvec"))
+      .withColumn("cn", norm2(col("cvec")))
+    (1 to 2).foreach { _ =>
+      cents = recompute(assign(cents)).persist()
+      cents.count()
+    }
+    (assign(cents), cents)
+  }
+
+  /** The shared CTE chain for the PQ oracle (subspace split → seeds → two
+    * Lloyd rounds → final assignment a3 + codebook c2), mirroring
+    * [[pqAssignments]] exactly — same seeds, same sqrt-then-square
+    * distance, same decimal-exact means. */
+  private val pqSqlChain: String = {
+    def dist(v: String, c: String): String =
+      s"sqrt(list_inner_product($c, $c)) * sqrt(list_inner_product($c, $c))" +
+        s" - list_inner_product($v, $c) * 2"
+    def assign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, m, sv, cid FROM (
+         |    SELECT s.vec_id, s.m, s.sv, c.cid,
+         |      row_number() OVER (PARTITION BY s.m, s.vec_id
+         |        ORDER BY ${dist("s.sv", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM subs s JOIN $cents c ON c.m = s.m)
+         |  WHERE rn = 1)""".stripMargin
+    def recompute(assigned: String, out: String): String =
+      s"""$out AS (
+         |  SELECT m, cid, CAST(list(mf ORDER BY pos) AS DOUBLE[]) AS cv
+         |  FROM (
+         |    SELECT m, cid, pos,
+         |      CAST(${graft.expr.Exprs.davgSql("x", 12)} AS FLOAT) AS mf
+         |    FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos,
+         |            unnest(sv) AS x FROM $assigned)
+         |    GROUP BY m, cid, pos)
+         |  GROUP BY m, cid)""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, ms.m,
+       |    list_slice(v, ms.m * $pqSub + 1, ms.m * $pqSub + $pqSub) AS sv
+       |  FROM e, (SELECT unnest(range(0, $pqM)) AS m) ms),
+       |c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM subs
+       |       WHERE vec_id < $pqK),
+       |${assign("c0", "a1")},
+       |${recompute("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${recompute("a2", "c2")},
+       |${assign("c2", "a3")}""".stripMargin
+  }
+
+  /** e12: product quantization — encode every 64-dim vector as M=8
+    * centroid codes (one per 8-dim subspace, K=16 codebooks trained by
+    * subspace-keyed Lloyd). 32× compression of the float payload (codes +
+    * shared codebooks); the index layout behind ADC search (e13). All M
+    * codebooks train in one chain — the subspace id is just another
+    * grouping key, so a wider PQ (more subspaces) changes data volume,
+    * not plan shape. */
+  def e12PqEncode(s: SparkSession, dir: String): DataFrame = {
+    val codeCols = (0 until pqM).map(m =>
+      max(when(col("m") === m, col("cid"))).as(s"c$m"))
+    pqAssignments(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+      .sortedWide("vec_id")
+  }
+
+  val e12Oracle: String = {
+    val codeCols = (0 until pqM).map(m =>
+      s"MAX(CASE WHEN m = $m THEN cid END) AS c$m").mkString(",\n  ")
+    s"""WITH $pqSqlChain
+       |SELECT vec_id,
+       |  $codeCols
+       |FROM a3 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** e13: PQ-ADC search quality contract — asymmetric distance
+    * computation: exact query subvectors scored against candidates'
+    * CODEBOOK ENTRIES only (the codes are the index; candidate floats are
+    * never touched at query time — that is PQ's entire point at scale:
+    * the scan reads M code bytes per vector plus a shared K×M codebook).
+    * Per-(query, candidate) partial dots accumulate in decimal so both
+    * engines assemble identical top-10 sets; the gate is the MEASURED
+    * recall@10 vs the exact brute force (e02), reproduced exactly by the
+    * oracle. No fixed floor: this corpus is near-isotropic (max pairwise
+    * cosine ≈ 0.5), so brute-force top-10 membership is tie-dominated and
+    * a coarse sketch cannot promise one — measured recall (0.2-0.6)
+    * still sits two orders above the ~10/N random baseline, which is the
+    * honest quality statement. */
+  def e13PqSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (asg, cents) = pqModel(s, dir)
+    val xrep = asg.select(col("vec_id"), col("m"), col("cid"))
+      .join(broadcast(cents), Seq("m", "cid"))
+      .select(col("vec_id"), col("m"), col("cvec"), (col("cn") * col("cn"))
+        .as("cn2"))
+    val qsubs = pqSubvectors(s, dir).filter(col("vec_id") < 5)
+      .toDF("qid", "m", "qsv")
+    val qnorms = embeddings(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), norm2(col("embedding")).as("qn"))
+    val scored = qsubs.join(xrep, Seq("m"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(
+        graft.expr.Exprs.dsum(dot(col("qsv"), col("cvec")), 12).as("adot"),
+        graft.expr.Exprs.dsum(col("cn2"), 12).as("rn2"))
+      .join(broadcast(qnorms), "qid")
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(col("adot").cast("double") /
+          (col("qn") * sqrt(col("rn2").cast("double"))), 4).as("cos_r"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid"))
+    val top = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    e02CosineTopK(s, dir).select(col("qid"), col("cid"))
+      .join(top, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
+      .sortedSmall("qid")
+  }
+
+  val e13Oracle: String = {
+    val adot = graft.expr.Exprs.dsumSql(
+      "list_inner_product(q.sv, x.cv)", 12)
+    val rn2 = graft.expr.Exprs.dsumSql(
+      "sqrt(list_inner_product(x.cv, x.cv)) * " +
+        "sqrt(list_inner_product(x.cv, x.cv))", 12)
+    s"""WITH $pqSqlChain,
+       |xrep AS (
+       |  SELECT a.vec_id, a.m, c.cv
+       |  FROM a3 a JOIN c2 c ON c.m = a.m AND c.cid = a.cid),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, x.vec_id AS cid,
+       |    $adot AS adot, $rn2 AS rn2
+       |  FROM subs q JOIN xrep x ON x.m = q.m AND x.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5
+       |  GROUP BY 1, 2),
+       |qn AS (SELECT vec_id AS qid, sqrt(list_inner_product(v, v)) AS qn
+       |       FROM e WHERE vec_id < 5),
+       |ranked AS (
+       |  SELECT s.qid, s.cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY
+       |      round(CAST(s.adot AS DOUBLE) /
+       |        (qn.qn * sqrt(CAST(s.rn2 AS DOUBLE))), 4) DESC,
+       |      s.cid) AS rnk
+       |  FROM scored s JOIN qn ON qn.qid = s.qid),
+       |pq10 AS (SELECT qid, cid FROM ranked WHERE rnk <= 10),
+       |bf AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_cosine_similarity(q.v, c.v), 4) DESC,
+       |        c.vec_id) AS rnk
+       |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5)
+       |  WHERE rnk <= 10),
+       |rec AS (
+       |  SELECT bf.qid,
+       |    SUM(CASE WHEN pq10.cid IS NULL THEN 0 ELSE 1 END) / 10.0
+       |      AS recall
+       |  FROM bf LEFT JOIN pq10
+       |    ON pq10.qid = bf.qid AND pq10.cid = bf.cid
+       |  GROUP BY bf.qid)
+       |SELECT qid, recall FROM rec ORDER BY qid""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -529,5 +743,7 @@ object SimilarityOps {
     Q("e08_quantize_int8", e08QuantizeInt8, Some(e08Oracle)),
     Q("e09_quantized_search", e09QuantizedSearch, Some(e09Oracle)),
     Q("e10_lsh_cosine_dedup", e10LshCosineDedup, Some(e10Oracle)),
-    Q("e11_random_projection", e11RandomProjection, Some(e11Oracle)))
+    Q("e11_random_projection", e11RandomProjection, Some(e11Oracle)),
+    Q("e12_pq_encode", e12PqEncode, Some(e12Oracle)),
+    Q("e13_pq_search", e13PqSearch, Some(e13Oracle)))
 }

@@ -141,3 +141,35 @@ class ParSpec extends AnyFunSuite {
     assert(graft.ops.Par.fanOut(wide, "doc_id") eq wide)
   }
 }
+
+class PqSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("e12 codes are complete and in codebook range") {
+    val r = ext.SimilarityOps.e12PqEncode(spark, sf).cache()
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(r.count() == n) // every vector encoded
+    val codeCols = (0 until 8).map(m => s"c$m")
+    codeCols.foreach { c =>
+      assert(r.filter(col(c).isNull ||
+        col(c) < 0 || col(c) >= 16).count() == 0)
+    }
+    // codes actually discriminate: more than one distinct codeword used
+    // in every subspace (a collapsed codebook would flag a Lloyd bug)
+    codeCols.foreach { c =>
+      assert(r.select(col(c)).distinct().count() > 1, s"$c collapsed")
+    }
+  }
+
+  test("e13 recall is a valid rate and beats the random baseline") {
+    val r = ext.SimilarityOps.e13PqSearch(spark, sf).cache()
+    assert(r.count() == 5)
+    assert(r.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+    // mean recall across queries must beat random top-10 selection
+    // (10/N ≈ 2%) by an order of magnitude
+    val mean = r.agg(org.apache.spark.sql.functions.avg("recall"))
+      .head().getDouble(0)
+    assert(mean > 0.1, s"mean PQ recall $mean suspiciously low")
+  }
+}
