@@ -427,6 +427,79 @@ object Relational2 {
       |FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** q43: UNPIVOT — the dual of q18's pivot: quarterly revenue computed
+    * wide (pivot on quarter), then melted back to long form through the
+    * dedicated `Dataset.unpivot` (Spark's UNPIVOT/MELT relational
+    * operator, not a hand-rolled union). Decimal sums keep the melted
+    * values engine-exact. */
+  def q43Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot(quarter(col("o_orderdate")), Seq(1, 2, 3, 4))
+      .agg(dsum(col("o_totalprice")))
+      .withColumnRenamed("1", "q1").withColumnRenamed("2", "q2")
+      .withColumnRenamed("3", "q3").withColumnRenamed("4", "q4")
+    wide.unpivot(
+        Array(col("yr")),
+        Array(col("q1"), col("q2"), col("q3"), col("q4")),
+        "quarter", "revenue")
+      .filter(col("revenue").isNotNull)
+      .sortedSmall("yr", "quarter")
+  }
+
+  val q43Oracle: String = {
+    def c(q: Int) =
+      dsumSql(s"CASE WHEN quarter(o_orderdate) = $q THEN o_totalprice END")
+    s"""WITH wide AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |    ${c(1)} AS q1, ${c(2)} AS q2, ${c(3)} AS q3, ${c(4)} AS q4
+       |  FROM orders GROUP BY 1),
+       |long AS (
+       |  SELECT yr, 'q1' AS quarter, q1 AS revenue FROM wide UNION ALL
+       |  SELECT yr, 'q2', q2 FROM wide UNION ALL
+       |  SELECT yr, 'q3', q3 FROM wide UNION ALL
+       |  SELECT yr, 'q4', q4 FROM wide)
+       |SELECT yr, quarter, revenue FROM long WHERE revenue IS NOT NULL
+       |ORDER BY yr, quarter""".stripMargin
+  }
+
+  /** q44: value-based (RANGE) window frames — trailing 3-DAY revenue
+    * window keyed on the actual date value, so calendar gaps shrink the
+    * frame (vs q40's ROWS frame, which counts physical rows). Partitioned
+    * by month: a global ordered window would serialize on one partition
+    * at scale. Decimal window sums for cross-engine exactness. */
+  def q44RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+      .withColumn("dayn", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("mo")).orderBy(col("dayn"))
+      .rangeBetween(-3, Window.currentRow)
+    val dec = org.apache.spark.sql.types.DecimalType(30, 2)
+    daily
+      .select(col("day"),
+        sum(col("rev").cast(dec)).over(w).cast("double").as("rev_3d"),
+        count(lit(1)).over(w).cast("long").as("days_in_frame"))
+      .sortedWide("day")
+  }
+
+  val q44Oracle: String =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('month', o_orderdate)::DATE AS mo,
+       |    o_orderdate::DATE AS day,
+       |    ${dsumSql("o_totalprice")} AS rev,
+       |    o_orderdate::DATE - DATE '1970-01-01' AS dayn
+       |  FROM orders GROUP BY 1, 2, 4)
+       |SELECT day,
+       |  CAST(SUM(CAST(rev AS DECIMAL(30,2))) OVER w AS DOUBLE) AS rev_3d,
+       |  COUNT(*) OVER w AS days_in_frame
+       |FROM daily
+       |WINDOW w AS (PARTITION BY mo ORDER BY dayn
+       |             RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -444,5 +517,7 @@ object Relational2 {
     Q("q39_grouping_sets", q39GroupingSets, Some(q39Oracle)),
     Q("q40_moving_avg", q40MovingAvg, Some(q40Oracle)),
     Q("q41_outer_join", q41OuterJoin, Some(q41Oracle)),
-    Q("q42_cross_join", q42CrossJoin, Some(q42Oracle)))
+    Q("q42_cross_join", q42CrossJoin, Some(q42Oracle)),
+    Q("q43_unpivot", q43Unpivot, Some(q43Oracle)),
+    Q("q44_range_frame", q44RangeFrame, Some(q44Oracle)))
 }
