@@ -32,8 +32,12 @@ object TextOps2 {
     * ~n_tokens/30 rows per document with no shuffle; at 100 TB this is the
     * same narrow transform per scan split.
     */
-  def t19Chunking(s: SparkSession, dir: String): DataFrame =
-    fanOut(documents(s, dir))
+  /** The stateless chunk transform behind t19 — public and sort-free so
+    * the identical plan runs over a streaming DataFrame (see
+    * StreamsSpec's chunking twin: stateless narrow ops need no
+    * watermark, no state store, no output-mode restrictions). */
+  def chunkTransform(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - 1, lit(30))).as("start"))
@@ -44,6 +48,9 @@ object TextOps2 {
           .as("n_chunk_tokens"),
         array_join(slice(col("t"), col("start") + 1, lit(40)), " ")
           .as("chunk_text"))
+
+  def t19Chunking(s: SparkSession, dir: String): DataFrame =
+    chunkTransform(fanOut(documents(s, dir)))
       .sortedWide("doc_id", "chunk_idx")
 
   val t19Oracle: String =

@@ -357,3 +357,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(tS.exceptAll(tB).count() == 0 && tB.exceptAll(tS).count() == 0)
   }
 }
+
+/** Stateless extension ops run unchanged over streams: the t19 chunk
+  * transform applied to a file stream must equal its batch output. */
+class StreamingChunkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming chunking matches the batch twin (t19)") {
+    // the file stream source wants a DIRECTORY of files
+    val dir = java.nio.file.Files.createTempDirectory("chunk_stream")
+    val docsPath = dir.toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf + "/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsPath)
+    val q = ext.TextOps2.chunkTransform(stream)
+      .writeStream.format("memory").queryName("chunks_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunks_stream")
+        .orderBy("doc_id", "chunk_idx").collect().toSeq
+      val batch = ext.TextOps2.chunkTransform(
+          spark.read.parquet(docsPath))
+        .orderBy("doc_id", "chunk_idx").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
