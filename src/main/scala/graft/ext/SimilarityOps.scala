@@ -202,10 +202,13 @@ object SimilarityOps {
     * At 100 TB: centroids are a tiny broadcast table, assignment is a
     * narrow map over the vector scan, and each query touches nprobe/K of
     * the data — the same plan shape as production IVF indexes. */
-  def e06AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF cell model over full vectors (the e06 recipe: 16 seed cells from
+    * the lowest vec_ids, two decimal-exact Lloyd rounds). Returns
+    * (codebook (cid, cvec, cn), final assignment (vec_id, embedding,
+    * cid)) — shared by e06 and the IVF-PQ composition (e14). */
+  private def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val kCells = 16
-    val nprobe = 2
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
 
     def assign(cents: DataFrame): DataFrame = {
@@ -241,8 +244,16 @@ object SimilarityOps {
       cents = recompute(assign(cents)).persist()
       cents.count()
     }
+    (cents, assign(cents))
+  }
 
-    val assigned = assign(cents)
+  def e06AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nprobe = 2
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (cents, asg) = ivfModel(s, dir)
+
+    val assigned = asg
       .withColumn("cnorm", norm2(col("embedding")))
       .persist()
     assigned.count()
@@ -732,6 +743,156 @@ object SimilarityOps {
        |SELECT qid, recall FROM rec ORDER BY qid""".stripMargin
   }
 
+  /** e14: IVF-PQ — the production ANN architecture, composed from the two
+    * indexes the engine already trains: IVF cells prune the candidate set
+    * (probe the 2 nearest of 16 cells — the scan touches ~1/8 of the
+    * corpus), then PQ/ADC scores ONLY those candidates from their 8-byte
+    * codes + the shared codebook. At 100 TB this is the query that works:
+    * cell assignment is a partition-pruning key, codes are the only
+    * per-vector payload read, and every join here is a broadcast of
+    * query-side or codebook-side smalls. Output per query: candidate
+    * count (the pruning evidence) and measured recall@10 vs exact brute
+    * force, both reproduced exactly by the oracle. */
+  def e14IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (icents, iasg) = ivfModel(s, dir)
+    val cells = iasg.select(col("vec_id"), col("cid").as("cell"))
+    val (pasg, pcents) = pqModel(s, dir)
+    val xrep = pasg.select(col("vec_id"), col("m"), col("cid"))
+      .join(broadcast(pcents), Seq("m", "cid"))
+      .select(col("vec_id"), col("m"), col("cvec"),
+        (col("cn") * col("cn")).as("cn2"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cid"))
+    val probes = embeddings(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(icents))
+      .select(col("qid"), col("cid"),
+        (col("cn") * col("cn") - dot(col("qe"), col("cvec")) * 2)
+          .as("dist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cid").as("cell"))
+    val cands = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val qsubs = pqSubvectors(s, dir).filter(col("vec_id") < 5)
+      .toDF("qid", "m", "qsv")
+    val qnorms = embeddings(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), norm2(col("embedding")).as("qn"))
+    val scored = cands.join(xrep, "vec_id")
+      .join(broadcast(qsubs), Seq("qid", "m"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(
+        graft.expr.Exprs.dsum(dot(col("qsv"), col("cvec")), 12).as("adot"),
+        graft.expr.Exprs.dsum(col("cn2"), 12).as("rn2"))
+      .join(broadcast(qnorms), "qid")
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(col("adot").cast("double") /
+          (col("qn") * sqrt(col("rn2").cast("double"))), 4).as("cos_r"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid"))
+    val top = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    val nCands = cands.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cands"))
+    e02CosineTopK(s, dir).select(col("qid"), col("cid"))
+      .join(top, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) / 10.0).as("recall"))
+      .join(broadcast(nCands), "qid")
+      .select(col("qid"), col("n_cands"), col("recall"))
+      .sortedSmall("qid")
+  }
+
+  val e14Oracle: String = {
+    // IVF chain over full vectors, CTE names prefixed "i" so it composes
+    // with the PQ chain (which owns c0/a1/…) in one WITH.
+    def idist(v: String, c: String): String =
+      s"sqrt(list_inner_product($c, $c)) * sqrt(list_inner_product($c, $c))" +
+        s" - list_inner_product($v, $c) * 2"
+    def iassign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${idist("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    def irecompute(assigned: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cid, CAST(list(mf ORDER BY pos) AS DOUBLE[]) AS cv FROM (
+         |    SELECT cid, pos,
+         |      CAST(${graft.expr.Exprs.davgSql("x", 12)} AS FLOAT) AS mf
+         |    FROM (SELECT cid, generate_subscripts(v, 1) AS pos,
+         |            unnest(v) AS x FROM $assigned)
+         |    GROUP BY cid, pos)
+         |  GROUP BY cid)""".stripMargin
+    val adot = graft.expr.Exprs.dsumSql(
+      "list_inner_product(q.sv, x.cv)", 12)
+    val rn2 = graft.expr.Exprs.dsumSql(
+      "sqrt(list_inner_product(x.cv, x.cv)) * " +
+        "sqrt(list_inner_product(x.cv, x.cv))", 12)
+    s"""WITH $pqSqlChain,
+       |ic0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |${iassign("ic0", "ia1")},
+       |${irecompute("ia1", "ic1")},
+       |${iassign("ic1", "ia2")},
+       |${irecompute("ia2", "ic2")},
+       |${iassign("ic2", "ia3")},
+       |probes AS (
+       |  SELECT qid, cid AS cell FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${idist("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN ic2 c WHERE e.vec_id < 5)
+       |  WHERE rn <= 2),
+       |cands AS (
+       |  SELECT pr.qid, a.vec_id
+       |  FROM ia3 a JOIN probes pr ON pr.cell = a.cid
+       |  WHERE a.vec_id <> pr.qid),
+       |xrep AS (
+       |  SELECT a.vec_id, a.m, c.cv
+       |  FROM a3 a JOIN c2 c ON c.m = a.m AND c.cid = a.cid),
+       |scored AS (
+       |  SELECT cd.qid, cd.vec_id AS cid, $adot AS adot, $rn2 AS rn2
+       |  FROM cands cd
+       |  JOIN xrep x ON x.vec_id = cd.vec_id
+       |  JOIN subs q ON q.vec_id = cd.qid AND q.m = x.m
+       |  GROUP BY 1, 2),
+       |qn AS (SELECT vec_id AS qid, sqrt(list_inner_product(v, v)) AS qn
+       |       FROM e WHERE vec_id < 5),
+       |ranked AS (
+       |  SELECT s.qid, s.cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY
+       |      round(CAST(s.adot AS DOUBLE) /
+       |        (qn.qn * sqrt(CAST(s.rn2 AS DOUBLE))), 4) DESC,
+       |      s.cid) AS rnk
+       |  FROM scored s JOIN qn ON qn.qid = s.qid),
+       |pq10 AS (SELECT qid, cid FROM ranked WHERE rnk <= 10),
+       |nc AS (SELECT qid, COUNT(*) AS n_cands FROM cands GROUP BY qid),
+       |bf AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_cosine_similarity(q.v, c.v), 4) DESC,
+       |        c.vec_id) AS rnk
+       |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5)
+       |  WHERE rnk <= 10),
+       |rec AS (
+       |  SELECT bf.qid,
+       |    SUM(CASE WHEN pq10.cid IS NULL THEN 0 ELSE 1 END) / 10.0
+       |      AS recall
+       |  FROM bf LEFT JOIN pq10
+       |    ON pq10.qid = bf.qid AND pq10.cid = bf.cid
+       |  GROUP BY bf.qid)
+       |SELECT rec.qid, nc.n_cands, rec.recall
+       |FROM rec JOIN nc ON nc.qid = rec.qid
+       |ORDER BY rec.qid""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -745,5 +906,6 @@ object SimilarityOps {
     Q("e10_lsh_cosine_dedup", e10LshCosineDedup, Some(e10Oracle)),
     Q("e11_random_projection", e11RandomProjection, Some(e11Oracle)),
     Q("e12_pq_encode", e12PqEncode, Some(e12Oracle)),
-    Q("e13_pq_search", e13PqSearch, Some(e13Oracle)))
+    Q("e13_pq_search", e13PqSearch, Some(e13Oracle)),
+    Q("e14_ivfpq_search", e14IvfPqSearch, Some(e14Oracle)))
 }

@@ -162,6 +162,16 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("e14 ivf-pq prunes the candidate set and stays a valid rate") {
+    val r = ext.SimilarityOps.e14IvfPqSearch(spark, sf).cache()
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(r.count() == 5)
+    // probing 2 of 16 cells must prune hard: well under half the corpus
+    assert(r.filter(col("n_cands") >= n / 2).count() == 0)
+    assert(r.filter(col("n_cands") < 1).count() == 0)
+    assert(r.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+  }
+
   test("e13 recall is a valid rate and beats the random baseline") {
     val r = ext.SimilarityOps.e13PqSearch(spark, sf).cache()
     assert(r.count() == 5)
