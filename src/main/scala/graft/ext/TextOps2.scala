@@ -7,10 +7,11 @@ import graft.tables.Tables._
 import graft.functions.Md5Hex.graft_md5
 import graft.ops.Out._
 
-/** Second wave of LLM-training-pipeline text operators (t19-t25):
+/** Second wave of LLM-training-pipeline text operators (t19-t27):
   * chunking, PII scrubbing, repetition detection, bigram TF-IDF + sparse
   * cosine similarity join, incremental dedup against a reference corpus,
-  * and deterministic stratified sampling.
+  * deterministic stratified sampling, containment classification, and the
+  * dedup-then-similarity production composition.
   *
   * Same scale posture as TextOps: map-side explodes, shuffles keyed on
   * doc_id/term only, broadcasts for the small side (per-stratum rates,
@@ -153,18 +154,23 @@ object TextOps2 {
     * the corpus vocabulary is ~31 unigrams (every unigram is a stop word at
     * df≈75%), while bigrams spread over ~1000 terms at df≈5%, giving TF-IDF
     * actual discriminative power. */
-  private def bigramTf(s: SparkSession, dir: String): DataFrame =
-    fanOut(documents(s, dir))
+  private def bigramTfOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(wordGrams(2)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-  private val bigramTfSql: String =
-    """SELECT doc_id, t[i] || ' ' || t[i+1] AS term, COUNT(*) AS tf
-      |FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
-      |GROUP BY 1, 2""".stripMargin
+  private def bigramTf(s: SparkSession, dir: String): DataFrame =
+    bigramTfOf(fanOut(documents(s, dir)))
+
+  private def bigramTfSqlFrom(src: String): String =
+    s"""SELECT doc_id, t[i] || ' ' || t[i+1] AS term, COUNT(*) AS tf
+       |FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src))
+       |GROUP BY 1, 2""".stripMargin
+
+  private val bigramTfSql: String = bigramTfSqlFrom("documents")
 
   /** t22: bigram TF-IDF weights. Integer-exact "linear idf":
     * w_milli = tf * 1000 * N / df (floor) — engine-portable (no ln), same
@@ -415,6 +421,53 @@ object TextOps2 {
        |WHERE za.doc_id = i.a AND zb.doc_id = i.b
        |ORDER BY a, b""".stripMargin
 
+  /** t27: the production composition for the similarity join — exact
+    * dedup FIRST (t01's md5 keepers), THEN the t23 sparse cosine join
+    * over the surviving corpus. Pair volume in the join is quadratic in
+    * posting-list length, so collapsing exact-duplicate groups before
+    * vectorizing is the same ordering lesson t18 measured at 350× for
+    * LSH: quadratic stages must only ever see unique documents. */
+  def t27DedupThenSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(documents(s, dir))
+    val keepers = d
+      .groupBy(graft_md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val tf = bigramTfOf(d.join(keepers, Seq("doc_id"), "left_semi"))
+    simPairs(s, tf).sortedWide("a", "b")
+  }
+
+  val t27Oracle: String = {
+    val tfSql = bigramTfSqlFrom(
+      "(SELECT * FROM documents WHERE doc_id IN " +
+        "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text))) dd")
+    s"""WITH tf AS ($tfSql),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+       |v AS (SELECT tf.doc_id, tf.term,
+       |        (tf.tf * 100 * n.n_docs) // df.df AS w
+       |      FROM tf, df, n WHERE tf.term = df.term AND df.df * 10 <= n.n_docs),
+       |nrm AS (SELECT doc_id,
+       |          SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS nrm2
+       |        FROM v GROUP BY doc_id),
+       |p AS (SELECT va.doc_id AS a, vb.doc_id AS b, COUNT(*) AS n_shared,
+       |        SUM(CAST(va.w AS HUGEINT) * CAST(vb.w AS HUGEINT)) AS dot
+       |      FROM v va, v vb
+       |      WHERE va.term = vb.term AND va.doc_id < vb.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT p.a, p.b, p.n_shared,
+       |  round(CAST(p.dot AS DOUBLE) /
+       |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))),
+       |    4) AS cos_r
+       |FROM p, nrm na, nrm nb
+       |WHERE na.doc_id = p.a AND nb.doc_id = p.b
+       |  AND p.n_shared >= 5
+       |  AND round(CAST(p.dot AS DOUBLE) /
+       |    (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))),
+       |    4) >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t19_chunking", t19Chunking, Some(t19Oracle)),
     Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
@@ -423,5 +476,6 @@ object TextOps2 {
     Q("t23_similarity_join", t23SimilarityJoin, Some(t23Oracle)),
     Q("t24_incremental_dedup", t24IncrementalDedup, Some(t24Oracle)),
     Q("t25_stratified_sample", t25StratifiedSample, Some(t25Oracle)),
-    Q("t26_containment", t26Containment, Some(t26Oracle)))
+    Q("t26_containment", t26Containment, Some(t26Oracle)),
+    Q("t27_dedup_then_similarity", t27DedupThenSimilarity, Some(t27Oracle)))
 }

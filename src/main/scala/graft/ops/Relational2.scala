@@ -500,6 +500,32 @@ object Relational2 {
        |             RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
        |ORDER BY day""".stripMargin
 
+  /** q45: correlated EXISTS / NOT EXISTS through the SQL front-end —
+    * Catalyst decorrelates both into semi/anti joins in ONE pass over
+    * customer (q21 covers the scalar-subquery flavor; this is the
+    * predicate-subquery flavor). Suppliers' nations with at least one
+    * customer but no high-balance one. */
+  def q45ExistsSubquery(s: SparkSession, dir: String): DataFrame =
+    Sql.run(s, dir,
+      """SELECT n.n_name, n.n_nationkey
+        |FROM nation n
+        |WHERE EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM customer c2
+        |    WHERE c2.c_nationkey = n.n_nationkey AND c2.c_acctbal > 9990)
+        |ORDER BY n.n_nationkey""".stripMargin)
+
+  val q45Oracle: String =
+    """SELECT n.n_name, n.n_nationkey
+      |FROM nation n
+      |WHERE EXISTS (
+      |    SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM customer c2
+      |    WHERE c2.c_nationkey = n.n_nationkey AND c2.c_acctbal > 9990)
+      |ORDER BY n.n_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -519,5 +545,6 @@ object Relational2 {
     Q("q41_outer_join", q41OuterJoin, Some(q41Oracle)),
     Q("q42_cross_join", q42CrossJoin, Some(q42Oracle)),
     Q("q43_unpivot", q43Unpivot, Some(q43Oracle)),
-    Q("q44_range_frame", q44RangeFrame, Some(q44Oracle)))
+    Q("q44_range_frame", q44RangeFrame, Some(q44Oracle)),
+    Q("q45_exists_subquery", q45ExistsSubquery, Some(q45Oracle)))
 }
