@@ -312,6 +312,54 @@ object EventOps {
       |FROM w JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** s10: inter-event gap (think-time) analysis — per-user gaps via lag,
+    * rolled up per event count band: how long users idle between actions,
+    * the base signal for session-timeout tuning and bot detection.
+    * One shuffle on user_id for the lag window; the rollup reuses exact
+    * integer seconds so both engines bucket identically. */
+  def s10InterEventGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = tsSec
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), sec.as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    // gap band: 0-59s, 1-9min, 10-59min, 1h+
+    val band = when(col("gap") < 60, "a_under_1m")
+      .when(col("gap") < 600, "b_1m_10m")
+      .when(col("gap") < 3600, "c_10m_1h")
+      .otherwise("d_over_1h")
+    gaps.select(band.as("gap_band"), col("gap"), col("user_id"))
+      .groupBy(col("gap_band"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("gap")).as("min_gap_s"),
+        max(col("gap")).as("max_gap_s"),
+        round(davg(col("gap").cast("double"), 6), 3).as("avg_gap_s"))
+      .sortedSmall("gap_band")
+  }
+
+  val s10Oracle: String =
+    s"""WITH e AS (SELECT user_id, event_id, ts,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       |g AS (SELECT user_id,
+       |        sec - lag(sec) OVER (PARTITION BY user_id
+       |                             ORDER BY ts, event_id) AS gap
+       |      FROM e),
+       |b AS (SELECT user_id, gap,
+       |        CASE WHEN gap < 60 THEN 'a_under_1m'
+       |             WHEN gap < 600 THEN 'b_1m_10m'
+       |             WHEN gap < 3600 THEN 'c_10m_1h'
+       |             ELSE 'd_over_1h' END AS gap_band
+       |      FROM g WHERE gap IS NOT NULL)
+       |SELECT gap_band, COUNT(*) AS n_gaps,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  MIN(gap) AS min_gap_s, MAX(gap) AS max_gap_s,
+       |  round(${davgSql("gap", 6)}, 3) AS avg_gap_s
+       |FROM b GROUP BY gap_band ORDER BY gap_band""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -321,5 +369,6 @@ object EventOps {
     Q("s06_range_join", s06RangeJoin, Some(s06Oracle)),
     Q("s07_sliding_window", s07Sliding, Some(s07Oracle)),
     Q("s08_funnel", s08Funnel, Some(s08Oracle)),
-    Q("s09_cohort_retention", s09CohortRetention, Some(s09Oracle)))
+    Q("s09_cohort_retention", s09CohortRetention, Some(s09Oracle)),
+    Q("s10_inter_event_gaps", s10InterEventGaps, Some(s10Oracle)))
 }
