@@ -468,6 +468,61 @@ object TextOps2 {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** t28: eval-set decontamination — flag eval documents sharing long
+    * (8-token) shingles with any train document (t14's hash split defines
+    * the sides). The standard pre-training hygiene pass: long-shingle
+    * collisions are near-certain contamination, not chance. Candidates
+    * come from an equi-join on the shingle string between the two sides —
+    * posting-list work, never train × eval — and the verdict aggregates
+    * distinct shared shingles + the smallest matching train doc as
+    * evidence. */
+  def t28Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val split = conv(substring(
+      graft_md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+    val d = fanOut(documents(s, dir))
+      .select(col("doc_id"), toks.as("t"),
+        when(split < 80, "train").otherwise("eval").as("split"))
+    val grams = d
+      .select(col("doc_id"), col("split"),
+        explode(wordGrams(8)).as("gram"))
+    val train = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("gram")).distinct()
+    val eval_ = grams.filter(col("split") === "eval")
+      .select(col("doc_id"), col("gram")).distinct()
+    eval_.join(train, "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_shingles"),
+        min(col("train_id")).as("example_train_doc"))
+      .filter(col("n_shared_shingles") >= 3)
+      .sortedWide("doc_id")
+  }
+
+  val t28Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    CASE WHEN CAST(('0x' || substr(
+      |        md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % 100 < 80
+      |      THEN 'train' ELSE 'eval' END AS split
+      |  FROM documents),
+      |g AS (SELECT doc_id, split,
+      |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+      |        ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+      |        t[i+7] AS gram
+      |      FROM (SELECT doc_id, split, t,
+      |              unnest(range(1, len(t) - 6)) AS i FROM d)),
+      |tr AS (SELECT DISTINCT doc_id AS train_id, gram FROM g
+      |       WHERE split = 'train'),
+      |ev AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'eval')
+      |SELECT ev.doc_id,
+      |  COUNT(DISTINCT ev.gram) AS n_shared_shingles,
+      |  MIN(tr.train_id) AS example_train_doc
+      |FROM ev JOIN tr ON tr.gram = ev.gram
+      |GROUP BY ev.doc_id
+      |HAVING COUNT(DISTINCT ev.gram) >= 3
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t19_chunking", t19Chunking, Some(t19Oracle)),
     Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
@@ -477,5 +532,6 @@ object TextOps2 {
     Q("t24_incremental_dedup", t24IncrementalDedup, Some(t24Oracle)),
     Q("t25_stratified_sample", t25StratifiedSample, Some(t25Oracle)),
     Q("t26_containment", t26Containment, Some(t26Oracle)),
-    Q("t27_dedup_then_similarity", t27DedupThenSimilarity, Some(t27Oracle)))
+    Q("t27_dedup_then_similarity", t27DedupThenSimilarity, Some(t27Oracle)),
+    Q("t28_decontamination", t28Decontamination, Some(t28Oracle)))
 }
