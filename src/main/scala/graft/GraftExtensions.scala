@@ -18,10 +18,12 @@ import graft.functions.{Md5Hex, Md5Lanes, VecDot, VecNorm}
   *     session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(graft.plans.RepairUnderParallelGenerate)
+  }
 }
 
 object GraftExtensions {
@@ -60,4 +62,12 @@ object GraftExtensions {
       s.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), i, builder)
     }
+
+  /** Install the optimizer rules on an already-built session (the
+    * config-path equivalent is `spark.sql.extensions=graft.GraftExtensions`). */
+  def registerOptimizer(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.RepairUnderParallelGenerate]))
+      s.experimental.extraOptimizations ++=
+        Seq(graft.plans.RepairUnderParallelGenerate(s))
 }
