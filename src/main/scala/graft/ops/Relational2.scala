@@ -526,6 +526,29 @@ object Relational2 {
       |    WHERE c2.c_nationkey = n.n_nationkey AND c2.c_acctbal > 9990)
       |ORDER BY n.n_nationkey""".stripMargin
 
+  /** q46: correlated LATERAL subquery — per-nation top-2 customers
+    * expressed as a lateral derived table (Catalyst decorrelates the
+    * ORDER BY + LIMIT subquery into a partitioned window under the
+    * hood). The planner feature is the point: q09/q32 do grouped top-k
+    * via explicit windows; this is the same result through the SQL
+    * construct users port from other warehouses. */
+  def q46LateralTopk(s: SparkSession, dir: String): DataFrame =
+    Sql.run(s, dir,
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+
+  val q46Oracle: String =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -546,5 +569,6 @@ object Relational2 {
     Q("q42_cross_join", q42CrossJoin, Some(q42Oracle)),
     Q("q43_unpivot", q43Unpivot, Some(q43Oracle)),
     Q("q44_range_frame", q44RangeFrame, Some(q44Oracle)),
-    Q("q45_exists_subquery", q45ExistsSubquery, Some(q45Oracle)))
+    Q("q45_exists_subquery", q45ExistsSubquery, Some(q45Oracle)),
+    Q("q46_lateral_topk", q46LateralTopk, Some(q46Oracle)))
 }
