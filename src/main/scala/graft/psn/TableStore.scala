@@ -201,9 +201,44 @@ final class TableStore(spark: SparkSession, warehouse: String) {
 
   /** Generic transactional rewrite: `f` maps the table's current contents
     * to its next version, committed through the same protocol. [[merge]]
-    * is `mergeWith(t)(Ops.mergeUpdates(_, updates))`. */
-  def mergeWith(table: String)(f: DataFrame => DataFrame): Unit =
-    commitRewrite(table, f(read(table)))
+    * is `mergeWith(t)(Ops.mergeUpdates(_, updates))`.
+    *
+    * Optimistic concurrency: the read-transform-commit cycle validates
+    * that the version it READ is still the committed version at commit
+    * time; a concurrent commit in the window triggers a re-read and
+    * re-apply of `f` on the NEW contents (up to `maxRetries`), so a
+    * racing writer's merge is never silently overwritten — the
+    * lost-update anomaly of plain last-commit-wins. The residual race
+    * (both validate, then both rename) is narrowed to the pointer rename
+    * itself rather than the whole read-transform window; closing it
+    * entirely needs a compare-and-swap pointer (Delta/Iceberg's
+    * log-append), which stays out of scope as before. */
+  def mergeWith(table: String, maxRetries: Int = 5)(
+      f: DataFrame => DataFrame): Unit = {
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val base = currentVersion(table)
+      val next = f(read(table))
+      // Materialize BEFORE validating: f's plan lazily re-reads the table
+      // at job time, so commit must not expose a half-new view. The claim
+      // directory is the natural materialization target.
+      val prev = currentVersion(table)
+      val (v, claimed) = claimNext(table)
+      next.write.mode(SaveMode.Append).parquet(claimed.toString)
+      if (currentVersion(table) == base) {
+        commitPointer(table, v)
+        gc(table, prev)
+        committed = true
+      } else {
+        deleteRecursive(claimed) // lost the race: discard and re-apply
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new IllegalStateException(
+            s"mergeWith($table): lost commit race $attempt times")
+      }
+    }
+  }
 
   def drop(table: String): Unit = deleteRecursive(dir(table)) // K5
 

@@ -162,3 +162,38 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(store.readVersion("t", 2).filter(col("v") === "B").count() == 1)
   }
 }
+
+class OptimisticMergeSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.{col, coalesce}
+
+  test("a merge that loses the commit race retries and preserves BOTH " +
+    "writers' updates") {
+    val wh = Files.createTempDirectory("vstore_occ").toString
+    val store = new TableStore(spark, wh)
+    import spark.implicits._
+    store.append("t", Seq(1 -> "a", 2 -> "b").toDF("k", "v"))
+    def upsert(updates: org.apache.spark.sql.DataFrame): Unit =
+      store.mergeWith("t") { cur =>
+        val u = updates.select(col("k"), col("v").as("uv"))
+        cur.join(u, Seq("k"), "full")
+          .select(col("k"), coalesce(col("uv"), col("v")).as("v"))
+      }
+    // writer A's transform sneaks in a competing commit from writer B
+    // mid-cycle (after A has read its base version)
+    var interfered = false
+    store.mergeWith("t") { cur =>
+      if (!interfered) {
+        interfered = true
+        upsert(Seq(3 -> "c").toDF("k", "v")) // writer B commits first
+      }
+      val u = Seq(2 -> "B2").toDF("k", "v")
+        .select(col("k"), col("v").as("uv"))
+      cur.join(u, Seq("k"), "full")
+        .select(col("k"), coalesce(col("uv"), col("v")).as("v"))
+    }
+    val rows = store.read("t").as[(Int, String)].collect().toMap
+    // both writer B's insert AND writer A's update survive
+    assert(rows == Map(1 -> "a", 2 -> "B2", 3 -> "c"), rows.toString)
+  }
+}
