@@ -183,3 +183,38 @@ class PqSpec extends AnyFunSuite {
     assert(mean > 0.1, s"mean PQ recall $mean suspiciously low")
   }
 }
+
+/** Property-style checks for the chunking geometry and sampling hash —
+  * driven by the real corpus rather than generators, asserting the
+  * algebraic invariants hold for every row. */
+class ChunkPropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every token lands in exactly 1 or 2 chunks (stride 30, width 40)") {
+    // token position p is covered by chunk starts s in (p-40, p] stepping
+    // 30: that's ceil((min(p, n-1) - max(0, p-39))/30+...) — instead of
+    // re-deriving, count coverage directly from the chunk table.
+    val chunks = ext.TextOps2.t19Chunking(spark, sf)
+      .select(col("doc_id"), col("start_token"), col("n_chunk_tokens"))
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val tokens = docs.select(col("doc_id"),
+      explode(sequence(lit(0), col("n") - 1)).as("p"))
+    val cover = tokens.join(chunks, "doc_id")
+      .filter(col("p") >= col("start_token") &&
+        col("p") < col("start_token") + col("n_chunk_tokens"))
+      .groupBy(col("doc_id"), col("p")).count()
+    assert(cover.filter(col("count") < 1 || col("count") > 2).count() == 0)
+    // and no position is uncovered
+    assert(cover.count() ==
+      docs.agg(sum(col("n"))).head().getLong(0))
+  }
+
+  test("t25 sampling hash is a pure function of doc_id (re-run identical)") {
+    val a = ext.TextOps2.t25StratifiedSample(spark, sf)
+      .select("doc_id", "hash_ppm").collect().toSeq
+    val b = ext.TextOps2.t25StratifiedSample(spark, sf)
+      .select("doc_id", "hash_ppm").collect().toSeq
+    assert(a == b)
+  }
+}
