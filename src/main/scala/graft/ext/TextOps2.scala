@@ -114,10 +114,18 @@ object TextOps2 {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Word n-gram list per document (order-preserving). `n` fixed per call. */
+  /** Word n-gram list per document (order-preserving). `n` fixed per
+    * call. Guarded for documents shorter than the gram width: Spark's
+    * `sequence(0, stop)` generates a DESCENDING sequence when stop < 0
+    * (negative element_at indexes = garbage grams, silently), where the
+    * oracle's `range()` is empty — the guard makes short docs gram-free
+    * on both engines. */
   private def wordGrams(n: Int): Column =
-    transform(sequence(lit(0), size(col("t")) - n), i =>
-      concat_ws(" ", (0 until n).map(k => element_at(col("t"), i + k + 1)): _*))
+    when(size(col("t")) >= n,
+      transform(sequence(lit(0), size(col("t")) - n), i =>
+        concat_ws(" ",
+          (0 until n).map(k => element_at(col("t"), i + k + 1)): _*)))
+      .otherwise(array())
 
   /** t21: intra-document repetition detection — word-trigram duplication
     * ratio, the boilerplate/spam gate of a training-data pipeline. Explode

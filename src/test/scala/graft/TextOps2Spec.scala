@@ -218,3 +218,34 @@ class ChunkPropertySpec extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+/** Short-document robustness: docs with fewer tokens than the gram
+  * width must be gram-free (Spark's sequence(0, negative) descends —
+  * unguarded it fabricates grams from negative indexes; the oracle's
+  * range() is simply empty). */
+class ShortDocSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("gram-based ops drop sub-gram-width docs instead of fabricating") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shortdocs").toString
+    Seq(
+      (0L, "one", "en", "s", 3L),
+      (1L, "two words", "en", "s", 9L),
+      (2L, "a b c d e f g h i j k l", "en", "s", 23L),
+      (3L, "a b c d e f g h i j k l", "es", "s", 23L),
+      (10L, "x y z p q r s t u v w a", "fr", "s", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    // t21 (3-grams): docs 0,1 absent; others present
+    val t21 = ext.TextOps2.t21Repetition(spark, dir)
+    assert(t21.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 10L))
+    // t22 (bigrams): doc 0 absent
+    val t22docs = ext.TextOps2.t22Tfidf(spark, dir)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(t22docs == Set(1L, 2L, 3L, 10L))
+    // t28 (8-grams): runs without error; only >=8-token docs participate
+    val t28 = ext.TextOps2.t28Decontamination(spark, dir)
+    assert(t28.collect().forall(_.getLong(0) >= 0)) // executes cleanly
+  }
+}
