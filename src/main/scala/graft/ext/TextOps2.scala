@@ -211,13 +211,15 @@ object TextOps2 {
     * posting lists drive the quadratic fanout, never enter the join, so
     * per-term work is bounded at any corpus size.
     *
-    * Weight products and squared norms accumulate in LONG, not decimal:
-    * the weight is scaled so the worst-case pairwise dot stays ~70× under
-    * Long.Max (w ≤ tf·100·N/df ≤ 5e7; ≤ ~60 shared terms ⇒ dot ≤ 1.5e17),
-    * keeping the ~40M-row multiply-accumulate inside whole-stage codegen —
-    * a decimal(38) formulation here costs 4× wall-clock in BigDecimal
-    * calls (measured; DuckDB's int128 doesn't pay that). ANSI mode makes
-    * any overflow loud, not silent. Cosine touches doubles only through
+    * Weight products and squared norms accumulate in LONG, not decimal —
+    * a decimal(38) formulation costs 4× wall-clock in BigDecimal calls
+    * (measured; DuckDB's int128 doesn't pay that). The weight is
+    * CORPUS-SIZE-INVARIANT: cosine is scale-free, so idf can be 10⁶/df
+    * instead of N/df (identical ratios across terms ⇒ identical cosine),
+    * which caps w ≤ tf·10⁶/2 for any joinable term (df ≥ 2 — singletons
+    * never match) and keeps the worst-case pairwise dot orders of
+    * magnitude under Long.Max at ANY corpus size. ANSI mode makes an
+    * overflow loud, not silent. Cosine touches doubles only through
     * exact-integer casts, sqrt, and division — IEEE-identical across
     * engines. */
   def t23SimilarityJoin(s: SparkSession, dir: String): DataFrame =
@@ -233,7 +235,7 @@ object TextOps2 {
       .crossJoin(broadcast(n))
       .filter(col("df") * 10 <= col("n_docs"))
       .select(col("doc_id"), col("term"),
-        expr("tf * 100 * n_docs div df").as("w"))
+        expr("tf * 1000000 div df").as("w"))
       // Pin the cached posting table to full parallelism: its few MB would
       // otherwise be AQE-coalesced to one partition, and the ~40M-row pair
       // generation that probes it would run on one core (same trap as the
@@ -272,7 +274,7 @@ object TextOps2 {
        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
        |v AS (SELECT tf.doc_id, tf.term,
-       |        (tf.tf * 100 * n.n_docs) // df.df AS w
+       |        (tf.tf * 1000000) // df.df AS w
        |      FROM tf, df, n WHERE tf.term = df.term AND df.df * 10 <= n.n_docs),
        |nrm AS (SELECT doc_id,
        |          SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS nrm2
@@ -398,7 +400,7 @@ object TextOps2 {
        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
        |v AS (SELECT tf.doc_id, tf.term,
-       |        (tf.tf * 100 * n.n_docs) // df.df AS w
+       |        (tf.tf * 1000000) // df.df AS w
        |      FROM tf, df, n WHERE tf.term = df.term AND df.df * 10 <= n.n_docs),
        |nrm AS (SELECT doc_id,
        |          SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS nrm2
@@ -453,7 +455,7 @@ object TextOps2 {
        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
        |v AS (SELECT tf.doc_id, tf.term,
-       |        (tf.tf * 100 * n.n_docs) // df.df AS w
+       |        (tf.tf * 1000000) // df.df AS w
        |      FROM tf, df, n WHERE tf.term = df.term AND df.df * 10 <= n.n_docs),
        |nrm AS (SELECT doc_id,
        |          SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS nrm2
