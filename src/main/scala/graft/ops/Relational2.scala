@@ -549,6 +549,25 @@ object Relational2 {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
 
+  /** q47: exact MEDIAN aggregate (Spark's interpolating exact percentile
+    * vs DuckDB's quantile_cont — same linear-interpolation definition;
+    * q24/q38 cover the multi-quantile and sketch variants). Rounded at 4
+    * to absorb the one-ulp interpolation arithmetic difference. */
+  def q47Median(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(median(col("l_quantity")), 4).as("med_qty"),
+        round(median(col("l_extendedprice")), 4).as("med_price"),
+        count(lit(1)).as("n"))
+      .sortedSmall("l_returnflag")
+
+  val q47Oracle: String =
+    """SELECT l_returnflag,
+      |  round(median(l_quantity), 4) AS med_qty,
+      |  round(median(l_extendedprice), 4) AS med_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -570,5 +589,6 @@ object Relational2 {
     Q("q43_unpivot", q43Unpivot, Some(q43Oracle)),
     Q("q44_range_frame", q44RangeFrame, Some(q44Oracle)),
     Q("q45_exists_subquery", q45ExistsSubquery, Some(q45Oracle)),
-    Q("q46_lateral_topk", q46LateralTopk, Some(q46Oracle)))
+    Q("q46_lateral_topk", q46LateralTopk, Some(q46Oracle)),
+    Q("q47_median", q47Median, Some(q47Oracle)))
 }
