@@ -45,3 +45,20 @@ class OptimizerRuleSpec extends AnyFunSuite {
     assert(before == after)
   }
 }
+
+/** The stats guard: a relation larger than one file split must never be
+  * touched — at production scale the rule is silent. */
+class OptimizerRuleGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("rule is silent on a relation wider than one split") {
+    GraftExtensions.registerOptimizer(spark)
+    // spark.range stats = 8 bytes/row: 100M rows = 800 MB >> 128 MB split
+    val big = spark.range(100L * 1000 * 1000)
+      .select(col("id"), explode(array(col("id"), col("id") + 1)).as("x"))
+    val reps = big.queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionOperation => r }
+    assert(reps.isEmpty, s"rule fired on a large relation:\n${big.queryExecution.optimizedPlan}")
+  }
+}
