@@ -533,6 +533,67 @@ object TextOps2 {
       |HAVING COUNT(DISTINCT ev.gram) >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** t29: the corpus-preparation pipeline END-TO-END as one DataFrame
+    * program — exact dedup (t01) → quality gate (t03's heuristics) →
+    * reproducible sample (t25's hash gate at a fixed 90% rate) → chunking
+    * (t19) → per-language chunk/token budget report. The point is
+    * composability: every stage is the registered operator applied in
+    * sequence, one lazy plan, no materialization between stages — the
+    * shape a production corpus build actually runs. */
+  def t29CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = fanOut(documents(s, dir))
+    val keepers = d
+      .groupBy(graft_md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nTokens = size(split(col("text"), " ")).cast("long")
+    val theCnt = litCount2(col("text"), "the")
+    val gated = d.join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("lang").isin("en", "es", "fr"))
+      .filter(nTokens >= 20 && nTokens <= 100)
+      .filter(theCnt * 4 < nTokens) // stopword_ratio < 0.25, integer-exact
+    val hashPpm = conv(substring(
+      graft_md5(concat(lit("samp:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000
+    val sampled = gated.filter(hashPpm < 900000)
+    chunkTransform(sampled)
+      .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("chunk_tokens"))
+      .sortedSmall("lang")
+  }
+
+  /** litCount clone (TextOps has the original, private there). */
+  private def litCount2(c: Column, needle: String): Column =
+    ((length(c) - length(call_function("replace", c, lit(needle), lit("")))) /
+      needle.length).cast("long")
+
+  val t29Oracle: String =
+    """WITH keepers AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |gated AS (
+      |  SELECT d.doc_id, d.lang, d.text
+      |  FROM documents d
+      |  WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+      |    AND d.lang IN ('en', 'es', 'fr')
+      |    AND len(string_split(d.text, ' ')) BETWEEN 20 AND 100
+      |    AND CAST((length(d.text) - length(replace(d.text, 'the', '')))
+      |          / 3 AS BIGINT) * 4 < len(string_split(d.text, ' '))),
+      |sampled AS (
+      |  SELECT * FROM gated
+      |  WHERE CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)),
+      |    1, 8)) AS BIGINT) % 1000000 < 900000),
+      |chunks AS (
+      |  SELECT doc_id, lang, least(len(t) - start, 40) AS n_chunk_tokens
+      |  FROM (SELECT doc_id, lang, t, unnest(range(0, len(t), 30)) AS start
+      |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |              FROM sampled)))
+      |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+      |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS chunk_tokens
+      |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t19_chunking", t19Chunking, Some(t19Oracle)),
     Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
@@ -543,5 +604,6 @@ object TextOps2 {
     Q("t25_stratified_sample", t25StratifiedSample, Some(t25Oracle)),
     Q("t26_containment", t26Containment, Some(t26Oracle)),
     Q("t27_dedup_then_similarity", t27DedupThenSimilarity, Some(t27Oracle)),
-    Q("t28_decontamination", t28Decontamination, Some(t28Oracle)))
+    Q("t28_decontamination", t28Decontamination, Some(t28Oracle)),
+    Q("t29_corpus_pipeline", t29CorpusPipeline, Some(t29Oracle)))
 }
