@@ -893,6 +893,73 @@ object SimilarityOps {
        |ORDER BY rec.qid""".stripMargin
   }
 
+  /** e15: embedding near-dup CLUSTERS — the transitive closure of e10's
+    * sign-LSH-blocked cosine pairs, labeling every vector with the
+    * smallest vec_id in its component (t12's pointer-doubling recipe on
+    * the vector side: per round each node takes the min over itself, its
+    * neighbors, and its label's label — O(log diameter) rounds of
+    * whole-DataFrame joins, localCheckpoint per round to truncate
+    * lineage). Completes the semantic-dedup story: pairs (e05/e10) →
+    * clusters → keeper election is a trivial filter. */
+  def e15EmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = e10LshCosineDedup(s, dir).select(col("a"), col("b"))
+    val adj = edges.union(edges.select(col("b"), col("a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = embeddings(s, dir)
+      .select(col("vec_id"), col("vec_id").as("lab")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = labels
+        .join(adj, labels("vec_id") === adj("src"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+      val hooked = labels
+        .join(nbrMin, labels("vec_id") === nbrMin("dst"), "left")
+        .select(col("vec_id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      val byVec = labels
+        .select(col("vec_id").as("lv"), col("lab").as("llab"))
+      val updated = hooked
+        .join(byVec, hooked("lab") === byVec("lv"), "left")
+        .select(col("vec_id"),
+          least(col("lab"), coalesce(col("llab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      rounds += 1
+      changed =
+        if (rounds < 3) 1L
+        else updated.as("u")
+          .join(labels.as("l"), "vec_id")
+          .filter(col("u.lab") < col("l.lab")).count()
+      labels = updated
+    }
+    labels.select(col("vec_id"), col("lab").as("cluster"))
+      .sortedWide("vec_id")
+  }
+
+  val e15Oracle: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+      |   CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |edges AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      |  WHERE round(list_cosine_similarity(x.v, y.v), 4) > 0.4),
+      |adj AS (
+      |  SELECT a AS src, b AS dst FROM edges
+      |  UNION SELECT b, a FROM edges),
+      |reach(vec, r) AS (
+      |  SELECT src, dst FROM adj
+      |  UNION
+      |  SELECT reach.vec, adj.dst FROM reach
+      |  JOIN adj ON reach.r = adj.src)
+      |SELECT v.vec_id,
+      |  least(coalesce(MIN(r.r), v.vec_id), v.vec_id) AS cluster
+      |FROM embeddings v LEFT JOIN reach r ON v.vec_id = r.vec
+      |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -907,5 +974,6 @@ object SimilarityOps {
     Q("e11_random_projection", e11RandomProjection, Some(e11Oracle)),
     Q("e12_pq_encode", e12PqEncode, Some(e12Oracle)),
     Q("e13_pq_search", e13PqSearch, Some(e13Oracle)),
-    Q("e14_ivfpq_search", e14IvfPqSearch, Some(e14Oracle)))
+    Q("e14_ivfpq_search", e14IvfPqSearch, Some(e14Oracle)),
+    Q("e15_embedding_clusters", e15EmbeddingClusters, Some(e15Oracle)))
 }
