@@ -360,6 +360,60 @@ object EventOps {
        |  round(${davgSql("gap", 6)}, 3) AS avg_gap_s
        |FROM b GROUP BY gap_band ORDER BY gap_band""".stripMargin
 
+  /** s11: calendar gap-fill + forward-fill — the time-series resample of a
+    * metrics pipeline. Per user, the sparse (day, n_events, day_value)
+    * series densifies onto that user's full [first_day, last_day] calendar
+    * (`sequence` + explode = generate_series), missing days get
+    * n_events=0, and `carried_value` forward-fills the last observed
+    * day_value (last-observation-carried-forward). Plan: one shuffle for
+    * the daily rollup, a tiny per-user span aggregate whose exploded grid
+    * left-joins the rollup on (user, day) — both sides already partitioned
+    * by user after the rollup — and one user-partitioned window for the
+    * fill. Grid size is users × their own span, never a global cross
+    * join. */
+  def s11GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = expr("ts div 1000000000 div 86400")
+    val daily = events(s, dir)
+      .groupBy(col("user_id"), day.as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_value"))
+      .withColumn("carried_value",
+        last(col("day_value"), ignoreNulls = true).over(w))
+      .withColumn("is_active", col("n_events") > 0)
+      .sortedWide("user_id", "day")
+  }
+
+  val s11Oracle: String =
+    s"""WITH e AS (SELECT user_id,
+       |             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+       |           FROM events),
+       |daily AS (SELECT user_id, day, COUNT(*) AS n_events,
+       |            ${dsumSql("value")} AS day_value
+       |          FROM e GROUP BY 1, 2),
+       |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+       |         FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+       |               FROM daily GROUP BY user_id)),
+       |j AS (SELECT g.user_id, g.day,
+       |        coalesce(d.n_events, 0) AS n_events, d.day_value
+       |      FROM grid g LEFT JOIN daily d
+       |        ON d.user_id = g.user_id AND d.day = g.day)
+       |SELECT user_id, day, n_events, day_value,
+       |  last_value(day_value IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value,
+       |  n_events > 0 AS is_active
+       |FROM j ORDER BY user_id, day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -370,5 +424,6 @@ object EventOps {
     Q("s07_sliding_window", s07Sliding, Some(s07Oracle)),
     Q("s08_funnel", s08Funnel, Some(s08Oracle)),
     Q("s09_cohort_retention", s09CohortRetention, Some(s09Oracle)),
-    Q("s10_inter_event_gaps", s10InterEventGaps, Some(s10Oracle)))
+    Q("s10_inter_event_gaps", s10InterEventGaps, Some(s10Oracle)),
+    Q("s11_gap_fill", s11GapFill, Some(s11Oracle)))
 }

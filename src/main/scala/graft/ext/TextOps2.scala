@@ -594,6 +594,76 @@ object TextOps2 {
       |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS chunk_tokens
       |FROM chunks GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** t30: segment-level corpus dedup — the C4/RefinedWeb "drop duplicated
+    * lines across the corpus" pass, at sub-document granularity: documents
+    * split into non-overlapping 10-token segments; a segment instance
+    * survives iff it is the globally FIRST occurrence of its text (ordered
+    * by (doc_id, seg_idx)); survivors reassemble in order into the cleaned
+    * document. Plan: map-side explode → one shuffle keyed on the segment
+    * md5 (first-occurrence election — the segment text never rides this
+    * shuffle, only its 32-hex digest + position) → shuffle join back on
+    * the digest → one shuffle on doc_id for ordered reassembly. All three
+    * shuffles are equi-keyed on high-cardinality keys; no stage is
+    * corpus × corpus. Election by min(struct(doc_id, seg_idx)) is a
+    * single-pass partial-aggregable min — no window over the full segment
+    * stream. */
+  def t30SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = fanOut(documents(s, dir))
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(10))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / 10).cast("long").as("seg_idx"),
+        array_join(slice(col("t"), col("start") + 1, lit(10)), " ")
+          .as("seg"))
+      .withColumn("h", graft_md5(col("seg")))
+    val first = segs.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("fdoc"),
+        col("f.seg_idx").as("fidx"))
+    val kept =
+      col("doc_id") === col("fdoc") && col("seg_idx") === col("fidx")
+    segs.join(first, "h")
+      .select(col("doc_id"), col("seg_idx"), col("seg"), kept.as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+            x => x("seg")),
+          " ").as("clean_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        length(col("clean_text")).as("clean_len"),
+        graft_md5(col("clean_text")).as("clean_md5"))
+      .sortedWide("doc_id")
+  }
+
+  val t30Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |segs AS (
+      |  SELECT doc_id, start // 10 AS seg_idx,
+      |    array_to_string(
+      |      list_slice(t, start + 1, least(start + 10, len(t))), ' ') AS seg
+      |  FROM (SELECT doc_id, t, unnest(range(0, len(t), 10)) AS start
+      |        FROM d)),
+      |k AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |    ROW_NUMBER() OVER (PARTITION BY seg
+      |                       ORDER BY doc_id, seg_idx) = 1 AS kept
+      |  FROM segs),
+      |r AS (
+      |  SELECT doc_id, COUNT(*) AS n_segs,
+      |    COUNT(*) FILTER (WHERE kept) AS n_kept,
+      |    coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+      |               FILTER (WHERE kept), '') AS clean_text
+      |  FROM k GROUP BY doc_id)
+      |SELECT doc_id, n_segs, n_kept,
+      |  CAST(length(clean_text) AS INTEGER) AS clean_len,
+      |  md5(clean_text) AS clean_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t19_chunking", t19Chunking, Some(t19Oracle)),
     Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
@@ -605,5 +675,6 @@ object TextOps2 {
     Q("t26_containment", t26Containment, Some(t26Oracle)),
     Q("t27_dedup_then_similarity", t27DedupThenSimilarity, Some(t27Oracle)),
     Q("t28_decontamination", t28Decontamination, Some(t28Oracle)),
-    Q("t29_corpus_pipeline", t29CorpusPipeline, Some(t29Oracle)))
+    Q("t29_corpus_pipeline", t29CorpusPipeline, Some(t29Oracle)),
+    Q("t30_segment_dedup", t30SegmentDedup, Some(t30Oracle)))
 }

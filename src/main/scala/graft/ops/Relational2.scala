@@ -568,6 +568,43 @@ object Relational2 {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q48: SCD2 (slowly-changing-dimension type 2) interval build — each
+    * customer's order history becomes half-open validity intervals:
+    * valid_from = this order's date, valid_to = the NEXT order's date
+    * (NULL ⇒ current version). The standard warehouse dimension-versioning
+    * pattern, expressed as one customer-partitioned window (lead +
+    * row_number share the single sort), one shuffle total. Ties on
+    * orderdate break by orderkey, so versioning is deterministic on both
+    * engines. */
+  def q48Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey"), col("o_orderkey"), col("version"),
+        col("o_orderpriority"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .sortedWide("o_custkey", "version")
+  }
+
+  val q48Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  o_orderpriority,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  lead(o_orderdate) OVER w IS NULL AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -590,5 +627,6 @@ object Relational2 {
     Q("q44_range_frame", q44RangeFrame, Some(q44Oracle)),
     Q("q45_exists_subquery", q45ExistsSubquery, Some(q45Oracle)),
     Q("q46_lateral_topk", q46LateralTopk, Some(q46Oracle)),
-    Q("q47_median", q47Median, Some(q47Oracle)))
+    Q("q47_median", q47Median, Some(q47Oracle)),
+    Q("q48_scd2", q48Scd2, Some(q48Oracle)))
 }

@@ -110,4 +110,44 @@ class QueriesSpec extends AnyFunSuite {
     val s2 = ext.EventOps.s02Sessionize(spark, sf)
     assert(s2.filter(col("n_sessions") > col("n_events")).count() == 0)
   }
+
+  test("s11 gap-fill: each user's calendar is dense over its span and " +
+    "event counts are conserved") {
+    import org.apache.spark.sql.functions._
+    val r = ext.EventOps.s11GapFill(spark, sf)
+    val perUser = r.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("days"),
+        (max(col("day")) - min(col("day")) + 1).as("span"),
+        sum(col("n_events")).as("n"))
+    assert(perUser.filter(col("days") =!= col("span")).count() == 0)
+    val total = tables.Tables.events(spark, sf).count()
+    assert(perUser.agg(sum(col("n"))).head().getLong(0) == total)
+    // once a user has an observed value, carry-forward never reverts to null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val reverted = r
+      .withColumn("seen",
+        sum(when(col("day_value").isNotNull, 1).otherwise(0)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .filter(col("seen") > 0 && col("carried_value").isNull)
+    assert(reverted.count() == 0)
+  }
+
+  test("q48 SCD2: exactly one current version per customer, versions " +
+    "contiguous, intervals chain") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Relational2.q48Scd2(spark, sf)
+    val byCust = r.groupBy(col("o_custkey"))
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("cur"),
+        count(lit(1)).as("n"), max(col("version")).as("vmax"))
+    assert(byCust.filter(col("cur") =!= 1).count() == 0)
+    assert(byCust.filter(col("vmax") =!= col("n")).count() == 0)
+    // half-open chaining: version v's valid_to = version v+1's valid_from
+    val next = r.select(col("o_custkey"), (col("version") - 1).as("version"),
+      col("valid_from").as("next_from"))
+    val broken = r.join(next, Seq("o_custkey", "version"))
+      .filter(col("valid_to") =!= col("next_from"))
+    assert(broken.count() == 0)
+  }
 }

@@ -219,6 +219,32 @@ class ChunkPropertySpec extends AnyFunSuite {
   }
 }
 
+/** t30 semantic invariants: segment-instance conservation and
+  * exactly-once election per distinct segment text. */
+class SegmentDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t30 keeps each distinct segment exactly once and conserves " +
+    "instance counts") {
+    val r = ext.TextOps2.t30SegmentDedup(spark, sf)
+    val segs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(10))).as("start"))
+      .select(array_join(slice(col("t"), col("start") + 1, lit(10)), " ")
+        .as("seg"))
+    val agg = r.agg(sum(col("n_kept")), sum(col("n_segs"))).head()
+    assert(agg.getLong(0) == segs.distinct().count())
+    assert(agg.getLong(1) == segs.count())
+    assert(r.filter(col("n_kept") > col("n_segs")).count() == 0)
+    // a cleaned doc is never longer than its source
+    val src = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("src_len"))
+    assert(r.join(src, "doc_id")
+      .filter(col("clean_len") > col("src_len")).count() == 0)
+  }
+}
+
 /** Short-document robustness: docs with fewer tokens than the gram
   * width must be gram-free (Spark's sequence(0, negative) descends —
   * unguarded it fabricates grams from negative indexes; the oracle's
