@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.functions.Md5Hex.graft_md5
 import graft.tables.Tables._
 import graft.ops.Out._
 
@@ -174,9 +175,70 @@ object MultimodalOps {
       |    AS resized_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** m05: media near-dup via frame fingerprints — the video/asset dedup
+    * shape: sample fixed-stride frames (m03's chunking), fingerprint each
+    * (md5 over the frame's hex image — STUB for a perceptual hash of the
+    * decoded frame; same signature), and pair media sharing ≥2 distinct
+    * fingerprints via an equi-join on the fingerprint. Candidates are
+    * posting-list work on the fingerprint key — never media × media — and
+    * the per-media distinct() bounds any one asset's contribution to a
+    * posting list at 1. Overlap ratio = shared / min(frame counts). */
+  def m05FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val stride = 64
+    val frames = media(s, dir)
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0L),
+          expr(s"(length(content) - 1) div $stride"))).as("frame_no"))
+      .select(col("media_id"),
+        graft_md5(hex(col("content")
+          .substr((col("frame_no") * stride + 1).cast("int"), lit(stride))))
+          .as("fp"))
+      .distinct()
+    val counts = frames.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val pairs = frames.toDF("a", "fp")
+      .join(frames.toDF("b", "fp"), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(broadcast(counts.toDF("a", "fa")), "a")
+      .join(broadcast(counts.toDF("b", "fb")), "b")
+      .select(col("a"), col("b"), col("n_shared"), col("fa"), col("fb"),
+        round(col("n_shared").cast("double") / least(col("fa"), col("fb")),
+          4).as("overlap_r"))
+      .sortedWide("a", "b")
+  }
+
+  /** m05 oracle: the fingerprint is md5 over the frame's hex slice, so
+    * DuckDB replays it directly on `substr(hex(blob))` — hex casing and
+    * 2-chars-per-byte alignment match Spark's `hex`. */
+  val m05Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents),
+      |f AS (SELECT unnest(generate_series(0, 63)) AS frame_no),
+      |fr AS (
+      |  SELECT DISTINCT media_id,
+      |    md5(substr(hx, frame_no * 128 + 1, 128)) AS fp
+      |  FROM m JOIN f ON frame_no <= greatest((n - 1) // 64, 0)),
+      |cnt AS (SELECT media_id, COUNT(*) AS nf FROM fr GROUP BY media_id),
+      |p AS (
+      |  SELECT fa.media_id AS a, fb.media_id AS b, COUNT(*) AS n_shared
+      |  FROM fr fa JOIN fr fb ON fa.fp = fb.fp AND fa.media_id < fb.media_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p.a, p.b, p.n_shared, ca.nf AS fa, cb.nf AS fb,
+      |  round(CAST(p.n_shared AS DOUBLE) / least(ca.nf, cb.nf), 4)
+      |    AS overlap_r
+      |FROM p, cnt ca, cnt cb
+      |WHERE ca.media_id = p.a AND cb.media_id = p.b
+      |ORDER BY a, b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
     Q("m02_decode_features", m02DecodeFeatures, Some(m02Oracle)),
     Q("m03_frame_sample", m03FrameSample, Some(m03Oracle)),
-    Q("m04_resize", m04Resize, Some(m04Oracle)))
+    Q("m04_resize", m04Resize, Some(m04Oracle)),
+    Q("m05_frame_dedup", m05FrameDedup, Some(m05Oracle)))
 }

@@ -553,19 +553,23 @@ object SimilarityOps {
   /** (final assignment (vec_id, m, sv, cid), trained codebook
     * (m, cid, cvec, cn)). */
   private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val subs = pqSubvectors(s, dir)
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("m"), col("vec_id"))
-        .orderBy(col("dist").asc, col("cid"))
+    // argmin by (dist, cid) as a partial-aggregable min(struct) — same
+    // tie-break as a row_number window (dist asc, cid asc; cid is unique
+    // per (m, candidate) so sv is never reached in the comparison), but
+    // map-side combinable: the shuffle carries K× fewer rows than the
+    // windowed formulation's full scored stream, and there is no sort.
+    def assign(cents: DataFrame): DataFrame =
       subs.join(broadcast(cents), Seq("m"))
-        .select(col("vec_id"), col("m"), col("sv"), col("cid"),
-          (col("cn") * col("cn") - dot(col("sv"), col("cvec")) * 2)
-            .as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("sv"), col("cid"))
-    }
+        .select(col("vec_id"), col("m"),
+          struct(
+            (col("cn") * col("cn") - dot(col("sv"), col("cvec")) * 2)
+              .as("dist"),
+            col("cid"), col("sv")).as("scored"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("scored")).as("best"))
+        .select(col("vec_id"), col("m"), col("best.sv").as("sv"),
+          col("best.cid").as("cid"))
     def recompute(assigned: DataFrame): DataFrame =
       assigned
         .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))

@@ -66,4 +66,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perMedia.join(m, "media_id")
       .filter(col("bytes_covered") =!= col("n_bytes")).count() == 0)
   }
+
+  test("m05 frame near-dup: identical payloads pair with full overlap; " +
+    "shared count never exceeds either side's frames") {
+    val r = MultimodalOps.m05FrameDedup(spark, sf)
+    assert(r.filter(col("n_shared") > col("fa") ||
+      col("n_shared") > col("fb")).count() == 0)
+    assert(r.filter(col("overlap_r") > 1.0).count() == 0)
+    // every exact-duplicate text pair (same bytes => same frames) with
+    // >=2 frames must appear with overlap 1.0
+    import org.apache.spark.sql.functions.{min => fmin}
+    val dups = graft.tables.Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(fmin(col("doc_id")).as("a"),
+        org.apache.spark.sql.functions.max(col("doc_id")).as("b"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && length(col("text")) >= 128)
+    val missing = dups.select(col("a"), col("b"))
+      .join(r.filter(col("overlap_r") === 1.0), Seq("a", "b"), "left_anti")
+    assert(missing.count() == 0)
+  }
 }
