@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: the LSH/IVF queries materialize cached sketches; at 8g the
   // bench showed ±20% GC-driven run-to-run variance (box has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Throughput collector: the bench/verify workload is short-lived-object
+  // batch processing with no latency SLO; G1's pause targeting costs
+  // wall-clock here. Override with SPARK_GC=UseG1GC to compare.
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
 )

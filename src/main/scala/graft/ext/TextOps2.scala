@@ -664,6 +664,55 @@ object TextOps2 {
       |  md5(clean_text) AS clean_md5
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** t31: vocabulary spectrum per language — the corpus-health report
+    * behind tokenizer/mix decisions: token volume, type (distinct-token)
+    * count, hapax-legomena count (types seen once — the Zipf tail), and
+    * the head token's share (Zipf head). Ratios are integer ppm (exact on
+    * both engines). Two aggregations, both on (lang, token) → lang — the
+    * first shuffle is the vocabulary rollup, the second is
+    * vocabulary-sized, not corpus-sized. Head-token election is
+    * max(struct(n, token)): partial-aggregable, deterministic (count,
+    * then token string) — no corpus-wide window. */
+  def t31VocabStats(s: SparkSession, dir: String): DataFrame = {
+    val counts = fanOut(documents(s, dir))
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(struct(col("n"), col("tok"))).as("top"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        col("top.tok").as("top_token"),
+        col("top.n").as("top_n"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
+        expr("top.n * 1000000 div n_tokens").as("top_share_ppm"))
+      .sortedSmall("lang")
+  }
+
+  val t31Oracle: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+      |head AS (
+      |  SELECT lang, tok AS top_token, n AS top_n FROM (
+      |    SELECT lang, tok, n, row_number() OVER (
+      |      PARTITION BY lang ORDER BY n DESC, tok DESC) AS rn FROM c)
+      |  WHERE rn = 1),
+      |agg AS (
+      |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax
+      |  FROM c GROUP BY lang)
+      |SELECT a.lang, a.n_tokens, a.n_types, a.n_hapax,
+      |  h.top_token, h.top_n,
+      |  (a.n_hapax * 1000000) // a.n_types AS hapax_ppm,
+      |  (h.top_n * 1000000) // a.n_tokens AS top_share_ppm
+      |FROM agg a JOIN head h ON h.lang = a.lang
+      |ORDER BY a.lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t19_chunking", t19Chunking, Some(t19Oracle)),
     Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
@@ -676,5 +725,6 @@ object TextOps2 {
     Q("t27_dedup_then_similarity", t27DedupThenSimilarity, Some(t27Oracle)),
     Q("t28_decontamination", t28Decontamination, Some(t28Oracle)),
     Q("t29_corpus_pipeline", t29CorpusPipeline, Some(t29Oracle)),
-    Q("t30_segment_dedup", t30SegmentDedup, Some(t30Oracle)))
+    Q("t30_segment_dedup", t30SegmentDedup, Some(t30Oracle)),
+    Q("t31_vocab_stats", t31VocabStats, Some(t31Oracle)))
 }

@@ -219,6 +219,33 @@ class ChunkPropertySpec extends AnyFunSuite {
   }
 }
 
+/** t31 semantic invariants: the vocabulary spectrum must reconcile with
+  * raw token counts. */
+class VocabStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t31 vocabulary spectrum reconciles: tokens >= types >= hapax, " +
+    "head share consistent") {
+    val r = ext.TextOps2.t31VocabStats(spark, sf)
+    assert(r.filter(col("n_types") > col("n_tokens")).count() == 0)
+    assert(r.filter(col("n_hapax") > col("n_types")).count() == 0)
+    assert(r.filter(col("top_n") > col("n_tokens")).count() == 0)
+    // total token mass equals the corpus token count per language
+    val raw = graft.tables.Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_raw"))
+    assert(r.join(raw, "lang")
+      .filter(col("n_tokens") =!= col("n_raw")).count() == 0)
+    // the head token's count is the max over the per-language vocabulary
+    val vocabMax = graft.tables.Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang")).agg(max(col("n")).as("nmax"))
+    assert(r.join(vocabMax, "lang")
+      .filter(col("top_n") =!= col("nmax")).count() == 0)
+  }
+}
+
 /** t30 semantic invariants: segment-instance conservation and
   * exactly-once election per distinct segment text. */
 class SegmentDedupSpec extends AnyFunSuite {
