@@ -1,6 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Parquet-backed table access for the driver corpus (TESTDATA.md).
   *
@@ -28,7 +30,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `ts` is nanoseconds-since-epoch as a LONG for every consumer. The
+    * driver corpus is TIMESTAMP(NANOS) parquet, which Spark reads as a
+    * nanosecond long under `legacy.parquet.nanosAsLong`; a rewritten copy
+    * of the table (e.g. the 10×/100× scale replicas, which round-trip
+    * through micros TIMESTAMP) normalizes here, so downstream integer
+    * epoch arithmetic (`ts div 1e9`) is physical-layout-independent. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
