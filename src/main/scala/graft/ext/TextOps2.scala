@@ -713,6 +713,47 @@ object TextOps2 {
       |FROM agg a JOIN head h ON h.lang = a.lang
       |ORDER BY a.lang""".stripMargin
 
+  /** t32: per-document novelty — the share of a document's distinct
+    * 8-token shingles found in NO other document, the curation signal
+    * between t28's binary contamination flag and t21's intra-doc
+    * repetition: low novelty = boilerplate/copy-heavy, high = unique
+    * content. Plan: distinct (doc, shingle) → shingle document-frequency
+    * (both partial-aggregable) → join back on the shingle → per-doc
+    * rollup. Posting-list work end-to-end; the df table is
+    * vocabulary-sized, the join is equi-keyed on the shingle, and no
+    * stage is corpus × corpus. Integer-ppm exact on both engines. */
+  def t32NoveltyScore(s: SparkSession, dir: String): DataFrame = {
+    val grams = fanOut(documents(s, dir))
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(wordGrams(8)).as("gram"))
+      .distinct()
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000000 div n_shingles").as("novelty_ppm"))
+      .sortedWide("doc_id")
+  }
+
+  val t32Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+      |        ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+      |        t[i+7] AS gram
+      |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |            FROM d WHERE len(t) >= 8)),
+      |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+      |SELECT g.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(COUNT(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_unique,
+      |  (CAST(COUNT(*) FILTER (WHERE df.df = 1) AS BIGINT) * 1000000)
+      |    // COUNT(*) AS novelty_ppm
+      |FROM g JOIN df ON df.gram = g.gram
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t19_chunking", t19Chunking, Some(t19Oracle)),
     Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
@@ -726,5 +767,6 @@ object TextOps2 {
     Q("t28_decontamination", t28Decontamination, Some(t28Oracle)),
     Q("t29_corpus_pipeline", t29CorpusPipeline, Some(t29Oracle)),
     Q("t30_segment_dedup", t30SegmentDedup, Some(t30Oracle)),
-    Q("t31_vocab_stats", t31VocabStats, Some(t31Oracle)))
+    Q("t31_vocab_stats", t31VocabStats, Some(t31Oracle)),
+    Q("t32_novelty_score", t32NoveltyScore, Some(t32Oracle)))
 }

@@ -246,6 +246,27 @@ class VocabStatsSpec extends AnyFunSuite {
   }
 }
 
+/** t32 semantic invariants: novelty bounds and exact-duplicate behavior. */
+class NoveltyScoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t32 novelty: bounded in [0, 1e6]; exact duplicates have zero " +
+    "novelty; singleton-shingle docs reconcile") {
+    val r = ext.TextOps2.t32NoveltyScore(spark, sf)
+    assert(r.filter(col("n_unique") > col("n_shingles")).count() == 0)
+    assert(r.filter(col("novelty_ppm") < 0 ||
+      col("novelty_ppm") > 1000000).count() == 0)
+    // any doc with an exact-duplicate twin shares every shingle => 0 novelty
+    val d = graft.tables.Tables.documents(spark, sf)
+    val dupIds = d.groupBy(col("text"))
+      .agg(count(lit(1)).as("n"), collect_list(col("doc_id")).as("ids"))
+      .filter(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val nonzero = r.join(dupIds, "doc_id").filter(col("novelty_ppm") > 0)
+    assert(nonzero.count() == 0)
+  }
+}
+
 /** t30 semantic invariants: segment-instance conservation and
   * exactly-once election per distinct segment text. */
 class SegmentDedupSpec extends AnyFunSuite {
