@@ -605,6 +605,44 @@ object Relational2 {
       |             ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, version""".stripMargin
 
+  /** q49: incremental aggregate-view maintenance — the materialized-view
+    * update path: a BASE aggregate (80% of orders, by key hash) merged
+    * with the partial aggregate of an insert-only DELTA (the other 20%)
+    * through the aggregates' own merge algebra (sum+sum, count+count,
+    * min(min), max(max)) — the full fact table is never re-scanned to
+    * refresh the view. The ORACLE is the direct aggregate over the whole
+    * table: hash-equality proves the incremental path computes exactly
+    * the recompute, which is the entire contract of view maintenance.
+    * Decimal-exact sums keep the merge order-independent. */
+  def q49ViewMaintenance(s: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+            .as("s"),
+          min(col("o_orderdate")).as("mn"),
+          max(col("o_orderdate")).as("mx"))
+    val o = orders(s, dir)
+    val base = partial(o.filter(col("o_orderkey") % 10 < 8))
+    val delta = partial(o.filter(col("o_orderkey") % 10 >= 8))
+    base.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("s")).cast("double").as("total_spend"),
+        min(col("mn")).as("first_order"),
+        max(col("mx")).as("last_order"))
+      .sortedWide("o_custkey")
+  }
+
+  val q49Oracle: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+      |    AS total_spend,
+      |  MIN(o_orderdate) AS first_order,
+      |  MAX(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -628,5 +666,6 @@ object Relational2 {
     Q("q45_exists_subquery", q45ExistsSubquery, Some(q45Oracle)),
     Q("q46_lateral_topk", q46LateralTopk, Some(q46Oracle)),
     Q("q47_median", q47Median, Some(q47Oracle)),
-    Q("q48_scd2", q48Scd2, Some(q48Oracle)))
+    Q("q48_scd2", q48Scd2, Some(q48Oracle)),
+    Q("q49_view_maintenance", q49ViewMaintenance, Some(q49Oracle)))
 }

@@ -134,6 +134,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(reverted.count() == 0)
   }
 
+  test("q49 incremental view maintenance equals direct recompute") {
+    import org.apache.spark.sql.functions._
+    val merged = ops.Relational2.q49ViewMaintenance(spark, sf)
+    val direct = tables.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(30,2)")).cast("double")
+          .as("total_spend"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+    assert(merged.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(merged).count() == 0)
+  }
+
   test("q48 SCD2: exactly one current version per customer, versions " +
     "contiguous, intervals chain") {
     import org.apache.spark.sql.functions._
