@@ -723,12 +723,17 @@ object TextOps2 {
     * vocabulary-sized, the join is equi-keyed on the shingle, and no
     * stage is corpus × corpus. Integer-ppm exact on both engines. */
   def t32NoveltyScore(s: SparkSession, dir: String): DataFrame = {
+    // Shuffle the shingle's 16-hex-char digest, never the ~50-byte text:
+    // the distinct, the df rollup, and the join back are all keyed on the
+    // digest (t30's election trick). Collisions would merge two shingles'
+    // df on both engines identically — the oracle hashes the same way.
     val grams = fanOut(documents(s, dir))
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(wordGrams(8)).as("gram"))
+      .select(col("doc_id"), substring(graft_md5(col("gram")), 1, 16).as("h"))
       .distinct()
-    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    grams.join(df, "gram")
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(df, "h")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
@@ -740,17 +745,18 @@ object TextOps2 {
   val t32Oracle: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |g AS (SELECT DISTINCT doc_id,
-      |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
-      |        ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
-      |        t[i+7] AS gram
+      |        substr(md5(
+      |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+      |          ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+      |          t[i+7]), 1, 16) AS h
       |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
       |            FROM d WHERE len(t) >= 8)),
-      |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+      |df AS (SELECT h, COUNT(*) AS df FROM g GROUP BY h)
       |SELECT g.doc_id, COUNT(*) AS n_shingles,
       |  CAST(COUNT(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_unique,
       |  (CAST(COUNT(*) FILTER (WHERE df.df = 1) AS BIGINT) * 1000000)
       |    // COUNT(*) AS novelty_ppm
-      |FROM g JOIN df ON df.gram = g.gram
+      |FROM g JOIN df ON df.h = g.h
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
