@@ -964,6 +964,55 @@ object SimilarityOps {
       |FROM embeddings v LEFT JOIN reach r ON v.vec_id = r.vec
       |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin
 
+  /** e16: kNN-graph construction — top-5 neighbors for EVERY vector
+    * (not just the query set), candidates blocked by the e03/e10 sign-LSH
+    * bucket: the substrate of graph-based dedup, diversity sampling, and
+    * label propagation. Per-source top-k is a row_number window over the
+    * bucket-join pair stream — Spark plans it as WindowGroupLimit, so
+    * each partition prunes to k rows per source BEFORE the exchange.
+    * Pair volume is Σ bucket² (the LSH recall trade, same as e10), never
+    * n². Singleton-bucket vectors have no candidates and are absent on
+    * both engines. */
+  def e16KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"), signBucket.as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cos_r").desc, col("b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_r"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .sortedWide("a", "rnk")
+  }
+
+  val e16Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+      |   CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
+      |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+      |r AS (
+      |  SELECT a, b, cos_r,
+      |    CAST(row_number() OVER (PARTITION BY a
+      |      ORDER BY cos_r DESC, b) AS BIGINT) AS rnk
+      |  FROM p)
+      |SELECT a, b, cos_r, rnk FROM r WHERE rnk <= 5
+      |ORDER BY a, rnk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -979,5 +1028,6 @@ object SimilarityOps {
     Q("e12_pq_encode", e12PqEncode, Some(e12Oracle)),
     Q("e13_pq_search", e13PqSearch, Some(e13Oracle)),
     Q("e14_ivfpq_search", e14IvfPqSearch, Some(e14Oracle)),
-    Q("e15_embedding_clusters", e15EmbeddingClusters, Some(e15Oracle)))
+    Q("e15_embedding_clusters", e15EmbeddingClusters, Some(e15Oracle)),
+    Q("e16_knn_graph", e16KnnGraph, Some(e16Oracle)))
 }

@@ -134,6 +134,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(reverted.count() == 0)
   }
 
+  test("e16 kNN graph: <=5 ranked neighbors per vector, ranks contiguous, " +
+    "cosine non-increasing in rank") {
+    import org.apache.spark.sql.functions._
+    val g = ext.SimilarityOps.e16KnnGraph(spark, sf)
+    val per = g.groupBy(col("a"))
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("rmax"))
+    assert(per.filter(col("n") > 5 || col("rmax") =!= col("n")).count() == 0)
+    // rank order respects cosine: no (rnk, rnk+1) inversion
+    val nxt = g.select(col("a"), (col("rnk") - 1).as("rnk"),
+      col("cos_r").as("next_cos"))
+    assert(g.join(nxt, Seq("a", "rnk"))
+      .filter(col("next_cos") > col("cos_r")).count() == 0)
+  }
+
   test("q49 incremental view maintenance equals direct recompute") {
     import org.apache.spark.sql.functions._
     val merged = ops.Relational2.q49ViewMaintenance(spark, sf)
