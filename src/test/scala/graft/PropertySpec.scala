@@ -143,6 +143,46 @@ class PropertySpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("t30 segment dedup vs in-memory model, for generated corpora") {
+    import spark.implicits._
+    // random corpora over a tiny vocabulary force heavy cross-document
+    // segment collisions; the in-memory model replays the election rule
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = for {
+      n <- Gen.choose(1, 35)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val docs = sample(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("t30prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    // model: first occurrence of each segment text by (doc_id, seg_idx)
+    val segs = docs.flatMap { case (id, t, _, _, _) =>
+      t.split(" ").grouped(10).zipWithIndex
+        .map { case (seg, i) => (id, i.toLong, seg.mkString(" ")) }
+    }
+    val firstOf = segs.groupBy(_._3).map { case (seg, occ) =>
+      seg -> occ.map(o => (o._1, o._2)).min }
+    val expect = segs.groupBy(_._1).map { case (id, ss) =>
+      val kept = ss.filter(s => firstOf(s._3) == ((s._1, s._2)))
+        .sortBy(_._2).map(_._3)
+      id -> (ss.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    val got = ext.TextOps2.t30SegmentDedup(spark, dir)
+      .select(col("doc_id"), col("n_segs"), col("n_kept"), col("clean_len"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, (nSegs, nKept, clean)) =>
+      val (gSegs, gKept, gLen) = got(id)
+      assert(gSegs == nSegs && gKept == nKept && gLen == clean.length,
+        s"doc $id: got ($gSegs,$gKept,$gLen) expected " +
+          s"($nSegs,$nKept,${clean.length})")
+    }
+  }
+
   test("t12 clusters: endpoints of every LSH edge share a cluster label") {
     import org.apache.spark.sql.functions._
     val clusters = ext.TextOps.t12DedupClusters(spark, sf)
