@@ -253,6 +253,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(after2.filter(col("play_count") === 10).count() == 0)
   }
 
+  test("streaming aggregate-view maintenance converges to the batch " +
+    "recompute (q49's merge algebra under foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.tables.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("od"))
+      .as[(Long, Double, Long)].collect().toSeq
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("c"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast("decimal(30,2)")).as("s"),
+          min(col("od")).as("mn"), max(col("od")).as("mx"))
+    var view = partial(Seq.empty[(Long, Double, Long)]
+      .toDF("c", "p", "od"))
+    val source = MemoryStream[(Long, Double, Long)]
+    val q = source.toDS().toDF("c", "p", "od")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        view = view.unionByName(partial(batch))
+          .groupBy(col("c"))
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+            min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+          .localCheckpoint()
+      }
+      .start()
+    // three "days" of inserts, uneven batch sizes
+    rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+      source.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val direct = rows.toDF("c", "p", "od").transform(partial)
+    assert(view.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(view).count() == 0)
+  }
+
   test("flatMapGroupsWithState emits per-user running deltas") {
     val q = Streams.valueDeltas(spark, Streams.readEvents(spark, sf))
       .writeStream.outputMode("append")
