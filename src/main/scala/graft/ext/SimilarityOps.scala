@@ -88,11 +88,25 @@ object SimilarityOps {
 
   /** Sign-bucket id (random-hyperplane style LSH, axis-aligned planes at
     * dims 1/9/17/25) — shared by e03 and e04. */
-  private def signBucket: Column = {
+  /** Sign-LSH bucket over the first `bits` stride-8 dimensions. `bits` is
+    * THE capacity knob of every bucket-blocked query (e03/e04/e10/e15/e16):
+    * expected bucket size is n / 2^bits, so pair volume in a bucket
+    * self-join is ~n² / 2^bits — production sizing picks
+    * bits ≈ log2(n / target_bucket) (e.g. 24 bits holds 100 TB of
+    * billions of vectors at ~thousands per bucket). The gate queries pin
+    * bits = 4 so the DuckDB oracle replays the same 16 buckets;
+    * BucketBitsSpec proves the refinement property that makes the knob
+    * safe to turn: buckets at b+1 bits partition buckets at b bits, so
+    * candidate sets only shrink. */
+  private[graft] def signBucketOf(bits: Int): Column = {
+    require(bits >= 1 && bits <= 8, s"supported sign bits: 1..8, got $bits")
     val bit = (d: Int) =>
       when(element_at(col("embedding"), d) > 0f, 1L).otherwise(0L)
-    bit(1) * 8 + bit(9) * 4 + bit(17) * 2 + bit(25)
+    (0 until bits).map(j => bit(8 * j + 1) * (1L << (bits - 1 - j)))
+      .reduce(_ + _)
   }
+
+  private def signBucket: Column = signBucketOf(4)
 
   /** e03: LSH sign-buckets — the ANN scale path: bucket id becomes the join
     * key for candidate generation, collapsing the candidate set by ~16×. */

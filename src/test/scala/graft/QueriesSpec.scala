@@ -134,6 +134,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(reverted.count() == 0)
   }
 
+  test("sign-LSH bucket bits refine: b+1-bit buckets partition b-bit " +
+    "buckets, so candidate sets only shrink as bits grow") {
+    import org.apache.spark.sql.functions._
+    val e = tables.Tables.embeddings(spark, sf)
+    val b = e.select(col("vec_id"),
+      ext.SimilarityOps.signBucketOf(4).as("b4"),
+      ext.SimilarityOps.signBucketOf(5).as("b5"),
+      ext.SimilarityOps.signBucketOf(8).as("b8"))
+    // refinement: dropping the low bit(s) recovers the coarser bucket
+    assert(b.filter(expr("b5 div 2") =!= col("b4")).count() == 0)
+    assert(b.filter(expr("b8 div 16") =!= col("b4")).count() == 0)
+    // therefore same-bucket candidate pairs at 8 bits ⊆ pairs at 4 bits
+    def pairs(c: String) = b.select(col(c).as("k"), col("vec_id").as("a"))
+      .join(b.select(col(c).as("k"), col("vec_id").as("b")), "k")
+      .filter(col("a") < col("b")).select("a", "b")
+    assert(pairs("b8").exceptAll(pairs("b4")).count() == 0)
+  }
+
   test("e16 kNN graph: <=5 ranked neighbors per vector, ranks contiguous, " +
     "cosine non-increasing in rank") {
     import org.apache.spark.sql.functions._
