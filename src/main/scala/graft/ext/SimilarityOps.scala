@@ -221,22 +221,24 @@ object SimilarityOps {
     * (codebook (cid, cvec, cn), final assignment (vec_id, embedding,
     * cid)) — shared by e06 and the IVF-PQ composition (e14). */
   private def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val kCells = 16
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
 
-    def assign(cents: DataFrame): DataFrame = {
-      // minimize |c|^2 - 2 a·c  (== L2 distance up to the constant |a|^2)
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cid"))
+    // minimize |c|^2 - 2 a·c (== L2 distance up to the constant |a|^2);
+    // nearest-cell election is the partial-aggregable min(struct) argmin
+    // (the pqModel recipe): same (dist, cid) tie-break as a row_number
+    // window, no sort, map-side combine over the K-scored stream.
+    def assign(cents: DataFrame): DataFrame =
       e.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          (col("cn") * col("cn") -
-            dot(col("embedding"), col("cvec")) * 2).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
-    }
+        .select(col("vec_id"),
+          struct(
+            (col("cn") * col("cn") -
+              dot(col("embedding"), col("cvec")) * 2).as("dist"),
+            col("cid"), col("embedding")).as("scored"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("scored")).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.cid").as("cid"))
     def recompute(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -1027,6 +1029,55 @@ object SimilarityOps {
       |SELECT a, b, cos_r, rnk FROM r WHERE rnk <= 5
       |ORDER BY a, rnk""".stripMargin
 
+  /** e17: e16's kNN graph at the PRODUCTION bucket width — 8 sign bits
+    * (256 buckets) instead of the 4-bit demo: the configuration the
+    * refinement property says is safe, gated as its own oracle query so
+    * the scale path is hash-verified, not just argued. Pair volume per
+    * vector drops 16× vs e16 (measured at 10×: the 4-bit graph is
+    * quadratic in corpus size, the knob holds bucket population
+    * constant); recall falls only for pairs straddling one of the 4
+    * added hyperplanes — the standard LSH trade, here made explicit. */
+  def e17KnnGraphWide(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"), signBucketOf(8).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cos_r").desc, col("b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_r"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .sortedWide("a", "rnk")
+  }
+
+  val e17Oracle: String = {
+    val bucket = (0 until 8).map { j =>
+      s"CASE WHEN embedding[${8 * j + 1}] > 0 THEN ${1 << (7 - j)} ELSE 0 END"
+    }.mkString(" +\n   ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  ($bucket) AS bucket
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
+       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |r AS (
+       |  SELECT a, b, cos_r,
+       |    CAST(row_number() OVER (PARTITION BY a
+       |      ORDER BY cos_r DESC, b) AS BIGINT) AS rnk
+       |  FROM p)
+       |SELECT a, b, cos_r, rnk FROM r WHERE rnk <= 5
+       |ORDER BY a, rnk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -1043,5 +1094,6 @@ object SimilarityOps {
     Q("e13_pq_search", e13PqSearch, Some(e13Oracle)),
     Q("e14_ivfpq_search", e14IvfPqSearch, Some(e14Oracle)),
     Q("e15_embedding_clusters", e15EmbeddingClusters, Some(e15Oracle)),
-    Q("e16_knn_graph", e16KnnGraph, Some(e16Oracle)))
+    Q("e16_knn_graph", e16KnnGraph, Some(e16Oracle)),
+    Q("e17_knn_graph_wide", e17KnnGraphWide, Some(e17Oracle)))
 }
