@@ -760,6 +760,78 @@ object TextOps2 {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** t33: corpus snapshot drift — two corpus versions (a deterministic
+    * hash split stands in for consecutive snapshots) compared per
+    * language: document/token mass shift and vocabulary overlap
+    * (Jaccard, integer ppm). The dataset-versioning health check run
+    * before swapping a training corpus. Plan: one pass marks each doc's
+    * side; the vocabulary rollup is distinct (lang, side, token) →
+    * per-(lang, token) side flags → per-lang sums — membership flags
+    * make the set intersection an aggregation, no self-join; the doc/
+    * token mass rollup is a second lang-keyed aggregate joined on the
+    * tiny lang key. */
+  def t33CorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val side = conv(substring(
+      graft_md5(concat(lit("ver:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 2
+    val d = fanOut(documents(s, dir)).withColumn("side", side)
+    val mass = d.groupBy(col("lang"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("docs_v1"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("docs_v2"),
+        sum(when(col("side") === 0, size(toks).cast("long"))
+          .otherwise(0L)).as("tokens_v1"),
+        sum(when(col("side") === 1, size(toks).cast("long"))
+          .otherwise(0L)).as("tokens_v2"))
+    val vocab = d.select(col("lang"), col("side"), explode(toks).as("tok"))
+      .distinct()
+      .groupBy(col("lang"), col("tok"))
+      .agg(max(when(col("side") === 0, 1L).otherwise(0L)).as("in1"),
+        max(when(col("side") === 1, 1L).otherwise(0L)).as("in2"))
+      .groupBy(col("lang"))
+      .agg(sum(col("in1")).as("vocab_v1"),
+        sum(col("in2")).as("vocab_v2"),
+        sum(col("in1") * col("in2")).as("vocab_shared"))
+    mass.join(vocab, "lang")
+      .withColumn("vocab_jaccard_ppm",
+        expr("vocab_shared * 1000000 div " +
+          "(vocab_v1 + vocab_v2 - vocab_shared)"))
+      .sortedSmall("lang")
+  }
+
+  val t33Oracle: String =
+    """WITH d AS (
+      |  SELECT lang, string_split(text, ' ') AS t,
+      |    CAST(('0x' || substr(md5('ver:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8)) AS BIGINT) % 2 AS side
+      |  FROM documents),
+      |mass AS (
+      |  SELECT lang,
+      |    CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS docs_v1,
+      |    CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS docs_v2,
+      |    CAST(coalesce(SUM(len(t)) FILTER (WHERE side = 0), 0) AS BIGINT)
+      |      AS tokens_v1,
+      |    CAST(coalesce(SUM(len(t)) FILTER (WHERE side = 1), 0) AS BIGINT)
+      |      AS tokens_v2
+      |  FROM d GROUP BY lang),
+      |v AS (SELECT DISTINCT lang, side, unnest(t) AS tok FROM d),
+      |flags AS (
+      |  SELECT lang, tok,
+      |    CAST(MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+      |    CAST(MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in2
+      |  FROM v GROUP BY lang, tok),
+      |vocab AS (
+      |  SELECT lang, CAST(SUM(in1) AS BIGINT) AS vocab_v1,
+      |    CAST(SUM(in2) AS BIGINT) AS vocab_v2,
+      |    CAST(SUM(in1 * in2) AS BIGINT) AS vocab_shared
+      |  FROM flags GROUP BY lang)
+      |SELECT m.lang, m.docs_v1, m.docs_v2, m.tokens_v1, m.tokens_v2,
+      |  vb.vocab_v1, vb.vocab_v2, vb.vocab_shared,
+      |  (vb.vocab_shared * 1000000)
+      |    // (vb.vocab_v1 + vb.vocab_v2 - vb.vocab_shared)
+      |    AS vocab_jaccard_ppm
+      |FROM mass m JOIN vocab vb ON vb.lang = m.lang
+      |ORDER BY m.lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t19_chunking", t19Chunking, Some(t19Oracle)),
     Q("t20_pii_scrub", t20PiiScrub, Some(t20Oracle)),
@@ -774,5 +846,6 @@ object TextOps2 {
     Q("t29_corpus_pipeline", t29CorpusPipeline, Some(t29Oracle)),
     Q("t30_segment_dedup", t30SegmentDedup, Some(t30Oracle)),
     Q("t31_vocab_stats", t31VocabStats, Some(t31Oracle)),
-    Q("t32_novelty_score", t32NoveltyScore, Some(t32Oracle)))
+    Q("t32_novelty_score", t32NoveltyScore, Some(t32Oracle)),
+    Q("t33_corpus_drift", t33CorpusDrift, Some(t33Oracle)))
 }

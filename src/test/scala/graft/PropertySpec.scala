@@ -183,6 +183,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("m05 frame near-dup vs in-memory model, for generated payloads " +
+    "with planted duplicates") {
+    import spark.implicits._
+    // payloads: random word strings; every third is a copy of an earlier
+    // one, and some share a 128+-byte prefix (aligned frame collisions)
+    val wordGen = Gen.listOfN(60, Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.mkString(" "))
+    val base = sample(wordGen, 20).toVector
+    val docs = (0 until 30).map { i =>
+      val t =
+        if (i % 3 == 2) base(i % base.size)            // exact copy
+        else if (i % 3 == 1) base(i % base.size) + " zz" // shared prefix
+        else base(i % base.size).reverse
+      (i.toLong, t, "en", "s", t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("m05prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    // in-memory model of m05: stride-64 frames, distinct per media,
+    // pairs sharing >= 2 frames
+    val frames = docs.map { case (id, t, _, _, _) =>
+      id -> t.getBytes("UTF-8").grouped(64).map(_.toSeq).toSet
+    }.toMap
+    val expect = (for {
+      a <- frames.keys; b <- frames.keys if a < b
+      shared = frames(a).intersect(frames(b)).size if shared >= 2
+    } yield (a, b, shared.toLong)).toSet
+    val got = ext.MultimodalOps.m05FrameDedup(spark, dir)
+      .select(col("a"), col("b"), col("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("t12 clusters: endpoints of every LSH edge share a cluster label") {
     import org.apache.spark.sql.functions._
     val clusters = ext.TextOps.t12DedupClusters(spark, sf)

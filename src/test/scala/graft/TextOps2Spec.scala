@@ -267,6 +267,29 @@ class NoveltyScoreSpec extends AnyFunSuite {
   }
 }
 
+/** t33 semantic invariants: drift masses and vocabulary overlap must
+  * reconcile with the whole-corpus totals. */
+class CorpusDriftSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("t33 drift report reconciles: sides partition the corpus, shared " +
+    "vocab bounded by either side") {
+    val r = ext.TextOps2.t33CorpusDrift(spark, sf)
+    val d = graft.tables.Tables.documents(spark, sf)
+    val total = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val j = r.join(total, "lang")
+    assert(j.filter(col("docs_v1") + col("docs_v2") =!= col("n_docs"))
+      .count() == 0)
+    assert(j.filter(col("tokens_v1") + col("tokens_v2") =!= col("n_tokens"))
+      .count() == 0)
+    assert(r.filter(col("vocab_shared") > least(col("vocab_v1"),
+      col("vocab_v2"))).count() == 0)
+    assert(r.filter(col("vocab_jaccard_ppm") < 0 ||
+      col("vocab_jaccard_ppm") > 1000000).count() == 0)
+  }
+}
+
 /** t30 semantic invariants: segment-instance conservation and
   * exactly-once election per distinct segment text. */
 class SegmentDedupSpec extends AnyFunSuite {
