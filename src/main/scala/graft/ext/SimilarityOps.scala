@@ -99,10 +99,15 @@ object SimilarityOps {
     * safe to turn: buckets at b+1 bits partition buckets at b bits, so
     * candidate sets only shrink. */
   private[graft] def signBucketOf(bits: Int): Column = {
-    require(bits >= 1 && bits <= 8, s"supported sign bits: 1..8, got $bits")
+    require(bits >= 1 && bits <= 16, s"supported sign bits: 1..16, got $bits")
     val bit = (d: Int) =>
       when(element_at(col("embedding"), d) > 0f, 1L).otherwise(0L)
-    (0 until bits).map(j => bit(8 * j + 1) * (1L << (bits - 1 - j)))
+    // bit j reads dim 8j+1 for j<8 (the original layout — gate oracles
+    // depend on it) and dim 8(j-8)+5 for j>=8 (offset-4 interleave), so
+    // widening appends low bits and the refinement property holds at
+    // every width.
+    val dim = (j: Int) => if (j < 8) 8 * j + 1 else 8 * (j - 8) + 5
+    (0 until bits).map(j => bit(dim(j)) * (1L << (bits - 1 - j)))
       .reduce(_ + _)
   }
 

@@ -145,6 +145,13 @@ class QueriesSpec extends AnyFunSuite {
     // refinement: dropping the low bit(s) recovers the coarser bucket
     assert(b.filter(expr("b5 div 2") =!= col("b4")).count() == 0)
     assert(b.filter(expr("b8 div 16") =!= col("b4")).count() == 0)
+    // the widened (>8-bit) range appends low bits the same way
+    val wide = tables.Tables.embeddings(spark, sf).select(
+      ext.SimilarityOps.signBucketOf(8).as("w8"),
+      ext.SimilarityOps.signBucketOf(12).as("w12"),
+      ext.SimilarityOps.signBucketOf(16).as("w16"))
+    assert(wide.filter(expr("w12 div 16") =!= col("w8")).count() == 0)
+    assert(wide.filter(expr("w16 div 16") =!= col("w12")).count() == 0)
     // therefore same-bucket candidate pairs at 8 bits ⊆ pairs at 4 bits
     def pairs(c: String) = b.select(col(c).as("k"), col("vec_id").as("a"))
       .join(b.select(col(c).as("k"), col("vec_id").as("b")), "k")
