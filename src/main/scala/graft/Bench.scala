@@ -36,14 +36,22 @@ object Bench {
       }
     }
     spark.catalog.clearCache() // drop warmup caches
+    // Local-iteration knob: time each query REPS times and report the MIN.
+    // The box's wall-clock noise dwarfs real deltas (t23 measured 7.7-35 s
+    // across unchanged runs); min-of-k isolates the code's cost from
+    // scheduler interference. Driver runs leave this at 1.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Isolate queries: persisted intermediates (MinHash sketches etc.)
-      // must bill the query that built them, not skew its neighbors via
-      // memory pressure.
-      spark.catalog.clearCache()
+      val dt = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        val d = (System.nanoTime() - t0) / 1e9
+        // Isolate queries: persisted intermediates (MinHash sketches etc.)
+        // must bill the query that built them, not skew its neighbors via
+        // memory pressure.
+        spark.catalog.clearCache()
+        d
+      }.min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
