@@ -227,7 +227,14 @@ object SimilarityOps {
     * cid)) — shared by e06 and the IVF-PQ composition (e14). */
   private def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val kCells = 16
+    // Cache the vectors PRE-PARTITIONED on vec_id: the cached relation
+    // advertises HashPartitioning(vec_id), so all three assign passes'
+    // groupBy(vec_id) aggregate in place — zero exchanges where the
+    // uncached chain paid one per pass. Lazy persist: the first round's
+    // single broadcast (c0) materializes it, no concurrent-consumer race.
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .persist()
 
     // minimize |c|^2 - 2 a·c (== L2 distance up to the constant |a|^2);
     // nearest-cell election is the partial-aggregable min(struct) argmin
@@ -244,28 +251,45 @@ object SimilarityOps {
         .agg(min(col("scored")).as("best"))
         .select(col("vec_id"), col("best.embedding").as("embedding"),
           col("best.cid").as("cid"))
-    def recompute(assigned: DataFrame): DataFrame =
+    // Exact decimal means (order-independent across partitions AND
+    // engines) — a double avg() would be float-summation-order
+    // dependent, which is what kept e06 oracle-less in round 2. One
+    // groupBy with a fixed davg column per dimension (not posexplode +
+    // two groupBys): same values, one exchange instead of two — each
+    // exchange is a whole AQE stage-job, and job count is what these
+    // 5k-vector training chains actually pay for (JobProbe: 59 jobs
+    // per e14 execution before this rewrite).
+    def recompute(assigned: DataFrame): DataFrame = {
+      // One shared count + 64 decimal sums, NOT 64 davg's: davg embeds its
+      // own count, and 129 aggregate buffers would blow the whole-stage
+      // codegen field limit (spark.sql.codegen.maxFields = 100) — the
+      // aggregate silently falls back to the interpreted path, ~1 s per
+      // Lloyd round (JobProbe-measured). 65 buffers stay codegen'd; the
+      // per-dim sum/count quotient is bit-identical to davg (embeddings
+      // are non-null, so COUNT(dim) == COUNT(*)).
+      val sums = (0 until 64).map(p =>
+        graft.expr.Exprs.dsum(
+          element_at(col("embedding"), p + 1).cast("double"), 12)
+          .as(s"s$p"))
       assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        // Exact decimal mean (order-independent across partitions AND
-        // engines) — a double avg() would be float-summation-order
-        // dependent, which is what kept e06 oracle-less in round 2.
-        .agg(graft.expr.Exprs.davg(col("v").cast("double"), 12).as("m"))
         .groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("cvec"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
+        .select(col("cid"),
+          array((0 until 64).map(p =>
+            (col(s"s$p") / col("cnt")).cast("float")): _*).as("cvec"))
         .withColumn("cn", norm2(col("cvec")))
+    }
 
     var cents = e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       .withColumn("cn", norm2(col("cvec")))
-    (1 to 2).foreach { _ =>
-      cents = recompute(assign(cents)).persist()
-      cents.count()
-    }
-    (cents, assign(cents))
+    // Same materialization discipline as pqModel: lazy persist on the
+    // intermediate round (single next-round broadcast consumer); the
+    // final codebook collects to a driver-local relation (16×64 floats),
+    // so consumers plan against literal rows, not the Lloyd lineage.
+    cents = recompute(assign(cents)).persist()
+    val trained = localized(s, recompute(assign(cents)))
+    (trained, assign(trained))
   }
 
   def e06AnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -574,7 +598,14 @@ object SimilarityOps {
   /** (final assignment (vec_id, m, sv, cid), trained codebook
     * (m, cid, cvec, cn)). */
   private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // One scan+explode for the whole chain, cached PRE-PARTITIONED on
+    // vec_id so every assign pass's groupBy(vec_id, m) aggregates in
+    // place — zero exchanges (HashPartitioning(vec_id) satisfies the
+    // (vec_id, m) clustering). Lazy persist: the first materializer is
+    // round 1's single c0 broadcast, sequential, no race.
     val subs = pqSubvectors(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .persist()
     // argmin by (dist, cid) as a partial-aggregable min(struct) — same
     // tie-break as a row_number window (dist asc, cid asc; cid is unique
     // per (m, candidate) so sv is never reached in the comparison), but
@@ -591,24 +622,47 @@ object SimilarityOps {
         .agg(min(col("scored")).as("best"))
         .select(col("vec_id"), col("m"), col("best.sv").as("sv"),
           col("best.cid").as("cid"))
-    def recompute(assigned: DataFrame): DataFrame =
+    // Same decimal-exact means, one groupBy with a fixed davg column per
+    // subspace dimension instead of posexplode + two groupBys — one
+    // exchange fewer per Lloyd round (the ivfModel recompute rationale).
+    def recompute(assigned: DataFrame): DataFrame = {
+      val means = (0 until pqSub).map(p =>
+        graft.expr.Exprs.davg(
+          element_at(col("sv"), p + 1).cast("double"), 12)
+          .cast("float").as(s"m$p"))
       assigned
-        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("cid"), col("pos"))
-        .agg(graft.expr.Exprs.davg(col("v").cast("double"), 12).as("mm"))
         .groupBy(col("m"), col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mm")))),
-          x => x.getField("mm").cast("float")).as("cvec"))
+        .agg(means.head, means.tail: _*)
+        .select(col("m"), col("cid"),
+          array((0 until pqSub).map(p => col(s"m$p")): _*).as("cvec"))
         .withColumn("cn", norm2(col("cvec")))
+    }
     var cents = subs.filter(col("vec_id") < pqK)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cvec"))
       .withColumn("cn", norm2(col("cvec")))
-    (1 to 2).foreach { _ =>
-      cents = recompute(assign(cents)).persist()
-      cents.count()
-    }
-    (assign(cents), cents)
+    // Intermediate round: persist WITHOUT count — its single consumer is
+    // the next round's broadcast (one exchange, no race), which
+    // materializes the cache in-line; an eager count here is a whole
+    // extra job.
+    cents = recompute(assign(cents)).persist()
+    // Final codebook: COLLECT to the driver and re-plan as a local
+    // relation — the trained model is M×K rows of K floats (the Spark ML
+    // KMeansModel shape, driver-resident by design at any corpus size).
+    // Every consumer broadcast then ships literal rows instead of
+    // re-planning the whole Lloyd lineage through the cache: JobProbe
+    // showed the lineage-walking AQE stage-jobs, not compute, dominate
+    // these chains. The collect IS the round-2 action (replaces count()).
+    val trained = localized(s, recompute(assign(cents)))
+    (assign(trained), trained)
+  }
+
+  /** Materialize a small model DataFrame to the driver and return it as a
+    * LocalRelation with the same schema and rows — consumers' plans stop
+    * at literal data instead of the training lineage. Only for
+    * codebook-sized results (K×M rows). */
+  private def localized(s: SparkSession, model: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(model.collect().toSeq.asJava, model.schema)
   }
 
   /** The shared CTE chain for the PQ oracle (subspace split → seeds → two
@@ -798,9 +852,14 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= 2)
       .select(col("qid"), col("cid").as("cell"))
+    // Two consumers (ADC scoring + the n_cands evidence column) would
+    // each re-plan the probe→join subtree as separate AQE stages; one
+    // eager materialization of the ~k-row candidate list is cheaper.
     val cands = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
+      .persist()
+    cands.count()
     val qsubs = pqSubvectors(s, dir).filter(col("vec_id") < 5)
       .toDF("qid", "m", "qsv")
     val qnorms = embeddings(s, dir).filter(col("vec_id") < 5)
