@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.expr.Exprs._
@@ -59,14 +59,51 @@ object Relational2 {
   def q28Moments(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity")
     val y = col("l_extendedprice")
+    // The decimal power sums are semantically sum(cast(expr AS
+    // decimal(30,6))) — but Spark's wide-decimal sum runs a BigDecimal
+    // add + overflow check per row per column (~4× DuckDB's int128 at
+    // sf0.1). Same exact values, long-speed plan: round each element
+    // ONCE to its decimal contract (a compact precision-18 cast), rip
+    // out the unscaled long (Spark's own UnscaledValue, codegen'd), and
+    // let the aggregation be plain long sums. Wide products split into
+    // div/mod 1e9 halves so per-group totals stay in long — exact to
+    // ~9×10⁹ rows PER GROUP (lo < 1e9 each; ANSI makes an overflow loud,
+    // not silent; beyond that scale, shard the group key or fall back to
+    // dsum). The 3-row post-agg reassembly (hi·1e9 + lo, exact decimal
+    // division by the scale) goes through the same BigDecimal→double
+    // rounding as the decimal sum did, so results are bit-identical and
+    // the oracle is untouched.
+    def units(c: Column, scale: Int): Column = {
+      import org.apache.spark.sql.{GraftBridge => GB}
+      import org.apache.spark.sql.catalyst.expressions.UnscaledValue
+      GB.column(UnscaledValue(GB.expression(
+        c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))))
+    }
+    val B = 1000000000L
+    def exactDiv(c: Column, by: Long): Column =
+      (c.cast("decimal(38,0)") / lit(by).cast("decimal(10,0)"))
+        .cast("double")
     lineitem(s, dir)
+      .select(col("l_returnflag"),
+        units(x, 2).as("xc"), units(y, 2).as("yc"),
+        units(x * x, 6).as("xxu"),
+        units(y * y, 6).as("yyu"),
+        units(x * y, 6).as("xyu"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        dsum(x).cast("double").as("sx"),
-        dsum(x * x, 6).cast("double").as("sxx"),
-        dsum(y).cast("double").as("sy"),
-        dsum(y * y, 6).cast("double").as("syy"),
-        dsum(x * y, 6).cast("double").as("sxy"))
+        sum(col("xc")).as("sxc"),
+        sum(col("yc")).as("syc"),
+        sum(col("xxu")).as("sxxu"),
+        sum(expr(s"yyu div $B")).as("yyh"), sum(col("yyu") % B).as("yyl"),
+        sum(expr(s"xyu div $B")).as("xyh"), sum(col("xyu") % B).as("xyl"))
+      .select(col("l_returnflag"), col("n"),
+        exactDiv(col("sxc"), 100L).as("sx"),
+        exactDiv(col("sxxu"), 1000000L).as("sxx"),
+        exactDiv(col("syc"), 100L).as("sy"),
+        exactDiv(col("yyh").cast("decimal(38,0)") * lit(B) + col("yyl"),
+          1000000L).as("syy"),
+        exactDiv(col("xyh").cast("decimal(38,0)") * lit(B) + col("xyl"),
+          1000000L).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
           (col("n") - 1)), 6).as("std_qty"),

@@ -20,25 +20,41 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Rewriting writes (overwrite, merge) never touch live data. Each commit:
   *
-  *   1. claims `<table>/v<N+1>/` via atomic `createDirectory` (two racing
-  *      writers cannot claim the same version number),
+  *   1. claims `<table>/v<X>/` via atomic `createDirectory` (two racing
+  *      writers cannot claim the same version directory),
   *   2. materializes the full new table into the claimed directory,
-  *   3. commits by atomically renaming a staged pointer file onto
-  *      `<table>/_current` (the pointer's content, `v<N+1>`, is the commit).
+  *   3. commits by COMPARE-AND-SWAP on the commit log: publish
+  *      `<table>/_commit.<S+1>` (content `v<X>`), where S is the log seq
+  *      the transaction read at its start. The publish primitive is
+  *      `Files.createLink` of a staged content file — POSIX link(2) is
+  *      atomic create-if-absent WITH content (rename without
+  *      REPLACE_EXISTING is check-then-rename in the JDK, i.e. not a CAS,
+  *      and createFile-then-write has an empty-content crash window).
+  *      Exactly one writer can own seq S+1; a loser sees
+  *      FileAlreadyExists, discards its claim and re-applies on the new
+  *      base. On an object store the same seam maps to put-if-absent /
+  *      conditional-put.
   *
-  * Readers resolve `_current` once at DataFrame creation, so:
+  * The marker log is the source of truth: readers resolve the HIGHEST
+  * `_commit.<seq>`'s content at DataFrame creation. `_current` is still
+  * written after every successful commit — as a human-readable hint and
+  * for tables created by older layouts — but it is advisory; correctness
+  * never depends on its timing. Consequences:
   *   - a reader mid-merge sees exactly the old or the new version, never a
   *     mix (the two directories are disjoint);
-  *   - a crash anywhere before step 3 leaves `_current` — and thus the
+  *   - a crash anywhere before step 3 leaves the log — and thus the
   *     table — untouched; the orphaned claim directory is swept by a later
-  *     commit's GC once it falls behind the retention window;
+  *     commit's GC once it falls behind the retention window. There is NO
+  *     wedged state: an unpublished claim blocks nobody (versions are
+  *     sparse), and a published marker is complete by construction;
   *   - an in-flight reader of the previous version keeps its snapshot: GC
-  *     retains one version behind `_current` (readers are assumed to finish
-  *     within one upstream commit — tighten by widening `gcKeep`).
+  *     retains one version behind the head (readers are assumed to finish
+  *     within one upstream commit — tighten by widening the window).
   *
-  * Writer-writer conflicts are resolved last-commit-wins (no optimistic
-  * re-validation against the base version — that is Delta/Iceberg territory;
-  * the claim step only guarantees physical isolation of their file sets).
+  * Writer-writer conflicts: the CAS closes the residual
+  * both-validate-then-both-rename race the pointer-rename protocol had —
+  * two writers from the same base can no longer both commit; the loser
+  * re-reads and re-applies (see [[mergeWith]]), so no update is lost.
   *
   * Appends write new part-files into the CURRENT version directory through
   * Spark's job committer (task output lands in `_temporary` and is moved on
@@ -56,11 +72,47 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   private def dir(table: String): Path = Paths.get(warehouse, table)
   private def pointer(table: String): Path = dir(table).resolve("_current")
 
-  /** Committed version number; 0 = no pointer (legacy flat table or none). */
-  private def currentVersion(table: String): Int =
-    if (Files.exists(pointer(table)))
-      Files.readString(pointer(table)).trim.stripPrefix("v").toInt
-    else 0
+  private val MarkerName = "_commit\\.(\\d+)".r
+
+  /** The commit log: (seq → committed version), ascending by seq. Marker
+    * files are published atomically with their content (hard link), so a
+    * listed marker is always complete. */
+  private def markers(table: String): Seq[(Int, Int)] =
+    listDir(table).flatMap { p =>
+      p.getFileName.toString match {
+        case MarkerName(s) =>
+          Some(s.toInt ->
+            Files.readString(p).trim.stripPrefix("v").toInt)
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  /** Head of the commit log: (seq, version). Tables from the pointer-only
+    * layout read their pointer as an implicit seq-0 commit; (0, 0) = no
+    * rewriting commit yet (legacy flat table or none). */
+  private def head(table: String): (Int, Int) =
+    markers(table).lastOption.getOrElse {
+      if (Files.exists(pointer(table)))
+        (0, Files.readString(pointer(table)).trim.stripPrefix("v").toInt)
+      else (0, 0)
+    }
+
+  /** Committed version number; 0 = no versioned commit. */
+  private def currentVersion(table: String): Int = head(table)._2
+
+  /** CAS publish of commit seq (content `v<version>`): true iff this
+    * writer won the seq. link(2) atomically creates the marker complete
+    * with content or fails with EEXIST; the staged source is always
+    * removed. */
+  private def publish(table: String, seq: Int, version: Int): Boolean = {
+    val marker = dir(table).resolve(s"_commit.$seq")
+    val staged = dir(table).resolve(
+      s"_commit.$seq.staged.${System.nanoTime}.${Thread.currentThread.getId}")
+    Files.writeString(staged, s"v$version")
+    try { Files.createLink(marker, staged); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(staged) }
+  }
 
   /** Directory a reader of `table` scans right now. */
   private def resolve(table: String): Path = {
@@ -130,13 +182,27 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Step 3: stage the new pointer content, then atomic rename — the only
-    * mutation of live state in the whole commit. */
+  /** Advisory pointer refresh (staged write + atomic rename). Readers go
+    * through the marker log; this exists as a human-readable head hint
+    * and for compatibility with the pointer-only layout. */
   private def commitPointer(table: String, v: Int): Unit = {
     val staged = dir(table).resolve(s"_current.staged.v$v")
     Files.writeString(staged, s"v$v")
     Files.move(staged, pointer(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Commit an already-written claim directory at the NEXT free log seq —
+    * for writes whose content does not depend on the base version
+    * (overwrite, first write): a competing commit just bumps the seq we
+    * publish at; nothing needs re-applying. */
+  private def commitClaimed(table: String, v: Int): Unit = {
+    var (seq, prev) = head(table)
+    while (!publish(table, seq + 1, v)) {
+      val h = head(table); seq = h._1; prev = h._2
+    }
+    commitPointer(table, v)
+    gc(table, prev)
   }
 
   /** Sweep versions that have left the retention window. `prev` is the
@@ -148,24 +214,30 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * scanning while retaining ghosts. Deletes every vN < prev, plus the
     * pre-protocol flat files once they too are behind the window
     * (prev ≥ 1 means some vN replaced them as the retained snapshot). */
-  private def gc(table: String, prev: Int): Unit =
+  private def gc(table: String, prev: Int): Unit = {
+    val agedMarkers =
+      markers(table).filter(_._2 < prev).map(_._1).toSet
     listDir(table).foreach { p =>
       val n = p.getFileName.toString
-      if (n.matches("v\\d+")) {
-        if (n.drop(1).toInt < prev) deleteRecursive(p)
-      } else if (prev >= 1 && !n.startsWith("_") && !n.startsWith("."))
-        deleteRecursive(p) // legacy v0 flat data aged out of retention
+      n match {
+        case MarkerName(s) => // log entries of swept versions age out too
+          if (agedMarkers(s.toInt)) Files.deleteIfExists(p)
+        case _ if n.matches("v\\d+") =>
+          if (n.drop(1).toInt < prev) deleteRecursive(p)
+        case _ if prev >= 1 && !n.startsWith("_") && !n.startsWith(".") =>
+          deleteRecursive(p) // legacy v0 flat data aged out of retention
+        case _ => ()
+      }
     }
+  }
 
   /** Full-table rewrite through the commit protocol (steps 1-3 + GC). */
   private def commitRewrite(table: String, df: DataFrame): Unit = {
-    val prev = currentVersion(table)
     val (v, claimed) = claimNext(table)
     // Append mode: the claimed directory is empty and MUST survive the
     // write (Overwrite would delete-and-recreate it, dropping the claim).
     df.write.mode(SaveMode.Append).parquet(claimed.toString)
-    commitPointer(table, v)
-    gc(table, prev)
+    commitClaimed(table, v)
   }
 
   def append(table: String, df: DataFrame): Unit =
@@ -182,7 +254,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       val (v, claimed) = claimNext(table)
       df.write.mode(SaveMode.Append).partitionBy(partitionCol)
         .parquet(claimed.toString)
-      commitPointer(table, v)
+      commitClaimed(table, v)
     } else
       df.write.mode(SaveMode.Append).partitionBy(partitionCol)
         .parquet(resolve(table).toString)
@@ -203,32 +275,37 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * to its next version, committed through the same protocol. [[merge]]
     * is `mergeWith(t)(Ops.mergeUpdates(_, updates))`.
     *
-    * Optimistic concurrency: the read-transform-commit cycle validates
-    * that the version it READ is still the committed version at commit
-    * time; a concurrent commit in the window triggers a re-read and
-    * re-apply of `f` on the NEW contents (up to `maxRetries`), so a
-    * racing writer's merge is never silently overwritten — the
-    * lost-update anomaly of plain last-commit-wins. The residual race
-    * (both validate, then both rename) is narrowed to the pointer rename
-    * itself rather than the whole read-transform window; closing it
-    * entirely needs a compare-and-swap pointer (Delta/Iceberg's
-    * log-append), which stays out of scope as before. */
+    * Optimistic concurrency through the log CAS: the transaction reads
+    * the log head (seq S, version B), applies `f` to EXACTLY version B's
+    * directory, materializes into its claim, and commits by publishing
+    * seq S+1. The publish is atomic create-if-absent, so two writers
+    * from the same base can never both commit — success PROVES no other
+    * commit intervened anywhere in the read-transform-write window (a
+    * competing commit would have taken seq S+1). The loser discards its
+    * claim and re-applies `f` on the new contents (up to `maxRetries`),
+    * so a racing writer's merge is never silently overwritten — no
+    * lost-update anomaly, no residual both-validate-then-both-rename
+    * window. */
   def mergeWith(table: String, maxRetries: Int = 5)(
       f: DataFrame => DataFrame): Unit = {
     var attempt = 0
     var committed = false
     while (!committed) {
-      val base = currentVersion(table)
-      val next = f(read(table))
-      // Materialize BEFORE validating: f's plan lazily re-reads the table
+      val (baseSeq, baseV) = head(table)
+      // Pin the scan to the base version's directory (not resolve(), which
+      // could drift to a concurrent commit mid-transaction): the CAS below
+      // is only meaningful if f consumed exactly the state it names.
+      val basePath =
+        if (baseV > 0) dir(table).resolve(s"v$baseV") else dir(table)
+      val next = f(spark.read.parquet(basePath.toString))
+      // Materialize BEFORE committing: f's plan lazily re-reads the table
       // at job time, so commit must not expose a half-new view. The claim
       // directory is the natural materialization target.
-      val prev = currentVersion(table)
       val (v, claimed) = claimNext(table)
       next.write.mode(SaveMode.Append).parquet(claimed.toString)
-      if (currentVersion(table) == base) {
+      if (publish(table, baseSeq + 1, v)) {
         commitPointer(table, v)
-        gc(table, prev)
+        gc(table, baseV)
         committed = true
       } else {
         deleteRecursive(claimed) // lost the race: discard and re-apply

@@ -197,3 +197,67 @@ class OptimisticMergeSpec extends AnyFunSuite {
     assert(rows == Map(1 -> "a", 2 -> "B2", 3 -> "c"), rows.toString)
   }
 }
+
+class CasCommitSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.{col, coalesce}
+
+  /** VERDICT r4 #5's done-criterion: two writers racing mergeWith on the
+    * same table, threads genuinely concurrent (barrier start). The log
+    * CAS must admit exactly one commit per seq; every writer's upsert
+    * must survive (no lost update), the log must stay dense, and no
+    * claim directory may be left published-but-dangling. */
+  test("two racing mergeWith writers lose no update and strand no state") {
+    val wh = Files.createTempDirectory("vstore_cas").toString
+    val store = new TableStore(spark, wh)
+    import spark.implicits._
+    store.append("t", Seq(0 -> "init").toDF("k", "v")) // seq 1 = v1
+
+    val perWriter = 4
+    def upsert(k: Int, v: String): Unit =
+      store.mergeWith("t", maxRetries = 50) { cur =>
+        val u = Seq(k -> v).toDF("k", "v")
+          .select(col("k"), col("v").as("uv"))
+        cur.join(u, Seq("k"), "full")
+          .select(col("k"), coalesce(col("uv"), col("v")).as("v"))
+      }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("A", "B").map { w =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          (1 to perWriter).foreach(i => upsert(w.hashCode * 100 + i, s"$w$i"))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+
+    // no lost update: init + every key from both writers
+    val rows = store.read("t").as[(Int, String)].collect().toMap
+    val expected = Map(0 -> "init") ++
+      (for (w <- Seq("A", "B"); i <- 1 to perWriter)
+        yield (w.hashCode * 100 + i) -> s"$w$i")
+    assert(rows == expected, rows.toString)
+
+    // the log admitted exactly one commit per seq: head seq == 1 (create)
+    // + one per successful merge, and the final two markers are retained
+    def names = {
+      val s = Files.list(Paths.get(wh, "t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toList
+      } finally s.close()
+    }
+    val markerSeqs = names.collect {
+      case n if n.matches("_commit\\.\\d+") => n.stripPrefix("_commit.").toInt
+    }.sorted
+    assert(markerSeqs.max == 1 + 2 * perWriter,
+      s"head seq must count every commit exactly once: $markerSeqs")
+    // no stranded staged CAS sources; claim dirs bounded by the GC window
+    assert(!names.exists(_.contains(".staged.")), names.toString)
+    val vdirs = names.filter(_.matches("v\\d+"))
+    assert(vdirs.size <= 2, s"retention window exceeded: $vdirs")
+  }
+}
