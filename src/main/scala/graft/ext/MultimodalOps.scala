@@ -29,6 +29,45 @@ object MultimodalOps {
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
       width: Int, height: Int, n_frames: Int)
 
+  /** The executor-side media kernel seam: a production deployment drops a
+    * real decoder/resampler in here WITHOUT touching the oracle-gated
+    * query plumbing (m02/m04 take a codec parameter; the registry entries
+    * bind [[ByteStatCodec]], the container's deterministic stand-in —
+    * this container ships no image/audio codecs). Implementations must be
+    * Serializable (the instance is shipped into the mapPartitions
+    * closure) and deterministic if an oracle gate is to hold. */
+  trait MediaCodec extends Serializable {
+    /** Called once per partition before the first element — amortize
+      * codec/model handle initialization here, not per row. */
+    def open(): Unit = ()
+    /** Decode `content` and extract typed features. */
+    def features(m: MediaRow): MediaFeatures
+    /** Resample `content` down by `factor` (image resize / audio
+      * downsample stand-in). */
+    def resize(content: Array[Byte], factor: Int): Array[Byte]
+  }
+
+  /** STUB codec — deterministic byte statistics standing in for real
+    * decode/resample (replicated bit-for-bit by the m02/m04 oracles). */
+  object ByteStatCodec extends MediaCodec {
+    override def features(m: MediaRow): MediaFeatures = {
+      val n = m.content.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (m.content(i) & 0xff); i += 1 }
+      val w = 16 + (sum % 64).toInt
+      MediaFeatures(m.media_id, m.kind, n.toLong, sum, w,
+        height = if (n == 0) 0 else (n / w) + 1,
+        n_frames = n / 32 + 1)
+    }
+    override def resize(content: Array[Byte], factor: Int): Array[Byte] = {
+      val out = new Array[Byte]((content.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = content(i * factor); i += 1 }
+      out
+    }
+  }
+
   /** Synthesize the media table from `documents` (UTF-8 bytes as payload) —
     * deterministic, schema-faithful stand-in for an ingested binary table. */
   def media(s: SparkSession, dir: String): DataFrame =
@@ -54,32 +93,23 @@ object MultimodalOps {
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** m02: batch feature extraction over binary content via mapPartitions —
-    * the decode kernel. STUB: width/height/checksum are deterministic byte
-    * statistics, not a real codec (none available in this container);
-    * replace `decodeStub` with the codec call in production. */
-  def m02DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    * the decode kernel behind the [[MediaCodec]] seam (registry binds the
+    * stub; production binds a real decoder, same plan). */
+  def m02DecodeFeatures(s: SparkSession, dir: String): DataFrame =
+    decodeFeaturesWith(ByteStatCodec)(s, dir)
+
+  def decodeFeaturesWith(codec: MediaCodec)(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     media(s, dir).as[MediaRow]
       .mapPartitions { rows =>
-        // batch shape: process per-partition iterator lazily; a real codec
-        // would amortize init (model/codec handles) across the partition.
-        rows.map(decodeStub)
+        // batch shape: open() amortizes codec/model init across the
+        // partition; elements stream lazily through the decoder.
+        codec.open()
+        rows.map(codec.features)
       }
       .toDF()
       .sortedWide("media_id")
-  }
-
-  /** STUB decode — deterministic byte statistics standing in for a codec.
-    * Real impl: decode image dims / audio frames from `content`. */
-  private def decodeStub(m: MediaRow): MediaFeatures = {
-    val n = m.content.length
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += (m.content(i) & 0xff); i += 1 }
-    val w = 16 + (sum % 64).toInt
-    MediaFeatures(m.media_id, m.kind, n.toLong, sum, w,
-      height = if (n == 0) 0 else (n / w) + 1,
-      n_frames = n / 32 + 1)
   }
 
   /** m02 oracle: the stub is deterministic byte statistics, so DuckDB can
@@ -143,21 +173,24 @@ object MultimodalOps {
       |FROM m JOIN f ON frame_no <= greatest((n - 1) // 64, 0)
       |ORDER BY media_id, frame_no""".stripMargin
 
-  /** m04: resize — STUB standing in for an image/audio resampler: keeps
-    * every k-th byte (deterministic downsample), recomputing metadata. The
-    * Spark shape is the real part: binary in, smaller binary + typed meta
-    * out, narrow map, no shuffle. */
-  def m04Resize(s: SparkSession, dir: String): DataFrame = {
+  /** m04: resize through the [[MediaCodec]] seam (stub keeps every k-th
+    * byte — a deterministic downsample). The Spark shape is the real
+    * part: binary in, smaller binary + typed meta out, narrow map, no
+    * shuffle. */
+  def m04Resize(s: SparkSession, dir: String): DataFrame =
+    resizeWith(ByteStatCodec)(s, dir)
+
+  def resizeWith(codec: MediaCodec)(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val factor = 4
     media(s, dir).as[MediaRow]
       .mapPartitions { rows =>
+        codec.open()
         rows.map { m =>
-          val n = m.content.length
-          val out = new Array[Byte]((n + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = m.content(i * factor); i += 1 }
-          (m.media_id, m.kind, out, n.toLong, out.length.toLong)
+          val out = codec.resize(m.content, factor)
+          (m.media_id, m.kind, out, m.content.length.toLong,
+            out.length.toLong)
         }
       }
       .toDF("media_id", "kind", "resized", "orig_bytes", "resized_bytes")

@@ -86,18 +86,20 @@ object SimilarityOps {
       |SELECT qid, cid, cos_r, rnk FROM r WHERE rnk <= 10
       |ORDER BY qid, rnk""".stripMargin
 
-  /** Sign-bucket id (random-hyperplane style LSH, axis-aligned planes at
-    * dims 1/9/17/25) — shared by e03 and e04. */
   /** Sign-LSH bucket over the first `bits` stride-8 dimensions. `bits` is
     * THE capacity knob of every bucket-blocked query (e03/e04/e10/e15/e16):
     * expected bucket size is n / 2^bits, so pair volume in a bucket
     * self-join is ~n² / 2^bits — production sizing picks
-    * bits ≈ log2(n / target_bucket) (e.g. 24 bits holds 100 TB of
-    * billions of vectors at ~thousands per bucket). The gate queries pin
-    * bits = 4 so the DuckDB oracle replays the same 16 buckets;
-    * BucketBitsSpec proves the refinement property that makes the knob
-    * safe to turn: buckets at b+1 bits partition buckets at b bits, so
-    * candidate sets only shrink. */
+    * bits ≈ log2(n / target_bucket). THIS implementation caps at 16 bits
+    * (two interleave passes over 64 dims = 16 defined hyperplanes; 64k
+    * buckets ≈ hundreds of millions of vectors at thousands per bucket) —
+    * the ~24-bit sizing a 100 TB corpus wants needs a third interleave
+    * offset (64-dim embeddings leave room; extend `dim` below), and
+    * `BucketProbe` can only probe widths this cap admits. The gate
+    * queries pin bits = 4 so the DuckDB oracle replays the same 16
+    * buckets; BucketBitsSpec proves the refinement property that makes
+    * the knob safe to turn: buckets at b+1 bits partition buckets at b
+    * bits, so candidate sets only shrink. */
   private[graft] def signBucketOf(bits: Int): Column = {
     require(bits >= 1 && bits <= 16, s"supported sign bits: 1..16, got $bits")
     val bit = (d: Int) =>

@@ -40,8 +40,16 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df
-      case _ => df.withColumn("ts",
-        expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      case org.apache.spark.sql.types.TimestampType => df.withColumn("ts",
+        expr("unix_micros(ts) * 1000"))
+      // Anything else (e.g. TIMESTAMP_NTZ, whose micros would be
+      // reinterpreted in the session zone, or a sub-micro layout that
+      // would silently truncate) must surface as an error, not a silent
+      // reinterpretation.
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other — expected " +
+          "nanosecond LONG (driver corpus under nanosAsLong) or " +
+          "micros TIMESTAMP (rewritten replicas)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

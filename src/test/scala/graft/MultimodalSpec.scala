@@ -67,6 +67,44 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("bytes_covered") =!= col("n_bytes")).count() == 0)
   }
 
+  test("MediaCodec seam: an alternate codec drops in without touching " +
+    "the query plumbing; the registry path IS the stub codec") {
+    // toy "codec": constant 2x3 dims, checksum = first byte; resize =
+    // constant one-byte output — shaped nothing like the stub, so any
+    // plumbing that secretly re-derives values from bytes would diverge.
+    object ToyCodec extends MultimodalOps.MediaCodec {
+      override def features(m: MultimodalOps.MediaRow) =
+        MultimodalOps.MediaFeatures(m.media_id, m.kind,
+          m.content.length.toLong,
+          checksum = if (m.content.isEmpty) -1L else (m.content(0) & 0xffL),
+          width = 2, height = 3, n_frames = 7)
+      override def resize(content: Array[Byte], factor: Int) =
+        Array[Byte](42)
+    }
+    val f = MultimodalOps.decodeFeaturesWith(ToyCodec)(spark, sf)
+    assert(f.filter(col("width") =!= 2 || col("height") =!= 3 ||
+      col("n_frames") =!= 7).count() == 0)
+    val r = MultimodalOps.resizeWith(ToyCodec)(spark, sf)
+    assert(r.filter(col("resized_bytes") =!= 1).count() == 0)
+    // the default-bound registry queries equal the explicit stub binding
+    assert(MultimodalOps.m02DecodeFeatures(spark, sf).exceptAll(
+      MultimodalOps.decodeFeaturesWith(MultimodalOps.ByteStatCodec)(
+        spark, sf)).count() == 0)
+  }
+
+  test("m03/m05 oracle frame-series bound: no document may exceed 64 " +
+    "frames (4096 bytes) or the DuckDB gates silently diverge") {
+    // ADVICE r4: the oracles enumerate generate_series(0, 63) while the
+    // Spark side enumerates ALL frames — this assertion turns a corpus
+    // that outgrows the constant series into a loud failure instead of a
+    // silent gate break.
+    val over = graft.tables.Tables.documents(spark, sf)
+      .filter(length(col("text")) > 64 * 64)
+    assert(over.count() == 0,
+      "documents exceed the m03/m05 oracle frame cap; widen the oracle " +
+        "series bound alongside any corpus growth")
+  }
+
   test("m05 frame near-dup: identical payloads pair with full overlap; " +
     "shared count never exceeds either side's frames") {
     val r = MultimodalOps.m05FrameDedup(spark, sf)
