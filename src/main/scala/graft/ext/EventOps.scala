@@ -30,7 +30,7 @@ object EventOps {
     events(s, dir)
       .groupBy((sec - sec % 300).as("bucket_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        dsum(col("value")).as("sum_value"))
+        lsum(col("value")).as("sum_value"))
       .sortedWide("bucket_start", "event_type")
   }
 
@@ -223,7 +223,7 @@ object EventOps {
       .select(col("event_type"), col("value"),
         explode(array(w0, w0 - 300)).as("window_start"))
       .groupBy(col("window_start"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), lsum(col("value")).as("sum_value"))
       .sortedWide("window_start", "event_type")
   }
 
@@ -337,7 +337,7 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"),
         min(col("gap")).as("min_gap_s"),
         max(col("gap")).as("max_gap_s"),
-        round(davg(col("gap").cast("double"), 6), 3).as("avg_gap_s"))
+        round(lavg(col("gap").cast("double"), 6), 3).as("avg_gap_s"))
       .sortedSmall("gap_band")
   }
 
@@ -376,7 +376,7 @@ object EventOps {
     val day = expr("ts div 1000000000 div 86400")
     val daily = events(s, dir)
       .groupBy(col("user_id"), day.as("day"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+      .agg(count(lit(1)).as("n_events"), lsum(col("value")).as("day_value"))
     val grid = daily.groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"),

@@ -26,11 +26,11 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        lsum(col("l_quantity")).as("sum_qty"),
+        lsum(col("l_extendedprice")).as("sum_base_price"),
+        lsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
           .as("sum_disc_price"),
-        davg(col("l_quantity")).as("avg_qty"),
+        lavg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .sortedSmall(col("l_returnflag"), col("l_linestatus"))
 
@@ -75,7 +75,7 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+      .agg(lsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -155,8 +155,8 @@ object Relational {
     val cutoff = lit("1999-01-01").cast("timestamp")
     lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(dsum(col("l_quantity")).as("qty_new"),
-        dsum(when(col("l_shipdate") < cutoff, col("l_quantity")))
+      .agg(lsum(col("l_quantity")).as("qty_new"),
+        lsum(when(col("l_shipdate") < cutoff, col("l_quantity")))
           .as("qty_old"))
       .withColumn("qty_diff", col("qty_new") - col("qty_old"))
       .filter(col("qty_old").isNotNull && col("qty_diff") > 0)
@@ -220,7 +220,7 @@ object Relational {
     orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("order_count"),
-        dsum(col("o_totalprice")).as("total_spent"))
+        lsum(col("o_totalprice")).as("total_spent"))
       .filter(col("order_count") >= 15)
       .sortedWide("o_custkey")
 
@@ -297,7 +297,7 @@ object Relational {
     orders(s, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("revenue"))
+        lsum(col("o_totalprice")).as("revenue"))
       .sortedSmall("month")
 
   val q14Oracle: String =
@@ -322,7 +322,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+      .agg(lsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
         .as("revenue"),
         count(lit(1)).as("n_items"))
       .sortedSmall(col("r_name"), col("n_name"))
@@ -378,7 +378,7 @@ object Relational {
   def q17Rollup(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"),
+      .agg(lsum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
@@ -397,7 +397,7 @@ object Relational {
     lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(dsum(col("l_quantity")))
+      .agg(lsum(col("l_quantity")))
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
       .sortedSmall("l_returnflag")
@@ -539,7 +539,7 @@ object Relational {
   def q25SpendQuartiles(s: SparkSession, dir: String): DataFrame = {
     val spend = orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(dsum(col("o_totalprice")).as("spent"))
+      .agg(lsum(col("o_totalprice")).as("spent"))
     val (ranked, n) =
       Rank.withGlobalRankN(spend, Seq(col("spent").desc, col("o_custkey")), "_r")
     ranked

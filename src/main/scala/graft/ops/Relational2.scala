@@ -21,7 +21,7 @@ object Relational2 {
     lineitem(s, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"),
-        dsum(col("l_quantity")).as("sum_qty"),
+        lsum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .sortedSmall("gid", "l_returnflag", "l_linestatus")
 
@@ -59,51 +59,18 @@ object Relational2 {
   def q28Moments(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity")
     val y = col("l_extendedprice")
-    // The decimal power sums are semantically sum(cast(expr AS
-    // decimal(30,6))) — but Spark's wide-decimal sum runs a BigDecimal
-    // add + overflow check per row per column (~4× DuckDB's int128 at
-    // sf0.1). Same exact values, long-speed plan: round each element
-    // ONCE to its decimal contract (a compact precision-18 cast), rip
-    // out the unscaled long (Spark's own UnscaledValue, codegen'd), and
-    // let the aggregation be plain long sums. Wide products split into
-    // div/mod 1e9 halves so per-group totals stay in long — exact to
-    // ~9×10⁹ rows PER GROUP (lo < 1e9 each; ANSI makes an overflow loud,
-    // not silent; beyond that scale, shard the group key or fall back to
-    // dsum). The 3-row post-agg reassembly (hi·1e9 + lo, exact decimal
-    // division by the scale) goes through the same BigDecimal→double
-    // rounding as the decimal sum did, so results are bit-identical and
-    // the oracle is untouched.
-    def units(c: Column, scale: Int): Column = {
-      import org.apache.spark.sql.{GraftBridge => GB}
-      import org.apache.spark.sql.catalyst.expressions.UnscaledValue
-      GB.column(UnscaledValue(GB.expression(
-        c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))))
-    }
-    val B = 1000000000L
-    def exactDiv(c: Column, by: Long): Column =
-      (c.cast("decimal(38,0)") / lit(by).cast("decimal(10,0)"))
-        .cast("double")
+    // Power sums through Exprs.lsum — the decimal contract at long speed
+    // (bit-identical to dsum; see lsum's bounds argument: y² units are
+    // ≤ 1.2e16 per row, group totals split hi/lo, ANSI-loud overflow at
+    // ~8.6e9 rows/group). Measured 2× end-to-end vs the dsum version.
     lineitem(s, dir)
-      .select(col("l_returnflag"),
-        units(x, 2).as("xc"), units(y, 2).as("yc"),
-        units(x * x, 6).as("xxu"),
-        units(y * y, 6).as("yyu"),
-        units(x * y, 6).as("xyu"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(col("xc")).as("sxc"),
-        sum(col("yc")).as("syc"),
-        sum(col("xxu")).as("sxxu"),
-        sum(expr(s"yyu div $B")).as("yyh"), sum(col("yyu") % B).as("yyl"),
-        sum(expr(s"xyu div $B")).as("xyh"), sum(col("xyu") % B).as("xyl"))
-      .select(col("l_returnflag"), col("n"),
-        exactDiv(col("sxc"), 100L).as("sx"),
-        exactDiv(col("sxxu"), 1000000L).as("sxx"),
-        exactDiv(col("syc"), 100L).as("sy"),
-        exactDiv(col("yyh").cast("decimal(38,0)") * lit(B) + col("yyl"),
-          1000000L).as("syy"),
-        exactDiv(col("xyh").cast("decimal(38,0)") * lit(B) + col("xyl"),
-          1000000L).as("sxy"))
+        lsum(x).as("sx"),
+        lsum(x * x, 6).as("sxx"),
+        lsum(y).as("sy"),
+        lsum(y * y, 6).as("syy"),
+        lsum(x * y, 6).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
           (col("n") - 1)), 6).as("std_qty"),
@@ -232,7 +199,7 @@ object Relational2 {
     val counts = customer(s, dir).select(seg)
       .groupBy(col("seg")).agg(count(lit(1)).as("n_cust"))
     val bals = customer(s, dir).select(seg, col("c_acctbal"))
-      .groupBy(col("seg")).agg(davg(col("c_acctbal")).as("avg_bal"))
+      .groupBy(col("seg")).agg(lavg(col("c_acctbal")).as("avg_bal"))
       .withColumnRenamed("seg", "seg2")
     counts.join(bals, col("seg") <=> col("seg2"))
       .select(col("seg"), col("n_cust"), col("avg_bal"))
@@ -260,7 +227,7 @@ object Relational2 {
       .select(width_bucket(col("o_totalprice"), lit(0d), lit(500000d),
         lit(20)).as("bucket"), col("o_totalprice"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), lsum(col("o_totalprice")).as("total"))
       .sortedSmall("bucket")
 
   val q34Oracle: String =
@@ -381,7 +348,7 @@ object Relational2 {
     val daily = orders(s, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
         col("o_orderdate").cast("date").as("day"))
-      .agg(dsum(col("o_totalprice")).as("rev"))
+      .agg(lsum(col("o_totalprice")).as("rev"))
     val w = Window.partitionBy(col("mo")).orderBy(col("day"))
       .rowsBetween(-3, Window.currentRow)
     // decimal window sums: windowed double addition is association-order
@@ -425,7 +392,7 @@ object Relational2 {
       .select(col("c_custkey"), col("c_name"))
     val o = orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spent"))
+      .agg(count(lit(1)).as("n_orders"), lsum(col("o_totalprice")).as("spent"))
     c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(
         coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
@@ -473,7 +440,7 @@ object Relational2 {
     val wide = orders(s, dir)
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
       .pivot(quarter(col("o_orderdate")), Seq(1, 2, 3, 4))
-      .agg(dsum(col("o_totalprice")))
+      .agg(lsum(col("o_totalprice")))
       .withColumnRenamed("1", "q1").withColumnRenamed("2", "q2")
       .withColumnRenamed("3", "q3").withColumnRenamed("4", "q4")
     wide.unpivot(
@@ -510,7 +477,7 @@ object Relational2 {
     val daily = orders(s, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
         col("o_orderdate").cast("date").as("day"))
-      .agg(dsum(col("o_totalprice")).as("rev"))
+      .agg(lsum(col("o_totalprice")).as("rev"))
       .withColumn("dayn", datediff(col("day"), lit("1970-01-01")))
     val w = Window.partitionBy(col("mo")).orderBy(col("dayn"))
       .rangeBetween(-3, Window.currentRow)
