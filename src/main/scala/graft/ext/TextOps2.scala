@@ -228,6 +228,11 @@ object TextOps2 {
   /** Candidate near-dup pairs (a < b, ≥5 shared capped terms, cos ≥ 0.5)
     * from a (doc_id, term, tf) table — shared by t23 and t26 so a caller
     * holding a persisted tf pays the vectorization once. */
+  /** NOTE: `tf` feeds three subplans (document frequencies, the corpus
+    * count, and the capped posting build). Callers whose tf is expensive
+    * to rebuild (t26's reuse, t27's dedup upstream) persist+count it;
+    * t23's raw tf measured CHEAPER to recompute than to cache (the cache
+    * write + extra action cost ~0.6 s vs two ~0.3 s recomputes). */
   private def simPairs(s: SparkSession, tf: DataFrame): DataFrame = {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -370,15 +375,27 @@ object TextOps2 {
     * boundary ambiguity. Cost: candidates only (t23's output), each pair
     * intersected via a term equi-join, never all-pairs. */
   def t26Containment(s: SparkSession, dir: String): DataFrame = {
+    // Persist + eager count: five subplans read this tf (simPairs' three
+    // plus sets/sizes below), and two of simPairs' are concurrent
+    // broadcast subtrees that would otherwise race the lazy cache write
+    // into duplicate materializations (the t07 rule).
     val tf = bigramTf(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("term"))
       .persist()
+    tf.count()
     val cand = simPairs(s, tf).select(col("a"), col("b"))
     val sets = tf.select(col("doc_id"), col("term"))
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sets.toDF("a", "term"), "a")
-      .join(sets.toDF("b", "term"), Seq("b", "term"))
+    // Broadcast the candidate side at BOTH levels: the pair list is tiny
+    // (near-dup candidates), its term expansion is |cand| × avg terms —
+    // a few MB — and the posting table then never shuffles (JobProbe:
+    // the two shuffle joins here were 5.7 s of t26's 8.5 s). At a scale
+    // where candidates × terms outgrow the broadcast budget, fall back
+    // to the (b, term)-keyed shuffle join; the posting table's term
+    // partitioning already co-locates it.
+    val inter = sets.toDF("b", "term")
+      .join(broadcast(sets.toDF("a", "term").join(broadcast(cand), "a")),
+        Seq("b", "term"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_both"))
     inter
@@ -443,7 +460,13 @@ object TextOps2 {
       .groupBy(graft_md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+    // Persist + eager count: the md5-keeper semi-join upstream makes this
+    // tf expensive, and simPairs reads it from three subplans (two of
+    // them concurrent broadcasts — the t07 race rule). Measured: the
+    // recompute was t27's entire deficit over t23.
     val tf = bigramTfOf(d.join(keepers, Seq("doc_id"), "left_semi"))
+      .persist()
+    tf.count()
     simPairs(s, tf).sortedWide("a", "b")
   }
 
