@@ -374,7 +374,14 @@ object TextOps2 {
     * compare as exact integer ratios (n_both·10 ≥ 9·|A|) — no float
     * boundary ambiguity. Cost: candidates only (t23's output), each pair
     * intersected via a term equi-join, never all-pairs. */
-  def t26Containment(s: SparkSession, dir: String): DataFrame = {
+  def t26Containment(s: SparkSession, dir: String): DataFrame =
+    t26ContainmentImpl(s, dir, candBroadcastMax = 20000L)
+
+  /** `candBroadcastMax` gates the intersection-join strategy (see the
+    * comment at the join); exposed so the spec can force the shuffle
+    * fallback on a small corpus and prove both paths agree. */
+  private[graft] def t26ContainmentImpl(
+      s: SparkSession, dir: String, candBroadcastMax: Long): DataFrame = {
     // Persist + eager count: five subplans read this tf (simPairs' three
     // plus sets/sizes below), and two of simPairs' are concurrent
     // broadcast subtrees that would otherwise race the lazy cache write
@@ -383,19 +390,28 @@ object TextOps2 {
       .repartition(s.sparkContext.defaultParallelism, col("term"))
       .persist()
     tf.count()
-    val cand = simPairs(s, tf).select(col("a"), col("b"))
+    val cand = simPairs(s, tf).select(col("a"), col("b")).persist()
+    val nCand = cand.count()
     val sets = tf.select(col("doc_id"), col("term"))
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // Broadcast the candidate side at BOTH levels: the pair list is tiny
-    // (near-dup candidates), its term expansion is |cand| × avg terms —
-    // a few MB — and the posting table then never shuffles (JobProbe:
-    // the two shuffle joins here were 5.7 s of t26's 8.5 s). At a scale
-    // where candidates × terms outgrow the broadcast budget, fall back
-    // to the (b, term)-keyed shuffle join; the posting table's term
-    // partitioning already co-locates it.
-    val inter = sets.toDF("b", "term")
-      .join(broadcast(sets.toDF("a", "term").join(broadcast(cand), "a")),
-        Seq("b", "term"))
+    // Join strategy is gated on the MEASURED candidate count (the count
+    // also materializes the persisted pair list, so simPairs runs once).
+    // Small |cand| — the normal near-dup regime — broadcasts at BOTH
+    // levels: the pair list, then its term expansion (|cand| × ~40
+    // bigrams ≈ a few MB at ≤20k pairs), and the posting table never
+    // shuffles (JobProbe: the two shuffle joins here were 5.7 s of t26's
+    // 8.5 s). Past the gate the same forced broadcast is a scale-killer —
+    // measured on the 100× replica, whose 100-way duplication inflates
+    // pair volume quadratically (~25M pairs): the ~1B-row expansion
+    // broadcast ran 683 s. There we fall back to shuffle joins; the
+    // posting cache's term partitioning already co-locates one side.
+    val aTerms = sets.toDF("a", "term")
+    val inter = (if (nCand <= candBroadcastMax)
+        sets.toDF("b", "term")
+          .join(broadcast(aTerms.join(broadcast(cand), "a")), Seq("b", "term"))
+      else
+        sets.toDF("b", "term")
+          .join(aTerms.join(cand, "a"), Seq("b", "term")))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_both"))
     inter

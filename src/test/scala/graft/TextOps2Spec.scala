@@ -107,6 +107,15 @@ class TextOps2Spec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("t26 shuffle fallback (candBroadcastMax = 0) agrees row-for-row " +
+    "with the broadcast path") {
+    val fast = ext.TextOps2.t26ContainmentImpl(spark, sf, Long.MaxValue)
+    val slow = ext.TextOps2.t26ContainmentImpl(spark, sf, 0L)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(slow).count() == 0)
+    assert(slow.exceptAll(fast).count() == 0)
+  }
+
   test("e11 projection is deterministic and distance-correlated on " +
     "duplicated vectors") {
     val r = ext.SimilarityOps.all.find(_.name == "e11_random_projection").get
