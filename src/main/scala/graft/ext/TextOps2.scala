@@ -162,7 +162,7 @@ object TextOps2 {
     * the corpus vocabulary is ~31 unigrams (every unigram is a stop word at
     * df≈75%), while bigrams spread over ~1000 terms at df≈5%, giving TF-IDF
     * actual discriminative power. */
-  private def bigramTfOf(docs: DataFrame): DataFrame =
+  private[graft] def bigramTfOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(wordGrams(2)).as("term"))
@@ -226,23 +226,83 @@ object TextOps2 {
     simPairs(s, bigramTf(s, dir)).sortedWide("a", "b")
 
   /** Candidate near-dup pairs (a < b, ≥5 shared capped terms, cos ≥ 0.5)
-    * from a (doc_id, term, tf) table — shared by t23 and t26 so a caller
-    * holding a persisted tf pays the vectorization once. */
-  /** NOTE: `tf` feeds three subplans (document frequencies, the corpus
-    * count, and the capped posting build). Callers whose tf is expensive
-    * to rebuild (t26's reuse, t27's dedup upstream) persist+count it;
-    * t23's raw tf measured CHEAPER to recompute than to cache (the cache
-    * write + extra action cost ~0.6 s vs two ~0.3 s recomputes). */
-  private def simPairs(s: SparkSession, tf: DataFrame): DataFrame = {
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val v = tf.join(broadcast(df), "term")
+    * from a (doc_id, term, tf) table — shared by t23, t26 and t27.
+    * NOTE: `tf` is consumed EXACTLY ONCE (canonSim's per-doc fold);
+    * callers need not persist it. */
+  private[graft] def simPairs(s: SparkSession, tf: DataFrame): DataFrame =
+    expandPairs(canonSim(s, tf))
+
+  /** Canonical (duplicate-collapsed) similarity state. `member` maps every
+    * doc to the smallest doc_id among docs with an IDENTICAL (term, tf)
+    * multiset; `repPairs` holds qualifying pairs over representatives
+    * only, ra <= rb, where a diagonal row (ra = rb) stands for a duplicate
+    * group's internal pairs. Every pairwise quantity downstream — w, dot,
+    * norms, cosine, set intersection — is a pure function of the two
+    * multisets, so collapsing is output-exact. The point is scale:
+    * pairwise candidate volume in a corpus where each doc has k exact
+    * copies grows as k² (the 100× replica put t26 at 642 s — all
+    * candidate-stage work), while rep-level work tracks DISTINCT
+    * near-dup structure and the k² factor moves into the final
+    * join-with-membership expansion, which is output-bound. The group key
+    * is the sorted (term, tf) array itself — exact, no hash-collision
+    * caveat; at petabyte scale swap in a 128-bit content hash and accept
+    * the collision odds. `repVecs` keeps each representative's canonical
+    * array so consumers (t26's set intersection) can re-derive postings
+    * and set sizes without touching the raw tf again. */
+  private case class CanonSim(
+      member: DataFrame, repVecs: DataFrame, repPairs: DataFrame)
+
+  /** Expand rep-level pairs to doc-level pairs via group membership.
+    * Cross-group rows multiply out to every member combination, oriented
+    * (min, max); diagonal rows become each group's internal a < b pairs.
+    * CAUTION: payload columns must be SYMMETRIC in (a, b) — the
+    * orientation flip would silently misattribute direction-sensitive
+    * values (derive those post-expansion, as t26 does for sa/sb). */
+  private def expandPairs(cs: CanonSim): DataFrame = {
+    val payload = cs.repPairs.columns.filterNot(c => c == "ra" || c == "rb")
+    cs.repPairs
+      .join(cs.member.toDF("a", "ra"), "ra")
+      .join(cs.member.toDF("b", "rb"), "rb")
+      .filter(col("ra") =!= col("rb") || col("a") < col("b"))
+      .select(least(col("a"), col("b")).as("a") +:
+        greatest(col("a"), col("b")).as("b") +: payload.map(col).toSeq: _*)
+  }
+
+  private def canonSim(s: SparkSession, tf: DataFrame): CanonSim = {
+    // ONE pass over tf folds each doc into its canonical array; the
+    // window-min then tags every doc with its group's smallest id in the
+    // same shuffle (no second shuffle-join on the wide array key).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))
+    val tagged = tf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("vec"))
+      .select(col("doc_id"), col("vec"),
+        min(col("doc_id")).over(w).as("rep"))
+      .persist()
+    tagged.count() // eager: several broadcast subtrees below read it
+    val member = tagged.select(col("doc_id"), col("rep"))
+    val grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n"))
+    val repVecs = tagged.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("vec"))
+    // Rep-level postings come from the canonical arrays — tf is never
+    // read again. df and n_docs stay FULL-corpus (each group contributes
+    // grp_n per term, duplicates counting toward document frequency
+    // exactly as the oracle counts them); only the pairwise stage
+    // collapses to representatives.
+    val posting = repVecs
+      .select(col("doc_id"), explode(col("vec")).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val withSz = posting
+      .join(broadcast(grpSz.withColumnRenamed("rep", "doc_id")), "doc_id")
+    val df = withSz.groupBy(col("term")).agg(sum(col("grp_n")).as("df"))
+    val n = grpSz.agg(sum(col("grp_n")).as("n_docs"))
+    val v = posting
+      .join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .filter(col("df") * 10 <= col("n_docs"))
       .select(col("doc_id"), col("term"),
         expr("tf * 1000000 div df").as("w"))
       // Pin the cached posting table to full parallelism: its few MB would
-      // otherwise be AQE-coalesced to one partition, and the ~40M-row pair
+      // otherwise be AQE-coalesced to one partition, and the pair
       // generation that probes it would run on one core (same trap as the
       // pre-explode repartitions in TextOps — exchange sized by input
       // bytes, blind to join fanout). Partitioned on term = the join key.
@@ -250,28 +310,30 @@ object TextOps2 {
       .persist()
     val norms = v.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("nrm2"))
-    // Repartition on (a,b) BEFORE the groupBy: the pair stream has ~1.2×
-    // key multiplicity per task, so a pre-shuffle partial aggregation
-    // would build a ~million-entry hash table per task to eliminate
-    // almost nothing — shuffling the skinny (a,b,product) rows directly
-    // and aggregating once post-shuffle is cheaper. (At higher
-    // multiplicity — e.g. a deduplicated real corpus — flip back to the
-    // plain groupBy and let the partial combine pay its way.)
+    // a <= b keeps the diagonal: a rep joined with itself yields
+    // dot = nrm2 and n_shared = |vec| — exactly the cosine (1.0 after
+    // round) and shared-term count of a twin pair. Diagonals of
+    // singleton groups are dropped below (they expand to nothing but
+    // would otherwise dominate the candidate list one row per doc).
     val pairs = v.toDF("a", "term", "wa")
       .join(v.toDF("b", "term", "wb"), "term")
-      .filter(col("a") < col("b"))
+      .filter(col("a") <= col("b"))
       .select(col("a"), col("b"), (col("wa") * col("wb")).as("prod"))
       .repartition(s.sparkContext.defaultParallelism, col("a"), col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"), sum(col("prod")).as("dot"))
-    pairs
+    val repPairs = pairs
       .join(broadcast(norms.toDF("a", "na2")), "a")
       .join(broadcast(norms.toDF("b", "nb2")), "b")
-      .select(col("a"), col("b"), col("n_shared"),
+      .select(col("a").as("ra"), col("b").as("rb"), col("n_shared"),
         round(col("dot").cast("double") /
           (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
           4).as("cos_r"))
       .filter(col("n_shared") >= 5 && col("cos_r") >= 0.5)
+      .join(broadcast(grpSz.toDF("ra", "grp_n")), "ra")
+      .filter(col("ra") =!= col("rb") || col("grp_n") >= 2)
+      .drop("grp_n")
+    CanonSim(member, repVecs, repPairs)
   }
 
   val t23Oracle: String =
@@ -382,29 +444,32 @@ object TextOps2 {
     * fallback on a small corpus and prove both paths agree. */
   private[graft] def t26ContainmentImpl(
       s: SparkSession, dir: String, candBroadcastMax: Long): DataFrame = {
-    // Persist + eager count: five subplans read this tf (simPairs' three
-    // plus sets/sizes below), and two of simPairs' are concurrent
-    // broadcast subtrees that would otherwise race the lazy cache write
-    // into duplicate materializations (the t07 rule).
-    val tf = bigramTf(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("term"))
+    val cs = canonSim(s, bigramTf(s, dir))
+    // Candidates AND intersections live at representative level: n_both,
+    // like every pairwise quantity here, is a pure function of the two
+    // (term, tf) multisets, so the candidate volume tracks distinct
+    // near-dup structure, not the corpus's duplication factor. A diagonal
+    // candidate (ra = rb, a duplicate group) intersects a rep set with
+    // itself — n_both = sz, relation "duplicate" — which is exactly what
+    // every twin pair in the group must report.
+    val cand = cs.repPairs.select(col("ra").as("a"), col("rb").as("b"))
       .persist()
-    tf.count()
-    val cand = simPairs(s, tf).select(col("a"), col("b")).persist()
     val nCand = cand.count()
-    val sets = tf.select(col("doc_id"), col("term"))
-    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // Rep sets and sizes fall out of the canonical arrays: the set is the
+    // exploded term list, the size is just size(vec) — no aggregation.
+    val sets = cs.repVecs
+      .select(col("doc_id"), explode(col("vec.term")).as("term"))
+    val sizes = cs.repVecs
+      .select(col("doc_id"), size(col("vec")).cast("long").as("sz"))
     // Join strategy is gated on the MEASURED candidate count (the count
-    // also materializes the persisted pair list, so simPairs runs once).
-    // Small |cand| — the normal near-dup regime — broadcasts at BOTH
-    // levels: the pair list, then its term expansion (|cand| × ~40
-    // bigrams ≈ a few MB at ≤20k pairs), and the posting table never
-    // shuffles (JobProbe: the two shuffle joins here were 5.7 s of t26's
-    // 8.5 s). Past the gate the same forced broadcast is a scale-killer —
-    // measured on the 100× replica, whose 100-way duplication inflates
-    // pair volume quadratically (~25M pairs): the ~1B-row expansion
-    // broadcast ran 683 s. There we fall back to shuffle joins; the
-    // posting cache's term partitioning already co-locates one side.
+    // also materializes the persisted pair list, so canonSim's pair join
+    // runs once). Small |cand| — the normal regime now that candidates
+    // are rep-level — broadcasts at BOTH levels: the pair list, then its
+    // term expansion (|cand| × ~40 bigrams ≈ a few MB at ≤20k pairs), and
+    // the posting table never shuffles (JobProbe: the two shuffle joins
+    // here were 5.7 s of t26's 8.5 s). Past the gate — a corpus with
+    // genuinely massive near-dup structure — fall back to shuffle joins;
+    // the posting cache's term partitioning co-locates one side.
     val aTerms = sets.toDF("a", "term")
     val inter = (if (nCand <= candBroadcastMax)
         sets.toDF("b", "term")
@@ -414,9 +479,18 @@ object TextOps2 {
           .join(aTerms.join(cand, "a"), Seq("b", "term")))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_both"))
-    inter
-      .join(broadcast(sizes.toDF("a", "sa")), "a")
-      .join(broadcast(sizes.toDF("b", "sb")), "b")
+    // Expand membership with the SYMMETRIC payload (n_both), then attach
+    // the direction-sensitive sa/sb per document — each doc inherits its
+    // representative's set size — and classify. szOf is corpus-sized but
+    // skinny (two longs per doc).
+    val szOf = cs.member
+      .join(broadcast(sizes.toDF("rep", "sz")), "rep")
+      .select(col("doc_id"), col("sz"))
+    val expanded = expandPairs(cs.copy(repPairs =
+      inter.select(col("a").as("ra"), col("b").as("rb"), col("n_both"))))
+    expanded
+      .join(broadcast(szOf.toDF("a", "sa")), "a")
+      .join(broadcast(szOf.toDF("b", "sb")), "b")
       .select(col("a"), col("b"), col("sa"), col("sb"), col("n_both"),
         round(col("n_both").cast("double") /
           (col("sa") + col("sb") - col("n_both")), 4).as("jaccard_r"),
@@ -476,13 +550,9 @@ object TextOps2 {
       .groupBy(graft_md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    // Persist + eager count: the md5-keeper semi-join upstream makes this
-    // tf expensive, and simPairs reads it from three subplans (two of
-    // them concurrent broadcasts — the t07 race rule). Measured: the
-    // recompute was t27's entire deficit over t23.
+    // No persist: canonSim consumes tf exactly once (its per-doc fold),
+    // so the md5-keeper semi-join upstream runs once regardless.
     val tf = bigramTfOf(d.join(keepers, Seq("doc_id"), "left_semi"))
-      .persist()
-    tf.count()
     simPairs(s, tf).sortedWide("a", "b")
   }
 

@@ -107,6 +107,53 @@ class TextOps2Spec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("canonical similarity pairs agree with a naive direct computation " +
+    "on a 7-fold duplicated corpus (diagonal expansion, orientation)") {
+    // Duplicate every sf0.001 doc 7 times under fresh interleaved ids —
+    // the regime where pair volume is quadratic in the copy count and the
+    // canonical path's diagonal groups and (min, max) orientation carry
+    // all the weight. The reference below is the textbook direct pair
+    // join over the SAME tf — no canonicalization.
+    val base = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val dup = (0 until 7).map(i =>
+      base.select((col("doc_id") * 7 + i).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val tf = ext.TextOps2.bigramTfOf(dup).persist()
+    tf.count()
+    val canonical = ext.TextOps2.simPairs(spark, tf).persist()
+
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val v = tf.join(dfq, "term").crossJoin(n)
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("doc_id"), col("term"),
+        expr("tf * 1000000 div df").as("w"))
+    val norms = v.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("nrm2"))
+    val reference = v.toDF("a", "term", "wa")
+      .join(v.toDF("b", "term", "wb"), "term")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.toDF("a", "na2"), "a")
+      .join(norms.toDF("b", "nb2"), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 4).as("cos_r"))
+      .filter(col("n_shared") >= 5 && col("cos_r") >= 0.5)
+
+    // the duplication must actually produce twin pairs (cos exactly 1.0):
+    // at least one full group's C(7,2) internal pairs must survive the
+    // n_shared >= 5 gate, or the test is vacuous
+    assert(canonical.filter(col("cos_r") === 1.0).count() >= 21)
+    assert(canonical.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(canonical).count() == 0)
+    tf.unpersist(); canonical.unpersist()
+  }
+
   test("t26 shuffle fallback (candBroadcastMax = 0) agrees row-for-row " +
     "with the broadcast path") {
     val fast = ext.TextOps2.t26ContainmentImpl(spark, sf, Long.MaxValue)
