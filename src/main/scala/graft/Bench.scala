@@ -38,9 +38,12 @@ object Bench {
     spark.catalog.clearCache() // drop warmup caches
     // Local-iteration knob: time each query REPS times and report the MIN.
     // The box's wall-clock noise dwarfs real deltas (t23 measured 7.7-35 s
-    // across unchanged runs); min-of-k isolates the code's cost from
-    // scheduler interference. Driver runs leave this at 1.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    // across unchanged runs; host oversubscription inflated a full suite
+    // 1.7× with the guest idle); min-of-k isolates the code's cost from
+    // scheduler interference. Default is min-of-2 so unattended driver
+    // runs get one retry against weather; set SPARK_GRAFT_REPS=1 for a
+    // quick single shot or higher for paired A/B measurement.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     val results = queries.map { case (name, fn) =>
       val dt = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

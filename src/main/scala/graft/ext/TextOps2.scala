@@ -209,7 +209,10 @@ object TextOps2 {
     * classic term-partitioned set-similarity join. The document-frequency
     * cap (df ≤ N/10) plays the prefix-filter role: stop-terms, whose
     * posting lists drive the quadratic fanout, never enter the join, so
-    * per-term work is bounded at any corpus size.
+    * per-term work is bounded at any corpus size. Exact-duplicate docs
+    * are canonicalized away before the pair join and expanded back after
+    * it (see [[CanonSim]]), so candidate volume tracks distinct content,
+    * not the corpus's duplication factor.
     *
     * Weight products and squared norms accumulate in LONG, not decimal —
     * a decimal(38) formulation costs 4× wall-clock in BigDecimal calls
@@ -435,7 +438,10 @@ object TextOps2 {
     * subset/quote/boilerplate inclusion, not a symmetric edit. Thresholds
     * compare as exact integer ratios (n_both·10 ≥ 9·|A|) — no float
     * boundary ambiguity. Cost: candidates only (t23's output), each pair
-    * intersected via a term equi-join, never all-pairs. */
+    * intersected via a term equi-join, never all-pairs — and both the
+    * candidates and the intersections live at representative level
+    * (see [[CanonSim]]), with membership expanded only into the final
+    * result. */
   def t26Containment(s: SparkSession, dir: String): DataFrame =
     t26ContainmentImpl(s, dir, candBroadcastMax = 20000L)
 
