@@ -447,10 +447,16 @@ object TextOps2 {
 
   /** `candBroadcastMax` gates the intersection-join strategy (see the
     * comment at the join); exposed so the spec can force the shuffle
-    * fallback on a small corpus and prove both paths agree. */
+    * fallback on a small corpus and prove both paths agree. The
+    * tf-level seam (`t26Of`) additionally lets the spec feed a
+    * synthetically duplicated corpus. */
   private[graft] def t26ContainmentImpl(
-      s: SparkSession, dir: String, candBroadcastMax: Long): DataFrame = {
-    val cs = canonSim(s, bigramTf(s, dir))
+      s: SparkSession, dir: String, candBroadcastMax: Long): DataFrame =
+    t26Of(s, bigramTf(s, dir), candBroadcastMax)
+
+  private[graft] def t26Of(
+      s: SparkSession, tf: DataFrame, candBroadcastMax: Long): DataFrame = {
+    val cs = canonSim(s, tf)
     // Candidates AND intersections live at representative level: n_both,
     // like every pairwise quantity here, is a pure function of the two
     // (term, tf) multisets, so the candidate volume tracks distinct

@@ -109,15 +109,20 @@ class TextOps2Spec extends AnyFunSuite {
 
   test("canonical similarity pairs agree with a naive direct computation " +
     "on a 7-fold duplicated corpus (diagonal expansion, orientation)") {
-    // Duplicate every sf0.001 doc 7 times under fresh interleaved ids —
-    // the regime where pair volume is quadratic in the copy count and the
-    // canonical path's diagonal groups and (min, max) orientation carry
-    // all the weight. The reference below is the textbook direct pair
-    // join over the SAME tf — no canonicalization.
+    // Duplicate every sf0.001 doc 7 times under INTERLEAVED ids (copy i
+    // lives at doc_id + i·10⁵, so every group's members straddle every
+    // other group's) — the regime where pair volume is quadratic in the
+    // copy count and the canonical path's diagonal groups and (min, max)
+    // orientation both carry weight: cross-group expanded pairs flip
+    // orientation whenever a later copy of the smaller-rep group meets an
+    // earlier copy of the larger-rep one. (A contiguous-block id scheme
+    // like doc_id·7+i would leave the flip path silently unexercised.)
+    // The reference below is the textbook direct pair join over the SAME
+    // tf — no canonicalization.
     val base = graft.tables.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
     val dup = (0 until 7).map(i =>
-      base.select((col("doc_id") * 7 + i).as("doc_id"), col("text")))
+      base.select((col("doc_id") + i * 100000).as("doc_id"), col("text")))
       .reduce(_ unionAll _)
     val tf = ext.TextOps2.bigramTfOf(dup).persist()
     tf.count()
@@ -152,6 +157,43 @@ class TextOps2Spec extends AnyFunSuite {
     assert(canonical.exceptAll(reference).count() == 0)
     assert(reference.exceptAll(canonical).count() == 0)
     tf.unpersist(); canonical.unpersist()
+  }
+
+  test("t26 on a 7-fold duplicated corpus matches a naive doc-level " +
+    "intersection (direction-sensitive sa/sb survive orientation flips)") {
+    val base = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val dup = (0 until 7).map(i =>
+      base.select((col("doc_id") + i * 100000).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val tf = ext.TextOps2.bigramTfOf(dup).persist()
+    tf.count()
+    val out = ext.TextOps2.t26Of(spark, tf, 20000L).persist()
+    // Naive reference: intersect the SAME candidate pairs at doc level
+    // (candidate selection equality is covered by the simPairs test);
+    // what this checks is the rep-level n_both plus the post-expansion
+    // sa/sb attribution and relation classification.
+    val cand = out.select(col("a"), col("b"))
+    val sets = tf.select(col("doc_id"), col("term"))
+    val inter = sets.toDF("b", "term")
+      .join(sets.toDF("a", "term").join(cand, "a"), Seq("b", "term"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_both"))
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ref = inter
+      .join(sizes.toDF("a", "sa"), "a")
+      .join(sizes.toDF("b", "sb"), "b")
+      .select(col("a"), col("b"), col("sa"), col("sb"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("sa") + col("sb") - col("n_both")), 4).as("jaccard_r"),
+        when(col("n_both") * 10 >= col("sa") * 9 &&
+            col("n_both") * 10 >= col("sb") * 9, "duplicate")
+          .when(col("n_both") * 10 >= col("sa") * 9, "a_in_b")
+          .when(col("n_both") * 10 >= col("sb") * 9, "b_in_a")
+          .otherwise("overlaps").as("relation"))
+    assert(out.filter(col("relation") === "duplicate").count() >= 21)
+    assert(out.exceptAll(ref).count() == 0)
+    assert(ref.exceptAll(out).count() == 0)
+    tf.unpersist(); out.unpersist()
   }
 
   test("t26 shuffle fallback (candBroadcastMax = 0) agrees row-for-row " +
