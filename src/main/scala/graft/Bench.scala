@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner frees broadcast/shuffle blocks only when the driver
+      // GCs; the default periodic-GC interval (30min) outlives the whole
+      // suite, and in local mode driver + executor share one heap — stale
+      // broadcast blocks from 115 warmup runs squeeze the storage pool
+      // that cache-reliant queries (e06's Lloyd intermediates) depend on
+      // (measured: e06 16.7 s inside the full suite vs 1.9 s isolated).
+      // A real cluster self-heals (per-executor heaps, natural driver GC);
+      // local[32] needs the nudge.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
