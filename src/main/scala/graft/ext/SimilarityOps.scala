@@ -506,8 +506,78 @@ object SimilarityOps {
     * bucket-blocking loses only pairs straddling a hyperplane — the
     * standard LSH recall trade, bounded here by using the same demo
     * threshold as e05. */
-  def e10LshCosineDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+  /** Canonical (bit-identical-embedding-collapsed) vector state —
+    * [[graft.ext.Canon]]'s pattern on the embedding array itself (exact
+    * float equality; at petabyte scale swap in a 128-bit content hash).
+    * Buckets, dot products, norms and cosines are pure functions of the
+    * arrays, so identical vectors are indistinguishable to the bucketed
+    * pair generators: collapsing before the bucket self-join removes the
+    * k² candidate blow-up of a duplicated corpus (100× replica: e15
+    * 131.2 s, nearly all within-group pair work). Zero-norm vectors stay
+    * singletons BY KEY: cos(v, v) is NULL at norm 0, so identical zero
+    * vectors are never doc-level pairs and must not collapse into a
+    * connected group. */
+  private final case class CanonVecs(
+      member: DataFrame, repVecs: DataFrame, grpSz: DataFrame)
+
+  private def canonVecs(vecs: DataFrame): CanonVecs = {
+    val e = vecs.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm"))
+    val key = struct(col("embedding"),
+      when(col("nrm") === 0, col("vec_id")).otherwise(lit(-1L)).as("z"))
+    val tagged = graft.ext.Canon.tagReps(e, key, "vec_id").persist()
+    tagged.count() // eager: member, repVecs and grpSz all read it
+    CanonVecs(
+      member = tagged.select(col("vec_id"), col("rep")),
+      repVecs = tagged.filter(col("vec_id") === col("rep")).drop("rep"),
+      grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n")))
+  }
+
+  /** Representative-level sign-bucket cosine pairs (a ≤ b, cos > 0.4;
+    * diagonal rows = duplicate groups with ≥2 members, cos_r = 1.0 by
+    * construction) + the canonical vector state — shared by e10/e15. */
+  private def lshCosineRepState(vecs: DataFrame): (CanonVecs, DataFrame) = {
+    val cv = canonVecs(vecs)
+    val e = cv.repVecs
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        signBucket.as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val rp = a.join(b, Seq("bucket"))
+      .filter(col("a") <= col("b"))
+      .select(col("bucket"), col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_r"))
+      .filter(col("cos_r") > 0.4)
+      .join(cv.grpSz.toDF("a", "grp_n"), "a")
+      .filter(col("a") =!= col("b") || col("grp_n") >= 2)
+      .drop("grp_n")
+    (cv, rp)
+  }
+
+  def e10LshCosineDedup(s: SparkSession, dir: String): DataFrame =
+    e10Of(embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .sortedWide("bucket", "a", "b")
+
+  private[graft] def e10Of(vecs: DataFrame): DataFrame = {
+    // Representative level ([[canonVecs]]); bucket and cos_r are symmetric
+    // pair payloads (pure functions of the two arrays), so membership
+    // expansion reproduces the doc-level pair list exactly.
+    val (cv, rp) = lshCosineRepState(vecs)
+    graft.ext.Canon.expandPairs(
+      rp.select(col("a").as("ra"), col("b").as("rb"),
+        col("bucket"), col("cos_r")),
+      cv.member)
+      .select(col("bucket"), col("a"), col("b"), col("cos_r"))
+  }
+
+  /** The pre-canonicalization doc-level implementation, kept as the spec
+    * reference (CanonPairsSpec proves the rep-level path reproduces it on
+    * a duplicated corpus). */
+  private[graft] def naiveLshCosine(vecs: DataFrame): DataFrame = {
+    val e = vecs
       .select(col("vec_id"), col("embedding"),
         norm2(col("embedding")).as("nrm"), signBucket.as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("a"),
@@ -520,7 +590,6 @@ object SimilarityOps {
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
           .as("cos_r"))
       .filter(col("cos_r") > 0.4)
-      .sortedWide("bucket", "a", "b")
   }
 
   val e10Oracle: String =
@@ -987,11 +1056,29 @@ object SimilarityOps {
     * whole-DataFrame joins, localCheckpoint per round to truncate
     * lineage). Completes the semantic-dedup story: pairs (e05/e10) →
     * clusters → keeper election is a trivial filter. */
-  def e15EmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = e10LshCosineDedup(s, dir).select(col("a"), col("b"))
+  def e15EmbeddingClusters(s: SparkSession, dir: String): DataFrame =
+    e15Of(embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      .sortedWide("vec_id")
+
+  private[graft] def e15Of(vecs: DataFrame): DataFrame = {
+    // The closure runs on the REPRESENTATIVE graph ([[canonVecs]], the t12
+    // argument): within-group doc-level edges (cos_r = 1.0 for identical
+    // non-zero vectors sharing every sign bucket) only restate that a
+    // group is connected; cross-group doc edges exist iff the rep edge
+    // exists; reps are group minima, so the component's smallest member
+    // is preserved under collapsing. Zero-norm vectors are keyed as
+    // singletons (no within-group edges exist for them at doc level).
+    val (cv, rp) = lshCosineRepState(vecs)
+    // Eager checkpoint before the orientation union — it references edges
+    // twice, and the lazy rep-pair join upstream would run twice (the t12
+    // lesson).
+    val edges = rp
+      .filter(col("a") =!= col("b")) // group connectivity is the member map
+      .select(col("a"), col("b"))
+      .localCheckpoint()
     val adj = edges.union(edges.select(col("b"), col("a")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = embeddings(s, dir)
+      .toDF("src", "dst")
+    var labels = cv.repVecs
       .select(col("vec_id"), col("vec_id").as("lab")).localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -1018,8 +1105,9 @@ object SimilarityOps {
           .filter(col("u.lab") < col("l.lab")).count()
       labels = updated
     }
-    labels.select(col("vec_id"), col("lab").as("cluster"))
-      .sortedWide("vec_id")
+    // Expand: every vector inherits its representative's component label.
+    cv.member.join(labels.toDF("rep", "cluster"), "rep")
+      .select(col("vec_id"), col("cluster"))
   }
 
   val e15Oracle: String =

@@ -231,7 +231,7 @@ object TextOps {
     * doc_id), 8 lane-mins in one pass over 2 digests; band digests are the
     * LSH bucket keys. Stays unsorted so downstream self-joins keep the
     * natural (doc_id-hashed, parallel) partitioning. */
-  private def minhashSigOf(docs: DataFrame,
+  private[graft] def minhashSigOf(docs: DataFrame,
       banding: MinHashBanding = MinHashBanding()): DataFrame = {
     import graft.functions.Md5Lanes.graft_md5_lanes
     withBands(
@@ -269,17 +269,24 @@ object TextOps {
     * Jaccard estimate (= matching signature fraction). `sig` must carry
     * doc_id, h0..h7, band0, band1 (t06 signatures or the t09 sketch) and
     * should be persisted+materialized by the caller — it is referenced 4×
-    * (two band projections + both estimate join sides). */
+    * (two band projections + both estimate join sides).
+    * `includeDiagonal` keeps (a, a) rows — the representative-level mode
+    * ([[canonDocs]]), where a diagonal row stands for a duplicate group's
+    * internal pairs (est = 1.0 by construction: identical signatures). */
   private[graft] def bandCandidates(sig: DataFrame,
-      banding: MinHashBanding = MinHashBanding()): DataFrame = {
+      banding: MinHashBanding = MinHashBanding(),
+      includeDiagonal: Boolean = false): DataFrame = {
     val buckets = (0 until banding.bands).map(i =>
         sig.select(col("doc_id"), lit(i).as("band"),
           col(s"band$i").as("bkt")))
       .reduce(_ union _)
+    val ord =
+      if (includeDiagonal) col("x.doc_id") <= col("y.doc_id")
+      else col("x.doc_id") < col("y.doc_id")
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
-          col("x.doc_id") < col("y.doc_id"))
+          ord)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val sa = sig.select(col("doc_id").as("a") +:
@@ -293,16 +300,67 @@ object TextOps {
       .select(col("a"), col("b"), est.as("jaccard_est"))
   }
 
+  /** Canonical (exact-duplicate-collapsed) document state for the
+    * LSH/minhash/simhash family — [[Canon]]'s pattern with md5(text) as
+    * the canonical key. Signatures, band digests, hamming distances and
+    * signature-lane estimates are all pure functions of the text, so
+    * identical documents are indistinguishable to every pair generator
+    * here: collapsing them before the bucket self-join removes the k²
+    * candidate blow-up a duplicated corpus otherwise pays (measured at
+    * the 100× replica: t07 564.5 s, t13 202.9 s — all candidate-stage
+    * work on within-group pairs), while membership expansion at the end
+    * reproduces the doc-level output exactly. grp_n gates diagonal
+    * (rep, rep) candidates: only groups with ≥2 members have internal
+    * pairs to expand. */
+  private final case class CanonDocs(
+      member: DataFrame, repDocs: DataFrame, grpSz: DataFrame)
+
+  private def canonDocs(docs: DataFrame): CanonDocs = {
+    val tagged = graft.ext.Canon
+      .tagReps(docs, graft_md5(col("text")), "doc_id")
+      .persist()
+    tagged.count() // eager: member, repDocs and grpSz all read it
+    CanonDocs(
+      member = tagged.select(col("doc_id"), col("rep")),
+      repDocs = tagged.filter(col("doc_id") === col("rep")).drop("rep"),
+      grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n")))
+  }
+
+  /** Representative-level LSH candidates (a ≤ b, est attached; diagonal
+    * rows = duplicate groups with ≥2 members) + the canonical doc state —
+    * the shared seam of t07/t11/t12. The pair list stays LAZY: every
+    * caller consumes it exactly once (expansion, the est filter, or t12's
+    * eager adj localCheckpoint), so materializing it here would only add
+    * an action; the signature cache it reads is representative-level
+    * (distinct content, a small fraction of the corpus) and is dropped by
+    * the session's cache hygiene, not mid-query. */
+  private def lshRepState(docs: DataFrame): (CanonDocs, DataFrame) = {
+    val cd = canonDocs(docs)
+    val sig = minhashSigOf(cd.repDocs).persist()
+    sig.count()
+    val rp = bandCandidates(sig, includeDiagonal = true)
+      .join(cd.grpSz.toDF("a", "grp_n"), "a")
+      .filter(col("a") =!= col("b") || col("grp_n") >= 2)
+      .drop("grp_n")
+    (cd, rp)
+  }
+
   /** t07: LSH candidate pairs — docs sharing any band bucket. The join is
     * an equi-join on (band, bucket); at 100 TB this is the whole point:
-    * candidates without all-pairs. The eager count() materializes the
-    * persisted signatures — otherwise Spark's concurrently-scheduled
-    * broadcast jobs race to populate the same cache and each recomputes
-    * the full shingle pipeline. */
-  def t07LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir).persist()
-    sig.count()
-    bandCandidates(sig).sortedWide("a", "b")
+    * candidates without all-pairs — and it runs at REPRESENTATIVE level
+    * ([[canonDocs]]): a corpus where every document has k exact copies
+    * otherwise pays k² inside every band bucket (100× replica: 564.5 s,
+    * all within-group candidates). Membership expansion reproduces the
+    * doc-level pair list exactly; jaccard_est is symmetric and constant
+    * within a group pair, so it rides the expansion unchanged. */
+  def t07LshPairs(s: SparkSession, dir: String): DataFrame =
+    t07Of(documents(s, dir)).sortedWide("a", "b")
+
+  private[graft] def t07Of(docs: DataFrame): DataFrame = {
+    val (cd, rp) = lshRepState(docs)
+    graft.ext.Canon.expandPairs(
+      rp.select(col("a").as("ra"), col("b").as("rb"), col("jaccard_est")),
+      cd.member)
   }
 
   val t07Oracle: String = {
@@ -339,8 +397,14 @@ object TextOps {
     // The exact intersection is then pair-local (array_intersect on two
     // ~500-element arrays) instead of a multi-million-row shingle⋈shingle
     // join, and the shingle pipeline runs exactly once.
+    // Representative level end-to-end ([[canonDocs]]): the sketch, the
+    // candidates, the est gate, the intersection and the final jaccard are
+    // all pure functions of the two texts, and jaccard is SYMMETRIC in
+    // (a, b) — so the whole verify pipeline runs on distinct content and
+    // the doc-level pair list falls out of membership expansion.
     import graft.functions.Md5Lanes.graft_md5_lanes
-    val base = shingles(s, dir).select(col("doc_id"), col("sh"),
+    val cd = canonDocs(documents(s, dir))
+    val base = shinglesOf(cd.repDocs).select(col("doc_id"), col("sh"),
       graft_md5_lanes(col("sh")).as("lv"))
     val sketch = base.groupBy(col("doc_id"))
       .agg(laneMinAggs.head,
@@ -349,7 +413,9 @@ object TextOps {
       .transform(withBands(_))
       .persist()
     sketch.count() // materialize once before the multi-branch self-joins
-    bandCandidates(sketch)
+    val repJac = bandCandidates(sketch, includeDiagonal = true)
+      .join(cd.grpSz.toDF("a", "grp_n"), "a")
+      .filter(col("a") =!= col("b") || col("grp_n") >= 2)
       .filter(col("jaccard_est") >= 0.75)
       .join(sketch.select(col("doc_id").as("a"), col("sset").as("sa")),
         Seq("a"))
@@ -359,9 +425,10 @@ object TextOps {
         size(array_intersect(col("sa"), col("sb"))).as("i"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .filter(col("i") > 0)
-      .select(col("a"), col("b"),
+      .select(col("a").as("ra"), col("b").as("rb"),
         round(col("i") / (col("na") + col("nb") - col("i")), 4)
           .as("jaccard"))
+    graft.ext.Canon.expandPairs(repJac, cd.member)
       .sortedWide("a", "b")
   }
 
@@ -403,16 +470,20 @@ object TextOps {
     * full-text edit distance is O(n²) per pair, so production bounds the
     * window exactly like this). Candidates only — never all-pairs. */
   def t11EditDistance(s: SparkSession, dir: String): DataFrame = {
-    val cand = t07LshPairs(s, dir)
-      .filter(col("jaccard_est") >= 0.875)
-      .select(col("a"), col("b"))
-    val d = documents(s, dir)
+    // Levenshtein runs once per representative pair (identical texts ⇒
+    // identical prefixes ⇒ identical distances; symmetric, so it rides
+    // the membership expansion). The O(len²) distance kernel is exactly
+    // the cost canonicalization should never pay per duplicate copy.
+    val (cd, rp) = lshRepState(documents(s, dir))
+    val p = cd.repDocs
       .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
-    cand
-      .join(d.select(col("doc_id").as("a"), col("prefix").as("pa")), Seq("a"))
-      .join(d.select(col("doc_id").as("b"), col("prefix").as("pb")), Seq("b"))
-      .select(col("a"), col("b"),
+    val repEd = rp
+      .filter(col("jaccard_est") >= 0.875)
+      .join(p.select(col("doc_id").as("a"), col("prefix").as("pa")), Seq("a"))
+      .join(p.select(col("doc_id").as("b"), col("prefix").as("pb")), Seq("b"))
+      .select(col("a").as("ra"), col("b").as("rb"),
         levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+    graft.ext.Canon.expandPairs(repEd, cd.member)
       .sortedWide("a", "b")
   }
 
@@ -446,9 +517,9 @@ object TextOps {
     * votes ±1; sign of the vote sum per bit forms the fingerprint. One
     * explode + one groupBy(doc_id). Shared by t08 (signatures) and t13
     * (hamming-banded near-dup pairs). */
-  private def simhashSig(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism,
+  private[graft] def simhashSigOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id")) // parallelize the explode (see shingles: explicit N
       // or AQE coalesces the pre-explode exchange to one partition)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -464,6 +535,9 @@ object TextOps {
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
   }
+
+  private def simhashSig(s: SparkSession, dir: String): DataFrame =
+    simhashSigOf(documents(s, dir))
 
   /** t08: the SimHash fingerprint table. */
   def t08Simhash(s: SparkSession, dir: String): DataFrame =
@@ -553,20 +627,34 @@ object TextOps {
     * analysis cost stays constant per round instead of growing with the
     * iteration count. The DuckDB oracle computes the same closure with a
     * recursive CTE. */
-  def t12DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir).persist()
-    sig.count()
-    val edges = bandCandidates(sig)
+  def t12DedupClusters(s: SparkSession, dir: String): DataFrame =
+    t12Of(documents(s, dir)).sortedWide("doc_id")
+
+  private[graft] def t12Of(docs: DataFrame): DataFrame = {
+    // The closure runs on the REPRESENTATIVE graph ([[canonDocs]]):
+    // within-group edges (est = 1.0 ≥ any threshold) only restate that a
+    // group is connected, and cross-group doc edges exist iff the rep
+    // edge exists, so doc-level components = rep-level components
+    // expanded by membership. The component label (smallest member
+    // doc_id) survives collapsing because every rep IS its group's
+    // minimum — min over a component's docs = min over its reps. Label
+    // rounds therefore iterate over distinct-content nodes and edges;
+    // a 100-way-duplicated corpus would otherwise hand the O(log d)
+    // rounds a 10⁴×-bigger edge list (the t07 finding).
+    val (cd, rp) = lshRepState(docs)
+    // localCheckpoint the skinny edge list BEFORE the orientation union:
+    // the union references edges twice, and a lazy pair join upstream
+    // would execute twice (measured: t12 3.8 → 5.6 s when edges stayed
+    // a view). The union itself is then a narrow op over the
+    // materialized rows and needs no second checkpoint.
+    val edges = rp
       .filter(col("jaccard_est") >= 0.875)
+      .filter(col("a") =!= col("b")) // group connectivity is the member map
       .select(col("a"), col("b"))
+      .localCheckpoint()
     val adj = edges.union(edges.select(col("b"), col("a")))
-      .toDF("src", "dst").localCheckpoint()
-    // adj is materialized (localCheckpoint is eager) — the signatures are
-    // dead weight from here; holding them through 10+ label rounds at
-    // bench scale is avoidable cache pressure (driver-measured t12
-    // variance chased to this).
-    sig.unpersist()
-    var labels = documents(s, dir)
+      .toDF("src", "dst")
+    var labels = cd.repDocs
       .select(col("doc_id"), col("doc_id").as("lab")).localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -597,8 +685,9 @@ object TextOps {
           .filter(col("u.lab") < col("l.lab")).count()
       labels = updated
     }
-    labels.select(col("doc_id"), col("lab").as("cluster"))
-      .sortedWide("doc_id")
+    // Expand: every document inherits its representative's component label.
+    cd.member.join(labels.toDF("rep", "cluster"), "rep")
+      .select(col("doc_id"), col("cluster"))
   }
 
   val t12Oracle: String =
@@ -658,17 +747,20 @@ object TextOps {
   /** Hamming-banded candidate pairs over a (doc_id, simhash) table —
     * exact hamming attached, candidates only (never all-pairs). */
   private[graft] def simhashBandedPairs(sig: DataFrame,
-      nBands: Int): DataFrame = {
+      nBands: Int, includeDiagonal: Boolean = false): DataFrame = {
     val buckets = simhashBandBits(nBands).zipWithIndex.map {
       case ((shift, mask), i) =>
         sig.select(col("doc_id"), lit(i).as("band"),
           shiftright(col("simhash"), shift).bitwiseAND(lit(mask))
             .as("bval"))
     }.reduce(_ union _)
+    val ord =
+      if (includeDiagonal) col("x.doc_id") <= col("y.doc_id")
+      else col("x.doc_id") < col("y.doc_id")
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
+          ord)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     cand
@@ -679,12 +771,23 @@ object TextOps {
           .as("hamming"))
   }
 
-  def t13SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSig(s, dir).persist()
+  def t13SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    t13Of(documents(s, dir)).sortedWide("a", "b")
+
+  private[graft] def t13Of(docs: DataFrame): DataFrame = {
+    // Representative level ([[canonDocs]]): identical texts have identical
+    // fingerprints, so duplicated corpora pay k² inside every hamming band
+    // bucket (100× replica: 202.9 s). Hamming is symmetric (diagonal = 0 ≤
+    // any radius), so rep pairs expand to the doc-level list unchanged.
+    val cd = canonDocs(docs)
+    val sig = simhashSigOf(cd.repDocs).persist()
     sig.count()
-    simhashBandedPairs(sig, nBands = 3)
+    val rp = simhashBandedPairs(sig, nBands = 3, includeDiagonal = true)
+      .join(cd.grpSz.toDF("a", "grp_n"), "a")
+      .filter(col("a") =!= col("b") || col("grp_n") >= 2)
       .filter(col("hamming") <= 2)
-      .sortedWide("a", "b")
+      .select(col("a").as("ra"), col("b").as("rb"), col("hamming"))
+    graft.ext.Canon.expandPairs(rp, cd.member)
   }
 
   val t13Oracle: String =

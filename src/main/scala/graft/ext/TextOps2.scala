@@ -261,15 +261,8 @@ object TextOps2 {
     * CAUTION: payload columns must be SYMMETRIC in (a, b) — the
     * orientation flip would silently misattribute direction-sensitive
     * values (derive those post-expansion, as t26 does for sa/sb). */
-  private def expandPairs(cs: CanonSim): DataFrame = {
-    val payload = cs.repPairs.columns.filterNot(c => c == "ra" || c == "rb")
-    cs.repPairs
-      .join(cs.member.toDF("a", "ra"), "ra")
-      .join(cs.member.toDF("b", "rb"), "rb")
-      .filter(col("ra") =!= col("rb") || col("a") < col("b"))
-      .select(least(col("a"), col("b")).as("a") +:
-        greatest(col("a"), col("b")).as("b") +: payload.map(col).toSeq: _*)
-  }
+  private def expandPairs(cs: CanonSim): DataFrame =
+    Canon.expandPairs(cs.repPairs, cs.member)
 
   private def canonSim(s: SparkSession, tf: DataFrame): CanonSim = {
     // ONE pass over tf folds each doc into its canonical array; the
