@@ -216,9 +216,28 @@ object MultimodalOps {
     * posting-list work on the fingerprint key — never media × media — and
     * the per-media distinct() bounds any one asset's contribution to a
     * posting list at 1. Overlap ratio = shared / min(frame counts). */
-  def m05FrameDedup(s: SparkSession, dir: String): DataFrame = {
+  def m05FrameDedup(s: SparkSession, dir: String): DataFrame =
+    m05Of(media(s, dir).select(col("media_id"), col("content")))
+      .sortedWide("a", "b")
+
+  /** Representative level ([[graft.ext.Canon]], keyed on the content
+    * bytes): frame fingerprints, the posting join, n_shared and the frame
+    * counts are all pure functions of the content, so identical assets
+    * are indistinguishable to the pair generator — a k-way duplicated
+    * corpus otherwise pays k² inside every fingerprint posting list
+    * (measured: 25.6 s at the 100× replica, mostly within-group pairs).
+    * n_shared is symmetric and rides the expansion; fa/fb are
+    * direction-sensitive (the t26 sa/sb argument) and are re-attached per
+    * media AFTER expansion from the member→rep count map. */
+  private[graft] def m05Of(m: DataFrame): DataFrame = {
     val stride = 64
-    val frames = media(s, dir)
+    val tagged = graft.ext.Canon
+      .tagReps(m, col("content"), "media_id").persist()
+    tagged.count()
+    val member = tagged.select(col("media_id"), col("rep"))
+    val reps = tagged.filter(col("media_id") === col("rep")).drop("rep")
+    val grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n"))
+    val frames = reps
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0L),
           expr(s"(length(content) - 1) div $stride"))).as("frame_no"))
@@ -228,19 +247,55 @@ object MultimodalOps {
           .as("fp"))
       .distinct()
     val counts = frames.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
-    val pairs = frames.toDF("a", "fp")
+    // a <= b keeps the diagonal: a rep joined with itself yields
+    // n_shared = nf — the shared-fingerprint count of every twin pair in
+    // its duplicate group — and the n_shared >= 2 gate then applies to
+    // twins exactly as it does doc-level (single-frame assets never pair).
+    val rp = frames.toDF("a", "fp")
+      .join(frames.toDF("b", "fp"), "fp")
+      .filter(col("a") <= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(grpSz.toDF("a", "grp_n"), "a")
+      .filter(col("a") =!= col("b") || col("grp_n") >= 2)
+      .drop("grp_n")
+    val szOf = member.join(broadcast(counts.toDF("rep", "nf")), "rep")
+      .select(col("media_id"), col("nf"))
+    graft.ext.Canon.expandPairs(
+      rp.select(col("a").as("ra"), col("b").as("rb"), col("n_shared")),
+      member)
+      .join(broadcast(szOf.toDF("a", "fa")), "a")
+      .join(broadcast(szOf.toDF("b", "fb")), "b")
+      .select(col("a"), col("b"), col("n_shared"), col("fa"), col("fb"),
+        round(col("n_shared").cast("double") / least(col("fa"), col("fb")),
+          4).as("overlap_r"))
+  }
+
+  /** Pre-canonicalization doc-level m05, kept as the spec reference. */
+  private[graft] def naiveFrameDedup(m: DataFrame): DataFrame = {
+    val stride = 64
+    val frames = m
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0L),
+          expr(s"(length(content) - 1) div $stride"))).as("frame_no"))
+      .select(col("media_id"),
+        graft_md5(hex(col("content")
+          .substr((col("frame_no") * stride + 1).cast("int"), lit(stride))))
+          .as("fp"))
+      .distinct()
+    val counts = frames.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    frames.toDF("a", "fp")
       .join(frames.toDF("b", "fp"), "fp")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-    pairs
       .join(broadcast(counts.toDF("a", "fa")), "a")
       .join(broadcast(counts.toDF("b", "fb")), "b")
       .select(col("a"), col("b"), col("n_shared"), col("fa"), col("fb"),
         round(col("n_shared").cast("double") / least(col("fa"), col("fb")),
           4).as("overlap_r"))
-      .sortedWide("a", "b")
   }
 
   /** m05 oracle: the fingerprint is md5 over the frame's hex slice, so

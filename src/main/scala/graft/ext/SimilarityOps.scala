@@ -184,8 +184,51 @@ object SimilarityOps {
     * generated by an equi-join, never all-pairs). Threshold 0.4 is a demo
     * value for this corpus (max pairwise cosine ≈ 0.51); production
     * near-dup dedup uses ~0.95. */
-  def e05CosineDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+  def e05CosineDedup(s: SparkSession, dir: String): DataFrame =
+    e05Of(embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding")))
+      .sortedWide("label", "a", "b")
+
+  /** Representative level ([[canonVecs]]' argument with the blocking
+    * label folded into the canonical key — two vectors are interchangeable
+    * only if BOTH the label and the array match): the label equi-join,
+    * cosine and threshold are pure functions of (label, embedding), so
+    * rep pairs expand to the doc-level list exactly (measured hazard:
+    * 265.0 s at the 100× replica pre-canonicalization — every duplicate
+    * group pays k² inside its label block). */
+  private[graft] def e05Of(vecs: DataFrame): DataFrame = {
+    val e0 = vecs.select(col("vec_id"), col("label"), col("embedding"),
+      norm2(col("embedding")).as("nrm"))
+    val key = struct(col("label"), col("embedding"),
+      when(col("nrm") === 0, col("vec_id")).otherwise(lit(-1L)).as("z"))
+    val tagged = graft.ext.Canon.tagReps(e0, key, "vec_id").persist()
+    tagged.count()
+    val member = tagged.select(col("vec_id"), col("rep"))
+    val reps = tagged.filter(col("vec_id") === col("rep")).drop("rep")
+    val grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n"))
+    val a = reps.select(col("vec_id").as("a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = reps.select(col("vec_id").as("b"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val rp = a.join(b, Seq("label"))
+      .filter(col("a") <= col("b"))
+      .select(col("label"), col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_r"))
+      .filter(col("cos_r") > 0.4)
+      .join(grpSz.toDF("a", "grp_n"), "a")
+      .filter(col("a") =!= col("b") || col("grp_n") >= 2)
+      .drop("grp_n")
+    graft.ext.Canon.expandPairs(
+      rp.select(col("a").as("ra"), col("b").as("rb"),
+        col("label"), col("cos_r")),
+      member)
+      .select(col("label"), col("a"), col("b"), col("cos_r"))
+  }
+
+  /** Pre-canonicalization doc-level e05, kept as the spec reference. */
+  private[graft] def naiveLabelCosine(vecs: DataFrame): DataFrame = {
+    val e = vecs
       .select(col("vec_id"), col("label"), col("embedding"),
         norm2(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("a"), col("label"),
@@ -198,7 +241,6 @@ object SimilarityOps {
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
           .as("cos_r"))
       .filter(col("cos_r") > 0.4)
-      .sortedWide("label", "a", "b")
   }
 
   val e05Oracle: String =

@@ -117,6 +117,40 @@ class CanonPairsSpec extends AnyFunSuite {
     canonical.unpersist()
   }
 
+  test("e05 canonical label-blocked pairs match the naive doc-level join " +
+    "on 7-fold duplicated vectors (label folded into the canonical key)") {
+    val base = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val dup = (0 until 7).map(i =>
+      base.select((col("vec_id") + i * 100000).as("vec_id"), col("label"),
+        col("embedding")))
+      .reduce(_ unionAll _)
+    val canonical = ext.SimilarityOps.e05Of(dup).persist()
+    val reference = ext.SimilarityOps.naiveLabelCosine(dup)
+    assert(canonical.filter(col("cos_r") === 1.0).count() >= 21 * 10)
+    assert(canonical.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(canonical).count() == 0)
+    canonical.unpersist()
+  }
+
+  test("m05 canonical frame-fingerprint pairs match the naive doc-level " +
+    "posting join on 7-fold duplicated media (fa/fb re-derived per side)") {
+    val base = ext.MultimodalOps.media(spark, sf)
+      .select(col("media_id"), col("content"))
+    val dup = (0 until 7).map(i =>
+      base.select((col("media_id") + i * 100000).as("media_id"),
+        col("content")))
+      .reduce(_ unionAll _)
+    val canonical = ext.MultimodalOps.m05Of(dup).persist()
+    val reference = ext.MultimodalOps.naiveFrameDedup(dup)
+    // twin pairs: n_shared = fa = fb, overlap exactly 1.0
+    assert(canonical.filter(col("overlap_r") === 1.0 &&
+      col("n_shared") === col("fa")).count() >= 21 * 10)
+    assert(canonical.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(canonical).count() == 0)
+    canonical.unpersist()
+  }
+
   test("e15 canonical clusters match doc-level pointer doubling on the " +
     "naive duplicated vector edges") {
     val dup = dupVecs()
