@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions.col
   * shuffle only exists where it pays for itself. Use a key column that
   * spreads rows uniformly (an id, not a low-cardinality attribute). */
 object Par {
+  /** NOTE: `d.rdd` forces the child's physical planning on the driver to
+    * read the real split count — milliseconds at query-build time, where
+    * every current caller sits. Do NOT move this into a per-batch or
+    * per-microbatch path; there, read the parallelism once outside the
+    * loop (or use the stats-guarded optimizer rule
+    * [[graft.plans.RepairUnderParallelGenerate]], which does this check
+    * inside Catalyst without a driver-side plan materialization). */
   def fanOut(d: DataFrame, key: String): DataFrame = {
     val p = d.sparkSession.sparkContext.defaultParallelism
     if (d.rdd.getNumPartitions < p) d.repartition(p, col(key)) else d
