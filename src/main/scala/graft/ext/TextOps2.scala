@@ -655,6 +655,89 @@ object TextOps2 {
       |HAVING COUNT(DISTINCT ev.gram) >= 3
       |ORDER BY doc_id""".stripMargin
 
+  /** t34: decontamination at corpus scale — the Bloom-filter membership
+    * path that replaces t28's shuffle semi-join when the training side is
+    * the 100 TB one. The benchmark (eval) side is small by construction,
+    * so its distinct 8-gram shingles build a Bloom filter on that side
+    * (driver-collected like e12's codebooks; ~3.5 MB per million grams at
+    * the 10⁻⁶ error setting), which rides into the probe expression
+    * ([[graft.functions.BloomContainsLong]]) as a plan constant. The
+    * training corpus is then scanned ONCE, map-only — `exists` over each
+    * document's gram array, no explode, no shuffle — which is the whole
+    * point at scale: t28's exact semi-join shuffles every training
+    * shingle; this shuffles nothing and aggregates straight to one row
+    * (map-side partials).
+    *
+    * Like q20/q38, the oracle gates the CONTRACT, not the sketch bits:
+    * (1) no false negatives — every exactly-contaminated doc (shares ≥1
+    * 8-gram with the eval set, recomputed exactly by DuckDB) must be
+    * flagged; an identical gram string yields an identical xxhash64 key,
+    * which the filter by construction reports present; (2) false-positive
+    * overshoot ≤ max(1, 1% of corpus) — fpp 10⁻⁶ per gram union-bounded
+    * over ~10² grams/doc. The exact semi-join below exists only to PROVE
+    * those booleans; production trusts the filter and pays zero shuffle. */
+  def t34BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val split = conv(substring(
+      graft_md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+    val d = fanOut(documents(s, dir))
+      .select(col("doc_id"), toks.as("t"),
+        when(split < 80, "train").otherwise("eval").as("split"))
+      .persist()
+    val evalGrams = d.filter(col("split") === "eval")
+      .select(explode(wordGrams(8)).as("gram"))
+      .distinct()
+      .persist()
+    // The count is an action on the SMALL side (the benchmark), sizing the
+    // filter exactly; the bloomFilter build is the second and last action
+    // before the single probe pass.
+    val nEval = evalGrams.count()
+    val bloom = evalGrams.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", math.max(nEval, 1000L), 1e-6)
+    val bytes = graft.functions.BloomOps.toBytes(bloom)
+    val train = d.filter(col("split") === "train")
+    val flagged = train.select(col("doc_id"),
+      exists(wordGrams(8),
+        g => graft.functions.BloomOps.bloom_contains_long(bytes, xxhash64(g)))
+        .as("bloom_hit"))
+    val exact = train
+      .select(col("doc_id"), explode(wordGrams(8)).as("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("exact_hit", lit(true))
+    flagged.join(exact, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_train"),
+        count(col("exact_hit")).as("n_contaminated"),
+        coalesce(bool_and(col("bloom_hit") || col("exact_hit").isNull),
+          lit(true)).as("no_false_negatives"),
+        coalesce(
+          (sum(when(col("bloom_hit"), lit(1L)).otherwise(lit(0L)))
+            - count(col("exact_hit"))).cast("double")
+            <= greatest(lit(1.0), count(lit(1)).cast("double") * 0.01),
+          lit(true)).as("fp_bound_ok"))
+  }
+
+  val t34Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    CASE WHEN CAST(('0x' || substr(
+      |        md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % 100 < 80
+      |      THEN 'train' ELSE 'eval' END AS split
+      |  FROM documents),
+      |g AS (SELECT doc_id, split,
+      |        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+      |        ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+      |        t[i+7] AS gram
+      |      FROM (SELECT doc_id, split, t,
+      |              unnest(range(1, len(t) - 6)) AS i FROM d)),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE split = 'eval'),
+      |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+      |         WHERE g.split = 'train')
+      |SELECT (SELECT COUNT(*) FROM d WHERE split = 'train') AS n_train,
+      |  (SELECT COUNT(*) FROM cont) AS n_contaminated,
+      |  true AS no_false_negatives, true AS fp_bound_ok""".stripMargin
+
   /** t29: the corpus-preparation pipeline END-TO-END as one DataFrame
     * program — exact dedup (t01) → quality gate (t03's heuristics) →
     * reproducible sample (t25's hash gate at a fixed 90% rate) → chunking
@@ -969,5 +1052,6 @@ object TextOps2 {
     Q("t30_segment_dedup", t30SegmentDedup, Some(t30Oracle)),
     Q("t31_vocab_stats", t31VocabStats, Some(t31Oracle)),
     Q("t32_novelty_score", t32NoveltyScore, Some(t32Oracle)),
-    Q("t33_corpus_drift", t33CorpusDrift, Some(t33Oracle)))
+    Q("t33_corpus_drift", t33CorpusDrift, Some(t33Oracle)),
+    Q("t34_bloom_decontaminate", t34BloomDecontaminate, Some(t34Oracle)))
 }
