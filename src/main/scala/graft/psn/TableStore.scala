@@ -6,6 +6,7 @@ import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, struct, when}
 
 /** Sink abstraction (SURVEY §2.2 K1-K6) over a parquet warehouse directory.
   *
@@ -162,6 +163,33 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       s"version v$v of $table not available (readable: ${have.mkString(",")})")
     val p = if (v == 0) dir(table) else dir(table).resolve(s"v$v")
     spark.read.parquet(p.toString)
+  }
+
+  /** Time-travel diff: full-row changes between two retained snapshots,
+    * keyed on `key`. One full outer join on the key; each side's non-key
+    * columns compare as a single struct (null-safe), so the diff is one
+    * shuffle regardless of schema width. `change` ∈ added | removed |
+    * changed — unchanged rows are dropped. The audit companion to
+    * [[mergeWith]]: "what did commit N actually do" without replaying the
+    * transform. */
+  def diffVersions(table: String, from: Int, to: Int, key: String): DataFrame = {
+    val before = readVersion(table, from)
+    val after = readVersion(table, to)
+    require(before.columns.sameElements(after.columns),
+      s"schema changed between v$from and v$to of $table — row diff undefined")
+    val rest = before.columns.filterNot(_ == key)
+    def packed(df: DataFrame, side: String) = df.select(
+      col(key).as(s"${side}_key"),
+      struct(rest.map(col).toIndexedSeq: _*).as(s"${side}_row"))
+    packed(before, "b")
+      .join(packed(after, "a"), col("b_key") === col("a_key"), "full_outer")
+      .filter(!(col("b_row") <=> col("a_row")))
+      .select(
+        coalesce(col("b_key"), col("a_key")).as(key),
+        when(col("b_key").isNull, "added")
+          .when(col("a_key").isNull, "removed")
+          .otherwise("changed").as("change"),
+        col("b_row").as("before"), col("a_row").as("after"))
   }
 
   /** Atomically claim the next free version directory (≥ committed + 1,

@@ -161,6 +161,30 @@ class TimeTravelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.readVersion("t", 1))
     assert(store.readVersion("t", 2).filter(col("v") === "B").count() == 1)
   }
+
+  test("diffVersions reports added/removed/changed rows between snapshots") {
+    val wh = Files.createTempDirectory("vstore_diff").toString
+    val store = new TableStore(spark, wh)
+    import spark.implicits._
+    store.append("t",
+      Seq((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)).toDF("k", "v", "n"))
+    store.overwrite("t",
+      Seq((1, "a", 10L), (2, "B", 21L), (4, "d", 40L)).toDF("k", "v", "n"))
+    val diff = store.diffVersions("t", 1, 2, "k")
+      .select(col("k"), col("change"), col("before.v"), col("after.v"))
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(diff == Set(
+      (2, "changed", Some("b"), Some("B")),
+      (3, "removed", Some("c"), None),
+      (4, "added", None, Some("d"))))
+    // unchanged rows (k=1) are dropped; identical snapshots diff empty
+    assert(store.diffVersions("t", 2, 2, "k").count() == 0)
+    // a schema change between versions refuses loudly rather than
+    // producing a meaningless row diff
+    store.overwrite("t", Seq((1, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](store.diffVersions("t", 2, 3, "k"))
+  }
 }
 
 class OptimisticMergeSpec extends AnyFunSuite {
