@@ -738,6 +738,48 @@ object TextOps2 {
       |  (SELECT COUNT(*) FROM cont) AS n_contaminated,
       |  true AS no_false_negatives, true AS fp_bound_ok""".stripMargin
 
+  /** t35: heavy-hitter tokens in one map-side pass — the Misra-Gries
+    * sketch ([[graft.functions.MisraGries]], a typed Aggregator) as the
+    * skew-diagnosis primitive: which keys are hot enough to need salting
+    * BEFORE you pay for the full groupBy. The sketch keeps k=128 counters
+    * per partition and ships one k-sized partial per partition to a
+    * single merge — no shuffle of the data, memory independent of
+    * cardinality; at 100 TB that is the difference between probing for
+    * skew and computing the histogram you were trying to avoid.
+    *
+    * The oracle gates the sketch's portable CONTRACT (like q20/q38/t34):
+    * exact heavy hitters (> 1% of the token stream, recomputed exactly by
+    * both engines) must all be contained in the sketch — guaranteed for
+    * any key above n/(k+1) = n/129 < n/100 regardless of partitioning or
+    * merge order. Sketch counts are deliberately not exposed: they are
+    * order-dependent underestimates; containment is the deterministic
+    * surface. The exact groupBy here exists to PROVE the boolean — a
+    * production skew probe runs the sketch alone. */
+  def t35HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokens = fanOut(documents(s, dir))
+      .select(explode(toks).as("token"))
+      .persist()
+    val sketch = tokens.as[String]
+      .select(graft.functions.MisraGries(128).toColumn.name("keys"))
+      .head()
+    val counts = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = tokens.agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 100 > col("n"))
+      .select(col("token"), col("cnt"),
+        col("token").isin(sketch: _*).as("in_sketch"))
+      .sortedSmall("token")
+  }
+
+  val t35Oracle: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM tok),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+      |SELECT c.token, c.cnt, true AS in_sketch
+      |FROM c, n WHERE c.cnt * 100 > n.n ORDER BY token""".stripMargin
+
   /** t29: the corpus-preparation pipeline END-TO-END as one DataFrame
     * program — exact dedup (t01) → quality gate (t03's heuristics) →
     * reproducible sample (t25's hash gate at a fixed 90% rate) → chunking
@@ -1053,5 +1095,6 @@ object TextOps2 {
     Q("t31_vocab_stats", t31VocabStats, Some(t31Oracle)),
     Q("t32_novelty_score", t32NoveltyScore, Some(t32Oracle)),
     Q("t33_corpus_drift", t33CorpusDrift, Some(t33Oracle)),
-    Q("t34_bloom_decontaminate", t34BloomDecontaminate, Some(t34Oracle)))
+    Q("t34_bloom_decontaminate", t34BloomDecontaminate, Some(t34Oracle)),
+    Q("t35_heavy_hitters", t35HeavyHitters, Some(t35Oracle)))
 }
