@@ -120,7 +120,7 @@ object TextOps2 {
     * (negative element_at indexes = garbage grams, silently), where the
     * oracle's `range()` is empty — the guard makes short docs gram-free
     * on both engines. */
-  private def wordGrams(n: Int): Column =
+  private[graft] def wordGrams(n: Int): Column =
     when(size(col("t")) >= n,
       transform(sequence(lit(0), size(col("t")) - n), i =>
         concat_ws(" ",

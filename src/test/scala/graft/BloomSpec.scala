@@ -56,4 +56,29 @@ class BloomSpec extends AnyFunSuite {
     assert(flat == viaLambda)
     assert(inserted.forall(k => flat.getOrElse(k, false)))
   }
+
+  test("t34's probe shape: map-only flagging, one exchange to the verdict") {
+    // The scale claim behind t34: probing a corpus against the broadcast
+    // filter shuffles NOTHING (exists over the per-doc gram array — no
+    // explode), and the corpus-wide verdict pays exactly one exchange
+    // (partial agg → single-partition final). Assert it on the physical
+    // plan, not on prose.
+    val bytes = filterOf((0L until 100L).toSeq)
+    val probe = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        exists(ext.TextOps2.wordGrams(8),
+          g => BloomOps.bloom_contains_long(bytes, xxhash64(g)))
+          .as("bloom_hit"))
+    assert(!probe.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bloom probe must be map-only")
+    val verdict = probe.agg(
+      sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_flagged"))
+    val exchanges = "Exchange".r
+      .findAllIn(verdict.queryExecution.executedPlan.toString).size
+    assert(exchanges == 1,
+      s"corpus verdict should pay exactly one exchange, saw $exchanges")
+    verdict.collect() // and it runs
+  }
 }
