@@ -87,10 +87,14 @@ object Bench {
     val shortQs = results
       .map { case (k, v) => s"\"" + shortKey(k) + "\":" + ms3(v) }
       .mkString("{", ",", "}")
+    // Subset runs (SPARK_GRAFT_ONLY) are profiling probes — keep them out
+    // of the committed full-suite artifact.
+    val defaultOut =
+      if (only.isDefined) "/tmp/BENCH_SUBSET.json" else "BENCH_LAST.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val shortLine =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","detail":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","detail":"$out"}"""
     println(shortLine)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
