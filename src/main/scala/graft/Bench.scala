@@ -53,10 +53,18 @@ object Bench {
     // runs get one retry against weather; set SPARK_GRAFT_REPS=1 for a
     // quick single shot or higher for paired A/B measurement.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    // A query that THROWS must never masquerade as a fast one — round 5's
+    // bench recorded the whole event family at ~0.05 s while every run
+    // failed at scan time (regenerated testdata changed a physical type).
+    // Failures are tracked per query and published in the artifacts.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = queries.map { case (name, fn) =>
       val dt = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { exec(fn(spark, sfDir)) } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val d = (System.nanoTime() - t0) / 1e9
         // Isolate queries: persisted intermediates (MinHash sketches etc.)
         // must bill the query that built them, not skew its neighbors via
@@ -69,8 +77,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}"""
     // The driver parses the bench JSON from a 2000-char stdout tail (measured
     // from BENCH_r03.json), and sbt appends a ~75-char "[success]" footer —
     // so the printed line must stay under ~1900 chars FOREVER, at any suite
@@ -93,7 +102,7 @@ object Bench {
       if (only.isDefined) "/tmp/BENCH_SUBSET.json" else "BENCH_LAST.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val shortLine =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","detail":"$out"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","nerr":${failed.size},"detail":"$out"}"""
     println(shortLine)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>

@@ -15,12 +15,14 @@ import graft.ops.Out._
   */
 object EventOps {
 
-  /** `events.ts` is physically INT96-era TIMESTAMP(NANOS) parquet, which
-    * Spark only reads as a nanosecond **long** (legacy.parquet.nanosAsLong,
-    * set in Verify/Bench sessions); DuckDB reads it as TIMESTAMP_NS. All
-    * time math therefore uses exact integer arithmetic on epoch seconds —
-    * `ts div 1e9` here, `floor(epoch(ts))` in the oracle — identical flooring
-    * on both engines and no double-precision loss on 1.7e18 nanos. */
+  /** `events.ts` reaches every consumer as a nanosecond **long** —
+    * [[graft.tables.Tables.events]] normalizes whatever physical type the
+    * corpus carries (TIMESTAMP(NANOS) under nanosAsLong originally;
+    * micros TIMESTAMP_NTZ since the round-6 regeneration) to that one
+    * contract. All time math therefore uses exact integer arithmetic on
+    * epoch seconds — `ts div 1e9` here, `floor(epoch(ts))` in the oracle —
+    * identical flooring on both engines and no double-precision loss on
+    * 1.7e18 nanos. */
   private val tsSec = expr("ts div 1000000000")
 
   /** s01: 5-minute tumbling-window aggregation per event type. Streaming twin:

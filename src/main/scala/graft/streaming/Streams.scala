@@ -17,22 +17,43 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet physical schema under nanosAsLong (ts = nanos LONG). */
-  val eventSchema: StructType = StructType(Seq(
+  /** events.parquet stream schema: `ts` takes whatever physical type the
+    * corpus carries (nanos LONG under nanosAsLong, or micros
+    * TIMESTAMP_NTZ since the round-6 regeneration) and is normalized to
+    * nanos LONG right after the scan — the same contract
+    * [[graft.tables.Tables.events]] gives batch consumers. */
+  private def eventSchema(ts: org.apache.spark.sql.types.DataType)
+      : StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", ts),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of the events table with a proper event-time column. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  /** Streaming scan of the events table with a proper event-time column.
+    * A streaming source needs its schema up front, so the physical type
+    * of `ts` is sniffed with a one-file batch read (driver-side footer
+    * read, no data scan); the batch normalization rules then apply. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val physical =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val tsNanos = physical match {
+      case LongType => col("ts")
+      case org.apache.spark.sql.types.TimestampType =>
+        expr("unix_micros(ts) * 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("unix_micros(cast(ts as timestamp)) * 1000") // session tz UTC
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other")
+    }
     spark.readStream
-      .schema(eventSchema)
+      .schema(eventSchema(physical))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+      .withColumn("ts", tsNanos)
       .withColumn("event_ts", timestamp_seconds(expr("ts div 1000000000")))
+  }
 
   /** Tumbling 5-minute windows per event type with a 10-minute watermark —
     * streaming twin of EventOps.s01. */

@@ -42,14 +42,26 @@ object Tables {
       case LongType => df
       case org.apache.spark.sql.types.TimestampType => df.withColumn("ts",
         expr("unix_micros(ts) * 1000"))
-      // Anything else (e.g. TIMESTAMP_NTZ, whose micros would be
-      // reinterpreted in the session zone, or a sub-micro layout that
-      // would silently truncate) must surface as an error, not a silent
-      // reinterpretation.
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet — what the
+      // driver corpus switched to in round 6 — reads as TIMESTAMP_NTZ.
+      // The naive wall-clock values ARE the instants every consumer and
+      // every DuckDB oracle (`epoch(ts)` on a naive TIMESTAMP) computes
+      // with, so the lossless normalization is naive-as-UTC → nanos.
+      // The NTZ→LTZ cast applies the SESSION zone, so demand UTC loudly
+      // rather than silently shifting every bucket by the host offset.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val tz = s.conf.get("spark.sql.session.timeZone", "")
+        if (tz != "UTC") throw new IllegalStateException(
+          s"events.ts is TIMESTAMP_NTZ; session timeZone must be UTC " +
+            s"for the naive-as-UTC normalization, got '$tz'")
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      // Anything else (e.g. a sub-micro layout that would silently
+      // truncate) must surface as an error, not a reinterpretation.
       case other => throw new IllegalStateException(
         s"events.ts: unsupported physical type $other — expected " +
-          "nanosecond LONG (driver corpus under nanosAsLong) or " +
-          "micros TIMESTAMP (rewritten replicas)")
+          "nanosecond LONG (driver corpus under nanosAsLong), micros " +
+          "TIMESTAMP (rewritten replicas), or micros TIMESTAMP_NTZ " +
+          "(driver corpus from round 6)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
