@@ -13,7 +13,8 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    ops.Relational.all ++ ops.Relational2.all ++
-      ext.TextOps.all ++ ext.TextOps2.all ++ ext.SimilarityOps.all ++
+    ops.Relational.all ++ ops.Relational2.all ++ ops.Bucketed.all ++
+      ext.TextOps.all ++ ext.TextOps2.all ++ ext.TextOps3.all ++
+      ext.SimilarityOps.all ++ ext.SimilarityOps2.all ++
       ext.EventOps.all ++ ext.MultimodalOps.all
 }

@@ -1,0 +1,199 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.tables.Tables._
+import graft.functions.Md5Hex.graft_md5
+import graft.ops.Out._
+
+/** Third wave of LLM-training-pipeline text operators (t36-t38):
+  * count-min-sketch frequency estimation, corpus-trained bigram-LM
+  * quality scoring, and per-source corpus capping.
+  *
+  * Same scale posture as TextOps/TextOps2: the sketch is a constant-size
+  * (d×w cells) mergeable summary built from one vocabulary-sized shuffle;
+  * the LM scorer touches the bigram stream once and joins against
+  * vocabulary-sized count tables; the source cap is one window shuffle
+  * keyed on the (bounded-cardinality) source column. All arithmetic is
+  * integer-exact so the DuckDB oracle replays every path bit-for-bit.
+  */
+object TextOps3 {
+
+  private def fanOut(d: DataFrame): DataFrame =
+    graft.ops.Par.fanOut(d, "doc_id")
+
+  // --- t36: count-min sketch ------------------------------------------
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** Row-`r` CMS bucket of a token: first 8 md5 hex chars of a salted
+    * key, mod the sketch width — deterministic, engine-portable (same
+    * digest, same string compare, same mod in DuckDB). */
+  private def cmsBucket(r: Int, tok: Column): Column =
+    conv(substring(graft_md5(concat(lit(s"cms$r:"), tok)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** t36: count-min-sketch token frequency estimation — the
+    * constant-memory "how often does this token appear" probe a corpus
+    * profiler runs without keeping the full vocabulary. The sketch is a
+    * d×w grid (4×1024 cells here) of summed counts; a token's estimate
+    * is the MIN over its d cells, an overestimate by construction
+    * (Cormode & Muthukrishnan: est ≥ exact always; excess bounded by
+    * colliding mass).
+    *
+    * Plan shape at 100 TB: ONE token-count shuffle (vocabulary-sized
+    * output — the same aggregation any frequency profile needs), then
+    * all sketch work happens on the vocabulary table: 4 hashed copies →
+    * a 4096-row cell table that BROADCASTS anywhere. The grid is
+    * mergeable across shards/streams by cell-wise addition, which is
+    * exactly what the partial-aggregation step does. The probe joins the
+    * query tokens' (row,bucket) keys against the broadcast grid — no
+    * second pass over the corpus. Determinism makes the sketch
+    * REPLAYABLE: the oracle rebuilds the identical grid, so the gate
+    * hash-checks est_cnt itself, not just the containment contract;
+    * `over_cnt = est - exact ≥ 0` doubles as the in-row guarantee. */
+  def t36CmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    val tokCnt = fanOut(documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    val rows = (0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("b")))
+    val cells = tokCnt
+      .select(col("cnt"), explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("cnt")).as("cell"))
+    // Deterministic probe set: top-20 tokens by (count desc, token asc)
+    // — the tiebreak makes the boundary engine-stable.
+    val q = tokCnt.orderBy(col("cnt").desc, col("tok")).limit(20)
+    q.select(col("tok"), col("cnt"), explode(array(rows: _*)).as("rb"))
+      .select(col("tok"), col("cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("tok"), col("cnt").as("exact_cnt"),
+        col("est").as("est_cnt"), (col("est") - col("cnt")).as("over_cnt"))
+      .sortedSmall("tok")
+  }
+
+  val t36Oracle: String =
+    s"""WITH tc AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |            FROM documents),
+       |cnt AS (SELECT tok, COUNT(*) AS cnt FROM tc GROUP BY tok),
+       |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |cells AS (SELECT rr.r,
+       |    CAST(('0x' || substr(md5('cms' || rr.r || ':' || cnt.tok), 1, 8))
+       |      AS BIGINT) % $CmsWidth AS b,
+       |    CAST(SUM(cnt.cnt) AS BIGINT) AS cell
+       |  FROM cnt, rr GROUP BY 1, 2),
+       |q AS (SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok LIMIT 20),
+       |probe AS (SELECT q.tok, q.cnt, MIN(cells.cell) AS est
+       |  FROM q, rr, cells
+       |  WHERE cells.r = rr.r AND cells.b =
+       |    CAST(('0x' || substr(md5('cms' || rr.r || ':' || q.tok), 1, 8))
+       |      AS BIGINT) % $CmsWidth
+       |  GROUP BY 1, 2)
+       |SELECT tok, cnt AS exact_cnt, est AS est_cnt, est - cnt AS over_cnt
+       |FROM probe ORDER BY tok""".stripMargin
+
+  // --- t37: bigram-LM quality score -----------------------------------
+
+  /** t37: corpus-trained bigram language-model quality score — the
+    * CCNet/KenLM-style "how typical is this document of the corpus"
+    * filter, integerized. Each document's score is the mean conditional
+    * bigram probability in ppm: mean over its bigrams of
+    * `1e6 · c(w1 w2) / c(w1 ·)` (floor division) — high for documents
+    * made of common continuations, low for ones full of rare
+    * transitions. Integer-exact end-to-end, so the oracle replays it.
+    *
+    * Plan: bigrams are built FLAT after the posexplode (the t32 recipe —
+    * `element_at` in the projection stays inside whole-stage codegen,
+    * never in an interpreted HOF lambda). The stream is persisted once
+    * and feeds three consumers: the bigram-count table, the
+    * prefix-count table, and the per-doc aggregation. Both count tables
+    * are vocabulary-sized (bounded by distinct word pairs, not corpus
+    * rows) and broadcast back; at 100 TB they become shuffle joins on
+    * (w1,w2)/(w1) — same plan, bigger exchange. Documents shorter than
+    * two tokens have no bigrams and (like the oracle) drop out. */
+  def t37LmScore(s: SparkSession, dir: String): DataFrame = {
+    val big = fanOut(documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i") + 1).as("w1"),
+        element_at(col("t"), col("i") + 2).as("w2"))
+      .persist()
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    big.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .select(col("doc_id"), expr("c2 * 1000000 div c1").as("p_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("score_ppm"))
+      .sortedWide("doc_id")
+  }
+
+  val t37Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+      |           FROM documents),
+      |g AS (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+      |      FROM d WHERE len(t) >= 2),
+      |b AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2 FROM g),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+      |p AS (SELECT b.doc_id, (c2.c2 * 1000000) // c1.c1 AS p_ppm
+      |      FROM b, c2, c1
+      |      WHERE b.w1 = c2.w1 AND b.w2 = c2.w2 AND b.w1 = c1.w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- t38: per-source corpus cap -------------------------------------
+
+  /** t38: per-source capping — the RefinedWeb/C4-style guard against any
+    * single domain dominating the training mix: keep at most K documents
+    * per source, chosen by a salted content-independent hash (a
+    * deterministic random sample, not a doc_id-prefix bias), doc_id as
+    * the total-order tiebreak. Output carries the source's total so the
+    * kept/dropped ratio is auditable.
+    *
+    * One shuffle keyed on source; both window functions (rank + count)
+    * reuse the same exchange. Exact-K needs the per-source sort — at
+    * 100 TB, where a single source can be petabytes, the two-pass
+    * expected-K variant is the scale path: broadcast per-source rates
+    * and keep rows whose hash lands under K/n(source), exactly t25's
+    * stratified-sample shape, no per-source sort at all. */
+  def t38SourceCap(s: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    val ord = graft_md5(concat(lit("cap:"), col("doc_id").cast("string")))
+    val bySrc = Window.partitionBy(col("source"))
+    documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        row_number().over(bySrc.orderBy(ord, col("doc_id")))
+          .cast("long").as("rk"),
+        count(lit(1)).over(bySrc).as("src_n"))
+      .filter(col("rk") <= cap)
+      .sortedWide("doc_id")
+  }
+
+  val t38Oracle: String =
+    """WITH r AS (SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY source) AS src_n
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk, src_n
+      |FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
+    Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
+    Q("t38_source_cap", t38SourceCap, Some(t38Oracle)))
+}
