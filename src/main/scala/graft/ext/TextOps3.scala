@@ -192,8 +192,86 @@ object TextOps3 {
       |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk, src_n
       |FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin
 
+  // --- t39: winnowing fingerprints ------------------------------------
+
+  private val WinK = 4  // gram width (tokens)
+  private val WinW = 5  // window width (grams)
+  private val PosBase = 1048576L // 2^20: (hash,pos) packed as one long
+
+  /** t39: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken —
+    * the MOSS scheme, used for substring-level corpus dedup à la The
+    * Stack): hash every word 4-gram, then in each sliding window of 5
+    * consecutive gram hashes keep the minimum. The selection guarantee:
+    * any run of ≥ w+k−1 = 8 shared tokens between two documents yields
+    * at least one SHARED fingerprint, while only ~2/(w+1) of grams are
+    * kept — a contract an every-wth-gram sampler cannot make
+    * (WinnowingSpec proves both halves on crafted twins).
+    *
+    * Ties inside a window break to the SMALLEST POSITION by packing
+    * (hash, pos) into one long (hash·2^20 + pos) and taking the min —
+    * winnowing's "rightmost" convention flipped to leftmost, chosen so
+    * the packed-long min is the whole tiebreak (one integer min, no
+    * struct compare; identical in DuckDB). pos < 2^20 is guaranteed
+    * upstream by chunking (t19 caps segments at 40 tokens; any corpus
+    * that skips chunking must widen the base).
+    *
+    * Plan: grams built flat after the posexplode (codegen), ONE shuffle
+    * keyed on doc_id for the two same-partition window passes (count +
+    * sliding min share the exchange), then distinct on the selected
+    * keys. Per-doc work is linear; at 100 TB this is the same
+    * doc-partitioned narrow pipeline as t30's segment dedup. */
+  def t39Winnowing(s: SparkSession, dir: String): DataFrame =
+    winnowTransform(fanOut(documents(s, dir)))
+      .sortedWide("doc_id", "pos")
+
+  /** The stateless winnowing selection behind t39 — public for the spec,
+    * which replays it on crafted twins against an in-memory reference. */
+  private[graft] def winnowTransform(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val gram = concat_ws(" ",
+      (0 until WinK).map(j => element_at(col("t"), col("i") + j + 1)): _*)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= WinK)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - WinK)).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("pos"),
+        conv(substring(graft_md5(gram), 1, 8), 16, 10).cast("long").as("hv"))
+    grams
+      .withColumn("ng", count(lit(1)).over(byDoc))
+      .withColumn("selkey",
+        min(col("hv") * PosBase + col("pos"))
+          .over(byDoc.orderBy(col("pos"))
+            .rowsBetween(Window.currentRow, WinW - 1)))
+      .filter(col("pos") <= col("ng") - WinW)
+      .select(col("doc_id"), col("selkey")).distinct()
+      .select(col("doc_id"),
+        (col("selkey") % PosBase).as("pos"),
+        expr(s"selkey div $PosBase").as("hash"))
+  }
+
+  val t39Oracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+       |           FROM documents),
+       |g AS (SELECT doc_id, t, unnest(range(0, len(t) - ${WinK - 1})) AS i
+       |      FROM d WHERE len(t) >= $WinK),
+       |h AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    CAST(('0x' || substr(md5(
+       |      t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4]
+       |    ), 1, 8)) AS BIGINT) AS hv
+       |  FROM g),
+       |k AS (SELECT doc_id, pos,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+       |    MIN(hv * $PosBase + pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS selkey
+       |  FROM h),
+       |f AS (SELECT DISTINCT doc_id, selkey FROM k WHERE pos <= ng - $WinW)
+       |SELECT doc_id, selkey % $PosBase AS pos, selkey // $PosBase AS hash
+       |FROM f ORDER BY doc_id, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
-    Q("t38_source_cap", t38SourceCap, Some(t38Oracle)))
+    Q("t38_source_cap", t38SourceCap, Some(t38Oracle)),
+    Q("t39_winnowing", t39Winnowing, Some(t39Oracle)))
 }
