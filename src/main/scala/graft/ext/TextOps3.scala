@@ -36,6 +36,24 @@ object TextOps3 {
     conv(substring(graft_md5(concat(lit(s"cms$r:"), tok)), 1, 8), 16, 10)
       .cast("long") % CmsWidth
 
+  /** The CMS grid as a single aggregation over a raw token stream —
+    * the STREAMING form of the sketch (CmsStreamSpec runs it under
+    * Structured Streaming unchanged: one stateful aggregation whose
+    * state is the constant-size grid; merging partial grids is the
+    * cell-wise addition the partial-agg step already performs). The
+    * batch gate (t36) instead aggregates the vocabulary first and
+    * hashes once per distinct token — cheaper when a full pass is
+    * available; the spec proves both formulations produce the same
+    * grid. */
+  private[graft] def cmsCellsOf(tokens: DataFrame): DataFrame = {
+    val rows = (0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("b")))
+    tokens
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   /** t36: count-min-sketch token frequency estimation — the
     * constant-memory "how often does this token appear" probe a corpus
     * profiler runs without keeping the full vocabulary. The sketch is a
@@ -250,8 +268,10 @@ object TextOps3 {
         expr(s"selkey div $PosBase").as("hash"))
   }
 
-  val t39Oracle: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+  /** DuckDB CTE chain producing the winnowing fingerprints
+    * `f(doc_id, selkey)` — shared by the t39 and t40 oracles. */
+  private val winnowSql: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS t
        |           FROM documents),
        |g AS (SELECT doc_id, t, unnest(range(0, len(t) - ${WinK - 1})) AS i
        |      FROM d WHERE len(t) >= $WinK),
@@ -265,13 +285,72 @@ object TextOps3 {
        |    MIN(hv * $PosBase + pos) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS selkey
        |  FROM h),
-       |f AS (SELECT DISTINCT doc_id, selkey FROM k WHERE pos <= ng - $WinW)
+       |f AS (SELECT DISTINCT doc_id, selkey FROM k WHERE pos <= ng - $WinW)""".stripMargin
+
+  val t39Oracle: String =
+    s"""WITH $winnowSql
        |SELECT doc_id, selkey % $PosBase AS pos, selkey // $PosBase AS hash
        |FROM f ORDER BY doc_id, pos""".stripMargin
+
+  // --- t40: winnowing candidate pairs ---------------------------------
+
+  /** t40: cross-document candidate pairs from the t39 fingerprints — the
+    * selection's actual use (The Stack's substring-level dedup): two
+    * documents sharing ≥2 fingerprint HASHES (positions ignored —
+    * matches may sit anywhere) are candidate overlaps for verification.
+    * Same scale discipline as t23: candidates come from an equi-join on
+    * the fingerprint hash, never all-pairs, and stop-fingerprints
+    * (hashes present in >10% of documents — boilerplate runs shared by
+    * everything) are capped OUT of the join before the fanout happens,
+    * the df-cap prefix-filter role. The winnowing guarantee makes the
+    * candidate set COMPLETE for runs ≥ w+k−1 tokens whose fingerprints
+    * survive the cap.
+    *
+    * Duplication posture: like every pairwise stage, this runs AFTER
+    * exact-dup collapse in a production pipeline (t17's dedup-apply,
+    * composed exactly as t27 does for the cosine family) — a corpus
+    * where each doc has k exact copies multiplies candidate volume by
+    * k² with no new information. The gate query keeps the naive
+    * full-corpus form so the oracle replays it directly. */
+  def t40WinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val posting = winnowTransform(fanOut(documents(s, dir)))
+      .select(col("doc_id"), col("hash")).distinct()
+      .persist()
+    val nDocs = posting.select(countDistinct(col("doc_id")).as("n_docs"))
+    val hdf = posting.groupBy(col("hash")).agg(count(lit(1)).as("df"))
+    val kept = posting
+      .join(broadcast(hdf), "hash")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("doc_id"), col("hash"))
+      .repartition(s.sparkContext.defaultParallelism, col("hash"))
+      .persist()
+    kept.toDF("a", "hash")
+      .join(kept.toDF("b", "hash"), "hash")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .sortedWide("a", "b")
+  }
+
+  val t40Oracle: String =
+    s"""WITH $winnowSql,
+       |fp AS (SELECT DISTINCT doc_id, selkey // $PosBase AS hash FROM f),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM fp),
+       |hdf AS (SELECT hash, COUNT(*) AS df FROM fp GROUP BY hash),
+       |kept AS (SELECT fp.doc_id, fp.hash FROM fp, hdf, n
+       |         WHERE fp.hash = hdf.hash AND hdf.df * 10 <= n.n_docs)
+       |SELECT ka.doc_id AS a, kb.doc_id AS b, COUNT(*) AS n_shared
+       |FROM kept ka, kept kb
+       |WHERE ka.hash = kb.hash AND ka.doc_id < kb.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY a, b""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
     Q("t38_source_cap", t38SourceCap, Some(t38Oracle)),
-    Q("t39_winnowing", t39Winnowing, Some(t39Oracle)))
+    Q("t39_winnowing", t39Winnowing, Some(t39Oracle)),
+    Q("t40_winnow_pairs", t40WinnowPairs, Some(t40Oracle)))
 }
