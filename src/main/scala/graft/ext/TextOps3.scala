@@ -306,18 +306,57 @@ object TextOps3 {
     * candidate set COMPLETE for runs ≥ w+k−1 tokens whose fingerprints
     * survive the cap.
     *
-    * Duplication posture: like every pairwise stage, this runs AFTER
-    * exact-dup collapse in a production pipeline (t17's dedup-apply,
-    * composed exactly as t27 does for the cosine family) — a corpus
-    * where each doc has k exact copies multiplies candidate volume by
-    * k² with no new information. The gate query keeps the naive
-    * full-corpus form so the oracle replays it directly. */
-  def t40WinnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val posting = winnowTransform(fanOut(documents(s, dir)))
+    * Duplication posture: exact duplicates are canonicalized away
+    * before the pair join and expanded back after it ([[Canon]], the
+    * t23/t07 discipline) — a corpus where each doc has k exact copies
+    * would otherwise multiply candidate volume by k² with no new
+    * information (measured here: the naive form ran 56.9 s on the 100×
+    * replica vs 3.8 s at 10×). The oracle stays the naive full-corpus
+    * computation; collapsing is output-exact because fingerprint sets
+    * are a pure function of the text. */
+  def t40WinnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(s, fanOut(documents(s, dir))).sortedWide("a", "b")
+
+  /** The canonicalized pair pipeline behind t40 — public for the spec,
+    * which proves it equal to the naive all-docs form on a corpus WITH
+    * exact duplicates (the gate corpus has none, so the oracle alone
+    * would leave the collapse/expand path unexercised). */
+  private[graft] def winnowPairsOf(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    // Exact duplicates collapse to representatives BEFORE the pair join
+    // (Canon): fingerprint sets are a pure function of the text, so a
+    // k-copy group's k² internal pairs move into the output-bound
+    // membership expansion. df and n_docs stay FULL-corpus (each group
+    // weighs grp_n), matching the naive oracle exactly.
+    //
+    // The tagging shuffle is GATED on a measured duplicate count (the
+    // t26 discipline): on a dup-free corpus (the gate corpus) the
+    // identity member map costs nothing and the pipeline degenerates to
+    // the naive form (measured: 5.3 → 2.3 s at sf0.1), while any real
+    // duplication pays one window shuffle to dodge the k² (measured:
+    // naive 56.9 s vs canonical 8.9 s on the 100× replica).
+    // No persist on the raw docs: the dup probe reads (md5-of-text)
+    // once and the column-pruned parquet re-scan for the main pipeline
+    // is cheaper than materializing the full text column.
+    val d = docs.select(col("doc_id"), col("text"))
+    val dup = d.agg((count(lit(1)) -
+      countDistinct(graft_md5(col("text")))).as("nd"))
+      .collect()(0).getLong(0) > 0
+    val tagged = if (dup)
+      Canon.tagReps(d, graft_md5(col("text")), "doc_id").persist()
+    else d.withColumn("rep", col("doc_id"))
+    if (dup) tagged.count() // eager: several subtrees read it
+    val member = tagged.select(col("doc_id"), col("rep"))
+    val grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n"))
+    val posting = winnowTransform(
+      tagged.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("hash")).distinct()
+      .join(broadcast(grpSz.withColumnRenamed("rep", "doc_id")), "doc_id")
       .persist()
-    val nDocs = posting.select(countDistinct(col("doc_id")).as("n_docs"))
-    val hdf = posting.groupBy(col("hash")).agg(count(lit(1)).as("df"))
+    val nDocs = posting.select(col("doc_id"), col("grp_n")).distinct()
+      .agg(sum(col("grp_n")).as("n_docs"))
+    val hdf = posting.groupBy(col("hash")).agg(sum(col("grp_n")).as("df"))
     val kept = posting
       .join(broadcast(hdf), "hash")
       .crossJoin(broadcast(nDocs))
@@ -325,13 +364,20 @@ object TextOps3 {
       .select(col("doc_id"), col("hash"))
       .repartition(s.sparkContext.defaultParallelism, col("hash"))
       .persist()
-    kept.toDF("a", "hash")
-      .join(kept.toDF("b", "hash"), "hash")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+    // a <= b keeps the diagonal: a rep self-pair carries n_shared =
+    // |kept(rep)| — exactly each twin pair's shared-fingerprint count.
+    // Singleton-group diagonals expand to nothing but would dominate the
+    // rep-pair list, so they are dropped here (Canon's contract).
+    val repPairs = kept.toDF("ra", "hash")
+      .join(kept.toDF("rb", "hash"), "hash")
+      .filter(col("ra") <= col("rb"))
+      .groupBy(col("ra"), col("rb"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-      .sortedWide("a", "b")
+      .join(broadcast(grpSz.toDF("ra", "grp_n")), "ra")
+      .filter(col("ra") =!= col("rb") || col("grp_n") >= 2)
+      .select(col("ra"), col("rb"), col("n_shared"))
+    Canon.expandPairs(repPairs, member)
   }
 
   val t40Oracle: String =

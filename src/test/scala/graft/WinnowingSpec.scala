@@ -69,6 +69,43 @@ class WinnowingSpec extends AnyFunSuite {
       "winnowing guarantee violated: no shared fingerprint on a shared run")
   }
 
+  test("canonicalized t40 pairs equal the naive all-docs form on a " +
+    "duplicated corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("a1", "a2", "a3", "a4", "a5", "a6", "a7", "a8")
+    val base = (0 until 12).map { i =>
+      Seq.fill(20 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // 3 exact copies of each base text, plus two singletons
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      (0 until 3).map(c => (i * 10L + c, t))
+    } ++ Seq((900L, "only one two three four five six seven eight"),
+      (901L, "x1 x2 x3"))
+    val df = docs.toDF("doc_id", "text")
+    val canonical = graft.ext.TextOps3.winnowPairsOf(spark, df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive reference: distinct (doc, hash) posting, full-corpus df cap,
+    // all-pairs via the hash equi-join
+    val posting = graft.ext.TextOps3.winnowTransform(df)
+      .select(col("doc_id"), col("hash")).distinct().persist()
+    val n = posting.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val hdf = posting.groupBy(col("hash")).agg(count(lit(1)).as("df"))
+    val kept = posting.join(hdf, "hash")
+      .filter(col("df") * 10 <= lit(n))
+      .select(col("doc_id"), col("hash"))
+    val naive = kept.toDF("a", "hash")
+      .join(kept.toDF("b", "hash"), "hash")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canonical == naive)
+    assert(naive.nonEmpty, "degenerate test corpus: no pairs at all")
+  }
+
   test("density: at most one selection per window start") {
     val rnd = new scala.util.Random(11)
     val text = Seq.fill(200)("tk" + rnd.nextInt(40)).mkString(" ")
