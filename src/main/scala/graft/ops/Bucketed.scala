@@ -82,6 +82,50 @@ object Bucketed {
        |FROM lineitem, orders WHERE l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY month""".stripMargin
 
+  // --- q51: partition pruning off a partitionBy layout -----------------
+
+  /** Hive-style partitioned copy of orders (dt-partitioning's batch twin:
+    * one directory per order year), memoized per source dir like the
+    * bucketed layout — partitioning is likewise paid at ingest. */
+  private def partitionedOrdersPath(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_partitioned/orders_by_year")
+      .getAbsolutePath
+    if (dir != written.get("orders_by_year")) {
+      orders(s, dir).withColumn("yr", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(path)
+      written.put("orders_by_year", dir)
+    }
+    path
+  }
+
+  /** The pruned scan itself, pre-aggregation — exposed so the spec can
+    * assert partition-level pruning on the physical plan (the yr=1997
+    * predicate must land in PartitionFilters, NOT as a row-level data
+    * filter: whole directories are skipped before any IO). */
+  private[graft] def prunedScan(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(partitionedOrdersPath(s, dir))
+      .filter(col("yr") === 1997)
+
+  /** q51: per-priority report over one year of a year-partitioned
+    * layout. At 100 TB this is THE difference between scanning the
+    * whole fact table and touching 1/7th of it — the directory-level
+    * skip costs zero IO, unlike row-group statistics pruning which
+    * still reads footers. The aggregation shape matches q14's. */
+  def q51PartitionPruning(s: SparkSession, dir: String): DataFrame =
+    prunedScan(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        lsum(col("o_totalprice")).as("revenue"))
+      .sortedSmall("o_orderpriority")
+
+  val q51Oracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |${dsumSql("o_totalprice")} AS revenue
+       |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q50_bucketed_join", q50BucketedJoin, Some(q50Oracle)))
+    Q("q50_bucketed_join", q50BucketedJoin, Some(q50Oracle)),
+    Q("q51_partition_pruning", q51PartitionPruning, Some(q51Oracle)))
 }

@@ -59,6 +59,30 @@ class TextOps3Spec extends AnyFunSuite {
       s"bucketed join should not shuffle or broadcast:\n$plan")
   }
 
+  test("q51 scan prunes at the partition level, not the row level") {
+    val plan = Bucketed.prunedScan(spark, sf)
+      .queryExecution.executedPlan.toString
+    def segment(name: String): String =
+      s"$name: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+        .map(_.group(1)).getOrElse("")
+    assert(segment("PartitionFilters").contains("1997"),
+      s"yr=1997 must be a partition filter, plan:\n$plan")
+    assert(!segment("PushedFilters").contains("yr") &&
+      !segment("DataFilters").contains("yr"),
+      s"yr must not appear as a row-level filter:\n$plan")
+  }
+
+  test("q51 equals the unpartitioned filter + aggregation") {
+    import graft.tables.Tables._
+    val plain = orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.expr.Exprs.lsum(col("o_totalprice")).as("revenue"))
+    val got = Bucketed.q51PartitionPruning(spark, sf)
+    assert(got.except(plain).isEmpty && plain.except(got).isEmpty)
+  }
+
   test("q50 equals the plain (shuffled) join on the raw parquet") {
     import graft.tables.Tables._
     val plain = lineitem(spark, sf)
