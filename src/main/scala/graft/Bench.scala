@@ -1,5 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark over the full query registry.
+  *
+  * The box's wall-clock weather (host oversubscription) has twice produced
+  * misleading suite numbers on UNCHANGED code (t23 7.7–35 s across identical
+  * runs; a full suite inflated 1.7× with the guest idle). The artifact must
+  * therefore be defensible from ANY window, which takes three mechanisms:
+  *
+  *  1. Interleaved passes: the whole suite is swept PASSES times and each
+  *     query is billed its min across sweeps. Back-to-back reps share the
+  *     same weather window; full sweeps decorrelate a slow window from any
+  *     particular query.
+  *  2. Yardstick probes: a fixed CPU-bound Spark job is timed before, between
+  *     and after sweeps, and before every outlier re-run. The probe timings
+  *     are published in the artifact, so a reader can tell a degraded window
+  *     from a code regression without access to the machine.
+  *  3. Reference-based re-runs: per-query times from the committed healthy
+  *     run (BENCH_REF.json) bound what "normal" looks like; any query whose
+  *     min still exceeds 2.5× its reference (and 1 s absolute) after all
+  *     sweeps gets up to two extra runs in a fresh window.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,50 +57,124 @@ object Bench {
     // without writing.
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // Weather probe: fixed CPU-bound hash-reduce over an in-memory range —
+    // no IO, no shuffle, deterministic work. Median of 3 so a single
+    // scheduler hiccup doesn't misreport the window, while a genuinely
+    // loaded host still shows through (every run competes for the cores).
+    def yardstickOnce(): Double = {
+      val t0 = System.nanoTime()
+      exec(spark.range(0, 256000000L, 1, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h").selectExpr("bit_xor(h) AS s"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def yardstick(label: String,
+                  sink: scala.collection.mutable.ArrayBuffer[(String, Double)]): Double = {
+      val v = Seq.fill(3)(yardstickOnce()).sorted.apply(1)
+      sink += (label -> v)
+      v
+    }
+
     // Warm-up: run every query once at the smallest SF so classloading,
     // codegen and JIT don't bill the first timed queries.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
+      yardstickOnce() // warm the probe's codegen path too
       queries.foreach { case (_, fn) =>
         try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
     spark.catalog.clearCache() // drop warmup caches
-    // Local-iteration knob: time each query REPS times and report the MIN.
-    // The box's wall-clock noise dwarfs real deltas (t23 measured 7.7-35 s
-    // across unchanged runs; host oversubscription inflated a full suite
-    // 1.7× with the guest idle); min-of-k isolates the code's cost from
-    // scheduler interference. Default is min-of-2 so unattended driver
-    // runs get one retry against weather; set SPARK_GRAFT_REPS=1 for a
-    // quick single shot or higher for paired A/B measurement.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+
+    // Interleaved sweeps (see header). SPARK_GRAFT_REPS keeps its historic
+    // name but now counts full-suite passes; min-of-3 is the default the
+    // round-6 weather incident sized (a degraded window lasted longer than
+    // two back-to-back reps of one query but not three spaced sweeps).
+    val passes = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    val yardsticks = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     // A query that THROWS must never masquerade as a fast one — round 5's
     // bench recorded the whole event family at ~0.05 s while every run
     // failed at scan time (regenerated testdata changed a physical type).
-    // Failures are tracked per query and published in the artifacts.
+    // Failures are excluded from per-query times and the total, and
+    // published in the artifact's errors list.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = queries.map { case (name, fn) =>
-      val dt = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case e: Throwable =>
-          failed += name
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { exec(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
         }
-        val d = (System.nanoTime() - t0) / 1e9
-        // Isolate queries: persisted intermediates (MinHash sketches etc.)
-        // must bill the query that built them, not skew its neighbors via
-        // memory pressure.
-        spark.catalog.clearCache()
-        d
-      }.min
-      name -> dt
+      val d = (System.nanoTime() - t0) / 1e9
+      // Isolate queries: persisted intermediates (MinHash sketches etc.)
+      // must bill the query that built them, not skew neighbors via
+      // memory pressure.
+      spark.catalog.clearCache()
+      if (ok) {
+        failed -= name
+        best.updateWith(name) {
+          case Some(prev) => Some(math.min(prev, d))
+          case None => Some(d)
+        }
+      } else if (!best.contains(name)) failed += name
+    }
+    yardstick("pre", yardsticks)
+    (1 to passes).foreach { p =>
+      queries.foreach { case (name, fn) => timeOne(name, fn) }
+      yardstick(if (p == passes) "post" else s"after_pass$p", yardsticks)
+    }
+
+    // Reference-based outlier re-run: per-query times from the committed
+    // healthy-window run bound "normal". A min still >2.5× its reference
+    // (and >1 s, so sub-second jitter never triggers) after all sweeps is
+    // weather until proven otherwise — it gets up to two extra runs, each
+    // preceded by a probe so the artifact shows what window it ran in.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_REF", "BENCH_REF.json")
+    val refTimes: Map[String, Double] =
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // Minimal extraction of the {"queries":{...}} object — the artifact
+        // is machine-written flat JSON; no nested objects inside "queries".
+        val m = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        m.map { g =>
+          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(g.group(1))
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    val rerun = scala.collection.mutable.LinkedHashMap[String, Int]()
+    if (refTimes.nonEmpty) {
+      val outliers = best.collect {
+        case (n, v) if refTimes.contains(n) && v > math.max(1.0, 2.5 * refTimes(n)) => n
+      }.toSeq
+      outliers.foreach { n =>
+        var tries = 0
+        while (tries < 2 && best(n) > math.max(1.0, 2.5 * refTimes(n))) {
+          yardstick(s"rerun_${n}_${tries + 1}", yardsticks)
+          timeOne(n, queries(n))
+          tries += 1
+        }
+        rerun += (n -> tries)
+      }
+    }
+
+    val results = queries.keys.toSeq.collect {
+      case n if best.contains(n) => n -> best(n)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val yds = yardsticks
+      .map { case (l, v) => s"\"" + l + "\":" + ms3(v) }.mkString("{", ",", "}")
+    val reruns = rerun.map { case (n, k) => s"\"" + n + "\":" + k }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errs,"passes":$passes,"yardsticks":$yds,"reruns":$reruns,"ref":"$refPath"}"""
     // The driver parses the bench JSON from a 2000-char stdout tail (measured
     // from BENCH_r03.json), and sbt appends a ~75-char "[success]" footer —
     // so the printed line must stay under ~1900 chars FOREVER, at any suite
@@ -92,7 +187,6 @@ object Bench {
       val cut = name.indexOf('_')
       if (cut > 0) name.substring(0, cut) else name
     }
-    def ms3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val shortQs = results
       .map { case (k, v) => s"\"" + shortKey(k) + "\":" + ms3(v) }
       .mkString("{", ",", "}")
@@ -101,8 +195,13 @@ object Bench {
     val defaultOut =
       if (only.isDefined) "/tmp/BENCH_SUBSET.json" else "BENCH_LAST.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    // Weather summary for the 2000-char stdout window: min/max of the
+    // sweep-boundary probes (re-run probes included — they describe the
+    // windows the published numbers actually came from).
+    val ydMin = if (yardsticks.nonEmpty) yardsticks.map(_._2).min else 0.0
+    val ydMax = if (yardsticks.nonEmpty) yardsticks.map(_._2).max else 0.0
     val shortLine =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","nerr":${failed.size},"detail":"$out"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir","nerr":${failed.size},"yd":[${ms3(ydMin)},${ms3(ydMax)}],"detail":"$out"}"""
     println(shortLine)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
