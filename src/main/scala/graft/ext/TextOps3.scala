@@ -253,6 +253,16 @@ object TextOps3 {
       .filter(size(col("t")) >= WinK)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), size(col("t")) - WinK)).as("i"))
+      // The (hash,pos) packing below aliases position bits into the hash
+      // once pos reaches PosBase — and both engines would agree on the
+      // aliased values, so the oracle could never catch it. Fail loudly
+      // at the first oversized document instead of relying on upstream
+      // chunking by convention. (assert_true returns NULL on pass, so the
+      // filter keeps every row; a violation throws mid-scan.)
+      .filter(assert_true(col("i") < lit(PosBase),
+        lit(s"winnowing: per-doc gram position >= $PosBase (2^20); " +
+          "chunk documents (t19) before winnowing or widen PosBase"))
+        .isNull)
       .select(col("doc_id"), col("i").cast("long").as("pos"),
         conv(substring(graft_md5(gram), 1, 8), 16, 10).cast("long").as("hv"))
     grams

@@ -34,12 +34,28 @@ object Bucketed {
     * about: the shuffle-free join. */
   private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One lock object per layout name: the memoized write is check-then-act,
+    * and two threads racing it (bench and verify share this JVM in local
+    * iteration) would otherwise overwrite a layout the other is scanning. */
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(name: String): Object =
+    writeLocks.computeIfAbsent(name, _ => new Object)
+
+  /** Scratch location scoped by a hash of the SOURCE dir: two JVMs
+    * benching different sf dirs get disjoint paths instead of silently
+    * clobbering each other's layout mid-scan; same-dir re-runs reuse it. */
+  private def scratchPath(kind: String, name: String, dir: String): String = {
+    val tag = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_$kind/${name}_$tag").getAbsolutePath
+  }
+
   private def writeBucketed(
       s: SparkSession, df: DataFrame, name: String, key: String,
-      dir: String): Unit = {
+      dir: String): Unit = lockFor(name).synchronized {
     if (dir == written.get(name) && s.catalog.tableExists(name)) return
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_bucketed/$name").getAbsolutePath
+    val tmp = scratchPath("bucketed", name, dir)
     s.sql(s"DROP TABLE IF EXISTS $name")
     df.write.format("parquet")
       .bucketBy(Buckets, key).sortBy(key)
@@ -87,17 +103,16 @@ object Bucketed {
   /** Hive-style partitioned copy of orders (dt-partitioning's batch twin:
     * one directory per order year), memoized per source dir like the
     * bucketed layout — partitioning is likewise paid at ingest. */
-  private def partitionedOrdersPath(s: SparkSession, dir: String): String = {
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_partitioned/orders_by_year")
-      .getAbsolutePath
-    if (dir != written.get("orders_by_year")) {
-      orders(s, dir).withColumn("yr", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("yr").parquet(path)
-      written.put("orders_by_year", dir)
+  private def partitionedOrdersPath(s: SparkSession, dir: String): String =
+    lockFor("orders_by_year").synchronized {
+      val path = scratchPath("partitioned", "orders_by_year", dir)
+      if (dir != written.get("orders_by_year")) {
+        orders(s, dir).withColumn("yr", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("yr").parquet(path)
+        written.put("orders_by_year", dir)
+      }
+      path
     }
-    path
-  }
 
   /** The pruned scan itself, pre-aggregation — exposed so the spec can
     * assert partition-level pruning on the physical plan (the yr=1997

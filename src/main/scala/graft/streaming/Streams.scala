@@ -38,15 +38,10 @@ object Streams {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val physical =
       spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    val tsNanos = physical match {
-      case LongType => col("ts")
-      case org.apache.spark.sql.types.TimestampType =>
-        expr("unix_micros(ts) * 1000")
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        expr("unix_micros(cast(ts as timestamp)) * 1000") // session tz UTC
-      case other => throw new IllegalStateException(
-        s"events.ts: unsupported physical type $other")
-    }
+    // Shared normalization + guards with the batch reader: the NTZ branch
+    // THROWS unless the session timezone is UTC, instead of silently
+    // shifting every event-time window by the host offset.
+    val tsNanos = graft.tables.Tables.tsNanosExpr(spark, physical)
     spark.readStream
       .schema(eventSchema(physical))
       .option("pathGlobFilter", "events.parquet")

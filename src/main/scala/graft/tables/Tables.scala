@@ -1,8 +1,8 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Parquet-backed table access for the driver corpus (TESTDATA.md).
   *
@@ -40,21 +40,35 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df
-      case org.apache.spark.sql.types.TimestampType => df.withColumn("ts",
-        expr("unix_micros(ts) * 1000"))
-      // TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet — what the
-      // driver corpus switched to in round 6 — reads as TIMESTAMP_NTZ.
-      // The naive wall-clock values ARE the instants every consumer and
-      // every DuckDB oracle (`epoch(ts)` on a naive TIMESTAMP) computes
-      // with, so the lossless normalization is naive-as-UTC → nanos.
-      // The NTZ→LTZ cast applies the SESSION zone, so demand UTC loudly
-      // rather than silently shifting every bucket by the host offset.
+      case t => df.withColumn("ts", tsNanosExpr(s, t))
+    }
+  }
+
+  /** Normalization of the events `ts` physical type to a nanosecond-LONG
+    * column — the single place both the batch reader above and the
+    * streaming reader ([[graft.streaming.Streams.readEvents]]) get their
+    * expression AND their guards from, so the two paths can never drift
+    * (a streaming-only copy once relied on a "session tz is UTC" comment
+    * where batch threw loudly).
+    *
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet — what the driver
+    * corpus switched to in round 6 — reads as TIMESTAMP_NTZ. The naive
+    * wall-clock values ARE the instants every consumer and every DuckDB
+    * oracle (`epoch(ts)` on a naive TIMESTAMP) computes with, so the
+    * lossless normalization is naive-as-UTC → nanos. The NTZ→LTZ cast
+    * applies the SESSION zone, so demand UTC loudly rather than silently
+    * shifting every bucket by the host offset. */
+  private[graft] def tsNanosExpr(s: SparkSession, physical: DataType): Column =
+    physical match {
+      case LongType => col("ts")
+      case org.apache.spark.sql.types.TimestampType =>
+        expr("unix_micros(ts) * 1000")
       case org.apache.spark.sql.types.TimestampNTZType =>
         val tz = s.conf.get("spark.sql.session.timeZone", "")
         if (tz != "UTC") throw new IllegalStateException(
           s"events.ts is TIMESTAMP_NTZ; session timeZone must be UTC " +
             s"for the naive-as-UTC normalization, got '$tz'")
-        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        expr("unix_micros(cast(ts as timestamp)) * 1000")
       // Anything else (e.g. a sub-micro layout that would silently
       // truncate) must surface as an error, not a reinterpretation.
       case other => throw new IllegalStateException(
@@ -63,7 +77,6 @@ object Tables {
           "TIMESTAMP (rewritten replicas), or micros TIMESTAMP_NTZ " +
           "(driver corpus from round 6)")
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

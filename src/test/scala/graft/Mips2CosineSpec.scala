@@ -31,10 +31,26 @@ class Mips2CosineSpec extends AnyFunSuite {
         (VecOps.graft_vec_dot(col("qe"), col("embedding")) /
           (col("qnorm") * lit(m))).as("aug_cos"))
       .collect()
+    // The division by the constant qnorm·M is only WEAKLY monotone in
+    // floating point: two distinct dot products can land on the same
+    // aug_cos, and inside such a tie the inner-product order is not
+    // recoverable — so compare orderings modulo aug_cos ties. Walking
+    // the ip-descending order and grouping consecutive equal-aug_cos
+    // runs must reproduce exactly the aug_cos-descending tie groups;
+    // any genuine order inversion makes a cos value recur in separate
+    // runs and the sequences diverge.
     pairs.groupBy(_.getLong(0)).foreach { case (_, rows) =>
-      val byIp = rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1))
-      val byCos = rows.sortBy(r => (-r.getDouble(3), r.getLong(1))).map(_.getLong(1))
-      assert(byIp.toSeq == byCos.toSeq)
+      val ipOrder = rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+      val ipRuns = scala.collection.mutable.ArrayBuffer[(Double, Set[Long])]()
+      ipOrder.foreach { r =>
+        val c = r.getDouble(3)
+        if (ipRuns.nonEmpty && ipRuns.last._1 == c)
+          ipRuns(ipRuns.size - 1) = (c, ipRuns.last._2 + r.getLong(1))
+        else ipRuns += ((c, Set(r.getLong(1))))
+      }
+      val cosRuns = rows.groupBy(_.getDouble(3)).toSeq.sortBy(-_._1)
+        .map { case (c, rs) => (c, rs.map(_.getLong(1)).toSet) }
+      assert(ipRuns.toSeq == cosRuns)
     }
   }
 

@@ -31,6 +31,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming reader refuses NTZ events in a non-UTC session") {
+    // The corpus carries ts as micros TIMESTAMP_NTZ; normalizing it goes
+    // through an NTZ→LTZ cast that applies the SESSION timezone. Batch
+    // (Tables.events) has always thrown on a non-UTC session; the
+    // streaming reader shares the same guard now — a silent per-window
+    // shift by the host offset must be impossible on either path.
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val ex = intercept[IllegalStateException] {
+        Streams.readEvents(spark, sf)
+      }
+      assert(ex.getMessage.contains("timeZone must be UTC"))
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("streaming dedup suppresses at-least-once redelivery") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

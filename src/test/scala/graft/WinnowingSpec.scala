@@ -59,6 +59,23 @@ class WinnowingSpec extends AnyFunSuite {
     }
   }
 
+  test("oversized documents fail loudly instead of aliasing the packing") {
+    // The (hash,pos) packing holds only while pos < 2^20. Past it the
+    // position bits bleed into the hash — and deterministically, so an
+    // oracle comparison would AGREE on the garbage. The transform must
+    // throw, not answer. (2^20 + k tokens ≈ a 2 MB single doc: rare, but
+    // an unchunked book-scale corpus hits it.)
+    import spark.implicits._
+    val big = Seq.tabulate(1048576 + K)(i => (i % 97).toString).mkString(" ")
+    val ex = intercept[Exception] {
+      TextOps3.winnowTransform(Seq((1L, big)).toDF("doc_id", "text"))
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("chunk documents")))
+  }
+
   test("guarantee: docs sharing >= w+k-1 tokens share a fingerprint hash") {
     val shared = (1 to W + K - 1).map(i => s"run$i").mkString(" ")
     val a = 0L -> s"x1 x2 x3 x4 x5 $shared y1 y2 y3 y4 y5"
