@@ -226,14 +226,18 @@ object TextOps2 {
     * exact-integer casts, sqrt, and division — IEEE-identical across
     * engines. */
   def t23SimilarityJoin(s: SparkSession, dir: String): DataFrame =
-    simPairs(s, bigramTf(s, dir)).sortedWide("a", "b")
+    simPairs(s, bigramTf(s, dir), Some(("corpus", dir))).sortedWide("a", "b")
 
   /** Candidate near-dup pairs (a < b, ≥5 shared capped terms, cos ≥ 0.5)
     * from a (doc_id, term, tf) table — shared by t23, t26 and t27.
     * NOTE: `tf` is consumed EXACTLY ONCE (canonSim's per-doc fold);
-    * callers need not persist it. */
-  private[graft] def simPairs(s: SparkSession, tf: DataFrame): DataFrame =
-    expandPairs(canonSim(s, tf))
+    * callers need not persist it. `artifact` (family-name, corpus-dir)
+    * routes the canonical state through [[Artifacts]] so registry
+    * queries share one build per corpus; spec callers with synthetic
+    * inputs leave it None and keep the in-session persist path. */
+  private[graft] def simPairs(s: SparkSession, tf: DataFrame,
+      artifact: Option[(String, String)] = None): DataFrame =
+    expandPairs(canonSim(s, tf, artifact))
 
   /** Canonical (duplicate-collapsed) similarity state. `member` maps every
     * doc to the smallest doc_id among docs with an IDENTICAL (term, tf)
@@ -264,17 +268,27 @@ object TextOps2 {
   private def expandPairs(cs: CanonSim): DataFrame =
     Canon.expandPairs(cs.repPairs, cs.member)
 
-  private def canonSim(s: SparkSession, tf: DataFrame): CanonSim = {
+  private def canonSim(s: SparkSession, tf: DataFrame,
+      artifact: Option[(String, String)] = None): CanonSim = {
     // ONE pass over tf folds each doc into its canonical array; the
     // window-min then tags every doc with its group's smallest id in the
     // same shuffle (no second shuffle-join on the wide array key).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))
-    val tagged = tf.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("term"), col("tf")))).as("vec"))
-      .select(col("doc_id"), col("vec"),
-        min(col("doc_id")).over(w).as("rep"))
-      .persist()
-    tagged.count() // eager: several broadcast subtrees below read it
+    def buildTagged: DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))
+      tf.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("term"), col("tf"))))
+          .as("vec"))
+        .select(col("doc_id"), col("vec"),
+          min(col("doc_id")).over(w).as("rep"))
+    }
+    val tagged = artifact match {
+      case Some((fam, dir)) =>
+        Artifacts.materialized(s, s"canon_tagged_$fam", dir)(buildTagged)
+      case None =>
+        val t = buildTagged.persist()
+        t.count() // eager: several broadcast subtrees below read it
+        t
+    }
     val member = tagged.select(col("doc_id"), col("rep"))
     val grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n"))
     val repVecs = tagged.filter(col("doc_id") === col("rep"))
@@ -325,7 +339,7 @@ object TextOps2 {
     // min-of-5 t23 6.5 → 7.9 s.)
     val norms = v.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("nrm2"))
-    val repPairs = pairs
+    def buildRepPairs: DataFrame = pairs
       .filter(col("n_shared") >= 5)
       .join(broadcast(norms.toDF("a", "na2")), "a")
       .join(broadcast(norms.toDF("b", "nb2")), "b")
@@ -337,6 +351,14 @@ object TextOps2 {
       .join(broadcast(grpSz.toDF("ra", "grp_n")), "ra")
       .filter(col("ra") =!= col("rb") || col("grp_n") >= 2)
       .drop("grp_n")
+    // The qualifying rep-pair list is itself a pure per-corpus artifact —
+    // the pair join above is the family's dominant cost, and t23/t26/t27
+    // all start from exactly this relation.
+    val repPairs = artifact match {
+      case Some((fam, dir)) =>
+        Artifacts.materialized(s, s"canon_pairs_$fam", dir)(buildRepPairs)
+      case None => buildRepPairs
+    }
     CanonSim(member, repVecs, repPairs)
   }
 
@@ -453,11 +475,12 @@ object TextOps2 {
     * synthetically duplicated corpus. */
   private[graft] def t26ContainmentImpl(
       s: SparkSession, dir: String, candBroadcastMax: Long): DataFrame =
-    t26Of(s, bigramTf(s, dir), candBroadcastMax)
+    t26Of(s, bigramTf(s, dir), candBroadcastMax, Some(("corpus", dir)))
 
   private[graft] def t26Of(
-      s: SparkSession, tf: DataFrame, candBroadcastMax: Long): DataFrame = {
-    val cs = canonSim(s, tf)
+      s: SparkSession, tf: DataFrame, candBroadcastMax: Long,
+      artifact: Option[(String, String)] = None): DataFrame = {
+    val cs = canonSim(s, tf, artifact)
     // Candidates AND intersections live at representative level: n_both,
     // like every pairwise quantity here, is a pure function of the two
     // (term, tf) multisets, so the candidate volume tracks distinct
@@ -566,7 +589,7 @@ object TextOps2 {
     // No persist: canonSim consumes tf exactly once (its per-doc fold),
     // so the md5-keeper semi-join upstream runs once regardless.
     val tf = bigramTfOf(d.join(keepers, Seq("doc_id"), "left_semi"))
-    simPairs(s, tf).sortedWide("a", "b")
+    simPairs(s, tf, Some(("dedup", dir))).sortedWide("a", "b")
   }
 
   val t27Oracle: String = {

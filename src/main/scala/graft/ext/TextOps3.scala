@@ -325,14 +325,16 @@ object TextOps3 {
     * computation; collapsing is output-exact because fingerprint sets
     * are a pure function of the text. */
   def t40WinnowPairs(s: SparkSession, dir: String): DataFrame =
-    winnowPairsOf(s, fanOut(documents(s, dir))).sortedWide("a", "b")
+    winnowPairsOf(s, fanOut(documents(s, dir)), Some(dir))
+      .sortedWide("a", "b")
 
   /** The canonicalized pair pipeline behind t40 — public for the spec,
     * which proves it equal to the naive all-docs form on a corpus WITH
     * exact duplicates (the gate corpus has none, so the oracle alone
     * would leave the collapse/expand path unexercised). */
   private[graft] def winnowPairsOf(
-      s: SparkSession, docs: DataFrame): DataFrame = {
+      s: SparkSession, docs: DataFrame,
+      artifactDir: Option[String] = None): DataFrame = {
     // Exact duplicates collapse to representatives BEFORE the pair join
     // (Canon): fingerprint sets are a pure function of the text, so a
     // k-copy group's k² internal pairs move into the output-bound
@@ -358,27 +360,38 @@ object TextOps3 {
     if (dup) tagged.count() // eager: several subtrees read it
     val member = tagged.select(col("doc_id"), col("rep"))
     val grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n"))
-    val posting = winnowTransform(
-      tagged.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("hash")).distinct()
-      .join(broadcast(grpSz.withColumnRenamed("rep", "doc_id")), "doc_id")
-      .persist()
-    val nDocs = posting.select(col("doc_id"), col("grp_n")).distinct()
-      .agg(sum(col("grp_n")).as("n_docs"))
-    val hdf = posting.groupBy(col("hash")).agg(sum(col("grp_n")).as("df"))
-    val kept = posting
-      .join(broadcast(hdf), "hash")
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") * 10 <= col("n_docs"))
-      .select(col("doc_id"), col("hash"))
+    // The capped fingerprint posting (winnowTransform is the family's
+    // dominant cost) and the qualifying rep-pair list are pure per-corpus
+    // artifacts — materialized once per suite run for registry calls
+    // (Artifacts); spec calls with synthetic corpora stay in-session.
+    def buildKept: DataFrame = {
+      val posting = winnowTransform(
+        tagged.filter(col("doc_id") === col("rep"))
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("hash")).distinct()
+        .join(broadcast(grpSz.withColumnRenamed("rep", "doc_id")), "doc_id")
+        .persist()
+      val nDocs = posting.select(col("doc_id"), col("grp_n")).distinct()
+        .agg(sum(col("grp_n")).as("n_docs"))
+      val hdf = posting.groupBy(col("hash")).agg(sum(col("grp_n")).as("df"))
+      posting
+        .join(broadcast(hdf), "hash")
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 10 <= col("n_docs"))
+        .select(col("doc_id"), col("hash"))
+    }
+    val kept = (artifactDir match {
+      case Some(dir) =>
+        Artifacts.materialized(s, "winnow_kept", dir)(buildKept)
+      case None => buildKept
+    })
       .repartition(s.sparkContext.defaultParallelism, col("hash"))
       .persist()
     // a <= b keeps the diagonal: a rep self-pair carries n_shared =
     // |kept(rep)| — exactly each twin pair's shared-fingerprint count.
     // Singleton-group diagonals expand to nothing but would dominate the
     // rep-pair list, so they are dropped here (Canon's contract).
-    val repPairs = kept.toDF("ra", "hash")
+    def buildRepPairs: DataFrame = kept.toDF("ra", "hash")
       .join(kept.toDF("rb", "hash"), "hash")
       .filter(col("ra") <= col("rb"))
       .groupBy(col("ra"), col("rb"))
@@ -387,6 +400,11 @@ object TextOps3 {
       .join(broadcast(grpSz.toDF("ra", "grp_n")), "ra")
       .filter(col("ra") =!= col("rb") || col("grp_n") >= 2)
       .select(col("ra"), col("rb"), col("n_shared"))
+    val repPairs = artifactDir match {
+      case Some(dir) =>
+        Artifacts.materialized(s, "winnow_pairs", dir)(buildRepPairs)
+      case None => buildRepPairs
+    }
     Canon.expandPairs(repPairs, member)
   }
 
