@@ -345,6 +345,86 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Partition-pruned transactional rewrite — K4 at fact-table scale. A
+    * daily upsert touches O(changed) rows, but [[mergeWith]] rewrites the
+    * whole table per commit; at 100 TB that is the one scale-killer left
+    * in the sink layer. This variant rewrites ONLY the hive partitions in
+    * `touched` (the scan is partition-pruned to them, `f` transforms just
+    * that subset) and HARD-LINKS every file of every untouched partition
+    * into the new version directory: O(touched partitions) I/O and an
+    * O(files) metadata pass, same CAS commit, same snapshot isolation —
+    * links alias immutable files, and GC unlinks old version dirs without
+    * ever truncating shared content. (On an object store the link step
+    * maps to server-side copy or, better, a manifest that references the
+    * unchanged objects.)
+    *
+    * CONTRACT: the table must carry a hive layout on `partitionCol`
+    * (written via [[appendPartitioned]]), and the merge key must
+    * determine its partition (the date-partitioned-fact shape): a key
+    * whose update names a different partition value than its existing row
+    * would leave the old row in place — that shape needs [[mergeWith]].
+    * `touched` values compare against directory names via
+    * `String.valueOf`, so stick to string/integral partition columns. */
+  def mergePartitionedWith(table: String, partitionCol: String,
+      touched: Seq[Any], maxRetries: Int = 5)(
+      f: DataFrame => DataFrame): Unit = {
+    if (touched.isEmpty) return
+    val touchedStr = touched.map(String.valueOf).toSet
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val (baseSeq, baseV) = head(table)
+      val basePath =
+        if (baseV > 0) dir(table).resolve(s"v$baseV") else dir(table)
+      // The isin filter lands in the scan's PartitionFilters: untouched
+      // directories are never opened, let alone read.
+      val touchedBase = spark.read.parquet(basePath.toString)
+        .filter(col(partitionCol).isin(touched: _*))
+      val next = f(touchedBase)
+      val (v, claimed) = claimNext(table)
+      next.write.mode(SaveMode.Append).partitionBy(partitionCol)
+        .parquet(claimed.toString)
+      linkUntouchedPartitions(basePath, claimed, partitionCol, touchedStr)
+      if (publish(table, baseSeq + 1, v)) {
+        commitPointer(table, v)
+        gc(table, baseV)
+        committed = true
+      } else {
+        deleteRecursive(claimed)
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new IllegalStateException(
+            s"mergePartitionedWith($table): lost commit race $attempt times")
+      }
+    }
+  }
+
+  /** Hard-link every data file of every `partitionCol=` directory whose
+    * value is NOT in `touched` from the base version dir into the claimed
+    * one. Link, not copy: version dirs share the immutable bytes, and
+    * deleting a version dir (GC) merely drops link count. */
+  private def linkUntouchedPartitions(base: Path, claimed: Path,
+      partitionCol: String, touched: Set[String]): Unit = {
+    val prefix = partitionCol + "="
+    Files.list(base).iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p) && n.startsWith(prefix)) {
+        val value = java.net.URLDecoder.decode(
+          n.substring(prefix.length), "UTF-8")
+        if (!touched.contains(value)) {
+          val dst = claimed.resolve(n)
+          Files.createDirectories(dst)
+          Files.list(p).iterator().asScala.foreach { file =>
+            val fn = file.getFileName.toString
+            if (Files.isRegularFile(file) &&
+                !fn.startsWith("_") && !fn.startsWith("."))
+              Files.createLink(dst.resolve(fn), file)
+          }
+        }
+      }
+    }
+  }
+
   def drop(table: String): Unit = deleteRecursive(dir(table)) // K5
 
   private def deleteRecursive(p: Path): Unit =

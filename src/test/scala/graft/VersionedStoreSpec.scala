@@ -137,6 +137,69 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(store.read("t").collect().map(_.getInt(0)).toSeq == Seq(9))
     assert(snapshot.count() == 2) // old snapshot intact
   }
+
+  test("partition-pruned merge links untouched partitions through and " +
+      "matches a full merge") {
+    val (store, wh) = freshStore()
+    import spark.implicits._
+    store.appendPartitioned("t",
+      Seq((1, "a", 10), (2, "b", 10), (3, "c", 20), (4, "d", 20),
+        (5, "e", 30)).toDF("k", "v", "p"),
+      "p")
+
+    // (partition dir -> data-file inode keys) for one version directory
+    def fileKeys(version: String): Map[String, Set[Object]] = {
+      val base = Paths.get(wh, "t", version)
+      import scala.jdk.CollectionConverters._
+      Files.list(base).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("p="))
+        .map { p =>
+          p.getFileName.toString ->
+            Files.list(p).iterator().asScala
+              .filter(f => Files.isRegularFile(f) &&
+                !f.getFileName.toString.startsWith("_") &&
+                !f.getFileName.toString.startsWith("."))
+              .map(f => Files.readAttributes(f,
+                classOf[java.nio.file.attribute.BasicFileAttributes])
+                .fileKey())
+              .toSet
+        }.toMap
+    }
+    val v1Keys = fileKeys("v1")
+
+    // Upsert touching only p=20: update k=3, insert k=6.
+    val updates = Seq((3, "C", 20), (6, "f", 20)).toDF("k", "v", "p")
+    store.mergePartitionedWith("t", "p", Seq(20)) { cur =>
+      val u = updates.select(col("k"), col("v").as("uv"),
+        col("p").as("up"))
+      cur.join(u, Seq("k"), "full")
+        .select(col("k"), coalesce(col("uv"), col("v")).as("v"),
+          coalesce(col("up"), col("p")).as("p"))
+    }
+
+    // Contents equal the full-merge answer.
+    val got = store.read("t").as[(Int, String, Int)].collect().toSet
+    assert(got == Set((1, "a", 10), (2, "b", 10), (3, "C", 20),
+      (4, "d", 20), (5, "e", 30), (6, "f", 20)))
+
+    // Untouched partitions (p=10, p=30) in v2 are the SAME inodes as in
+    // v1 — linked through, zero data I/O; the touched one (p=20) is a
+    // genuine rewrite sharing no inode with its predecessor.
+    val v2Keys = fileKeys("v2")
+    assert(v2Keys("p=10") == v1Keys("p=10"))
+    assert(v2Keys("p=30") == v1Keys("p=30"))
+    assert(v2Keys("p=20").intersect(v1Keys("p=20")).isEmpty)
+
+    // A second pruned merge survives GC of v1: links keep shared bytes
+    // alive regardless of which version dirs age out.
+    store.mergePartitionedWith("t", "p", Seq(30)) { cur =>
+      cur.select(col("k"), concat(col("v"), lit("!")).as("v"), col("p"))
+    }
+    val after = store.read("t").as[(Int, String, Int)].collect().toSet
+    assert(after == Set((1, "a", 10), (2, "b", 10), (3, "C", 20),
+      (4, "d", 20), (5, "e!", 30), (6, "f", 20)))
+  }
 }
 
 class TimeTravelSpec extends AnyFunSuite {
