@@ -14,6 +14,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ops.Relational.all ++ ops.Relational2.all ++ ops.Bucketed.all ++
+      ops.Skew.all ++
       ext.TextOps.all ++ ext.TextOps2.all ++ ext.TextOps3.all ++
       ext.SimilarityOps.all ++ ext.SimilarityOps2.all ++
       ext.EventOps.all ++ ext.MultimodalOps.all
