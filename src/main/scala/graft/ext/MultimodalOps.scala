@@ -68,6 +68,59 @@ object MultimodalOps {
     }
   }
 
+  /** REAL image codec over the JDK's built-in `javax.imageio` readers —
+    * PNG/BMP/GIF/JPEG ship with every JVM, no native libs needed — bound
+    * to the same [[MediaCodec]] seam as the stub. `features` reports the
+    * actual decoded dimensions plus a deterministic pixel checksum;
+    * `resize` is a real bilinear downscale re-encoded as PNG. The
+    * registry gates keep [[ByteStatCodec]] (DuckDB can replay byte
+    * statistics, not a PNG decoder); ImageIoCodecSpec drives THIS codec
+    * through the same mapPartitions plumbing on synthesized images,
+    * proving the seam takes a production decoder without touching the
+    * oracle-gated queries. */
+  object ImageIoCodec extends MediaCodec {
+    private def decode(content: Array[Byte], what: String)
+        : java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      require(img != null, s"$what: payload is not a decodable image")
+      img
+    }
+    override def features(m: MediaRow): MediaFeatures = {
+      val img = decode(m.content, s"media_id ${m.media_id}")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(m.media_id, m.kind, m.content.length.toLong, sum,
+        img.getWidth, img.getHeight, n_frames = 1)
+    }
+    override def resize(content: Array[Byte], factor: Int): Array[Byte] = {
+      val img = decode(content, "resize")
+      val w = math.max(1, img.getWidth / factor)
+      val h = math.max(1, img.getHeight / factor)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      // BufferedImage-source drawImage is synchronous; bilinear keeps the
+      // downscale deterministic across JVMs.
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Synthesize the media table from `documents` (UTF-8 bytes as payload) —
     * deterministic, schema-faithful stand-in for an ingested binary table. */
   def media(s: SparkSession, dir: String): DataFrame =
@@ -101,15 +154,24 @@ object MultimodalOps {
   def decodeFeaturesWith(codec: MediaCodec)(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    media(s, dir).as[MediaRow]
-      .mapPartitions { rows =>
+    decodeFeaturesOf(codec, media(s, dir).as[MediaRow])
+      .sortedWide("media_id")
+  }
+
+  /** Dataset-level decode seam: the mapPartitions kernel alone, so specs
+    * can drive alternate codecs ([[ImageIoCodec]]) over synthesized
+    * payloads through the exact plumbing the registry query uses. */
+  private[graft] def decodeFeaturesOf(
+      codec: MediaCodec,
+      ds: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
         // batch shape: open() amortizes codec/model init across the
         // partition; elements stream lazily through the decoder.
         codec.open()
         rows.map(codec.features)
       }
       .toDF()
-      .sortedWide("media_id")
   }
 
   /** m02 oracle: the stub is deterministic byte statistics, so DuckDB can
