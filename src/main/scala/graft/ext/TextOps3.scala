@@ -421,10 +421,53 @@ object TextOps3 {
        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
        |ORDER BY a, b""".stripMargin
 
+  // --- t41: leakage-safe train/holdout split ---------------------------
+
+  /** t41: near-dup-aware train/holdout split. t14's per-document hash
+    * split is reproducible but LEAKS: near-duplicate documents land on
+    * both sides, so held-out metrics are measured on (near-)training
+    * data — the eval-contamination mode that survives even a perfectly
+    * deduplicated pipeline when dedup runs AFTER splitting. The fix is to
+    * assign the split at the CLUSTER level: the bucket hash is computed
+    * on t12's connected-component label (transitive closure over the
+    * verified LSH pairs) and every member inherits it, so no near-dup
+    * family ever straddles the split. 90/10 here; the knob is the
+    * bucket threshold, exactly as t14.
+    *
+    * Scale: one map stage over the t12 cluster map — the closure itself
+    * is the t12 cost (O(log diameter) pointer-doubling rounds), and a
+    * production pipeline computes that map once per corpus snapshot and
+    * keys every split/dedup decision off it. The split column is a pure
+    * function of (cluster label), so it is stable across runs, machines
+    * and engines — the t14 reproducibility property, now leak-free
+    * (LeakageSplitSpec proves the contrast on a corpus where the
+    * per-document hash demonstrably splits a duplicate family). */
+  private[graft] def t41Of(docs: DataFrame): DataFrame = {
+    val clusters = TextOps.t12Of(docs)
+    val bucket = conv(substring(
+      graft_md5(concat(lit("csplit:"), col("cluster").cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+    clusters.select(col("doc_id"), col("cluster"),
+      when(bucket < 90, "train").otherwise("heldout").as("split"))
+  }
+
+  def t41LeakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    t41Of(documents(s, dir)).sortedWide("doc_id")
+
+  val t41Oracle: String =
+    s"""WITH clusters AS (${TextOps.t12Oracle})
+       |SELECT doc_id, cluster,
+       |  CASE WHEN CAST(('0x' || substr(
+       |      md5('csplit:' || CAST(cluster AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 < 90
+       |    THEN 'train' ELSE 'heldout' END AS split
+       |FROM clusters ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
     Q("t38_source_cap", t38SourceCap, Some(t38Oracle)),
     Q("t39_winnowing", t39Winnowing, Some(t39Oracle)),
-    Q("t40_winnow_pairs", t40WinnowPairs, Some(t40Oracle)))
+    Q("t40_winnow_pairs", t40WinnowPairs, Some(t40Oracle)),
+    Q("t41_leakage_safe_split", t41LeakageSafeSplit, Some(t41Oracle)))
 }
