@@ -60,6 +60,157 @@ object SimilarityOps2 {
       |SELECT qid, cid, dot_r, rnk FROM r WHERE rnk <= 10
       |ORDER BY qid, rnk""".stripMargin
 
+  // --- e19: MMR diversified rerank -------------------------------------
+
+  private val MmrK = 10      // results returned per query
+  private val MmrC = 50      // candidate pool per query (first-stage top-C)
+  // λ relevance / (1−λ) redundancy weights. Written as two literals (not
+  // 1−λ) so Spark and DuckDB evaluate bit-identical doubles.
+  private val MmrLam = 0.7
+  private val MmrMu = 0.3
+
+  /** e19: maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
+    * — the diversity pass retrieval pipelines run AFTER ANN: from each
+    * query's top-C cosine candidates, greedily pick K where each pick
+    * maximizes λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s), so near-
+    * duplicate hits (which embedding corpora are full of — see e05/e10)
+    * don't crowd the result list.
+    *
+    * Plan shape: the candidate pool and the within-pool pair similarities
+    * are DataFrame joins on codegen'd kernels (the e02 skeleton — queries
+    * broadcast, one dot per pair, pairs only WITHIN a query's pool, never
+    * across). The greedy selection is inherently sequential PER QUERY but
+    * touches only that query's C rels + C² pair sims (KB-sized), so it
+    * runs as a typed `cogroup` keyed by qid — queries parallelize across
+    * the cluster, per-query state is bounded by construction, and nothing
+    * ever collects to the driver. This is the documented (d)-tier seam
+    * (like the media codec): a greedy argmax chain has no declarative
+    * form; everything AROUND it stays Catalyst.
+    *
+    * Determinism: rel and sim are rounded to 4dp (the e02-proven parity
+    * grid); scores combine them with fixed double literals, so both
+    * engines walk identical comparison sequences; ties break by cid. The
+    * DuckDB oracle unrolls the same K greedy steps as chained CTEs. */
+  def e19MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm2 = (c: org.apache.spark.sql.Column) =>
+      sqrt(dot(c, c))
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("cid"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+          .as("rel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrC).drop("rn")
+    val ce = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val ca = cand.join(ce, "cid").select(col("qid"), col("cid"),
+      col("ce"), col("cn"))
+    val pairs = ca.as("x").join(ca.as("y"),
+        col("x.qid") === col("y.qid") && col("x.cid") =!= col("y.cid"))
+      .select(col("x.qid").as("qid"), col("x.cid").as("a"),
+        col("y.cid").as("b"),
+        round(dot(col("x.ce"), col("y.ce")) / (col("x.cn") * col("y.cn")), 4)
+          .as("sim"))
+
+    val candG = cand.select(col("qid"), col("cid"), col("rel"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val pairG = pairs.as[(Long, Long, Long, Double)].groupByKey(_._1)
+    val picked = candG.cogroup(pairG) { (qid, cs, ps) =>
+      val cands = cs.map(t => (t._2, t._3)).toArray
+        .sortBy { case (cid, rel) => (-rel, cid) }
+      val sim = ps.map(t => ((t._2, t._3), t._4)).toMap
+      val sel = scala.collection.mutable.ArrayBuffer[Long]()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double, Double)]()
+      val taken = scala.collection.mutable.HashSet[Long]()
+      while (sel.size < MmrK && sel.size < cands.length) {
+        var bCid = -1L; var bRel = 0.0
+        var bScore = Double.NegativeInfinity
+        cands.foreach { case (cid, rel) =>
+          if (!taken(cid)) {
+            val score =
+              if (sel.isEmpty) MmrLam * rel
+              else MmrLam * rel -
+                MmrMu * sel.iterator
+                  .map(sc => sim.getOrElse((cid, sc), 0.0)).max
+            if (score > bScore || (score == bScore && cid < bCid)) {
+              bCid = cid; bRel = rel; bScore = score
+            }
+          }
+        }
+        taken += bCid; sel += bCid
+        out += ((qid, sel.size.toLong, bCid, bRel, bScore))
+      }
+      out.iterator
+    }
+    picked.toDF("qid", "rnk", "cid", "rel", "score")
+      .withColumn("mmr", round(col("score"), 6)).drop("score")
+      .sortedSmall("qid", "rnk")
+  }
+
+  val e19Oracle: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val mu = "CAST(0.3 AS DOUBLE)"
+    val steps = (2 to MmrK).map { i =>
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT qid, cid, rel, $i AS rnk, score FROM (
+         |    SELECT s.qid, s.cid, s.rel, s.score,
+         |      row_number() OVER (PARTITION BY s.qid
+         |                         ORDER BY s.score DESC, s.cid) AS rn
+         |    FROM (
+         |      SELECT c0.qid, c0.cid, c0.rel,
+         |        $lam * c0.rel - $mu * m.msim AS score
+         |      FROM cand c0
+         |      JOIN (SELECT p.qid, p.a AS cid, MAX(p.sim) AS msim
+         |            FROM ps p JOIN acc${i - 1} s2
+         |              ON p.qid = s2.qid AND p.b = s2.cid
+         |            GROUP BY p.qid, p.a) m
+         |        ON c0.qid = m.qid AND c0.cid = m.cid
+         |      WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} s3
+         |                        WHERE s3.qid = c0.qid AND s3.cid = c0.cid)
+         |    ) s) WHERE rn = 1),
+         |acc$i AS MATERIALIZED (SELECT * FROM acc${i - 1}
+         |          UNION ALL SELECT qid, cid, rel, rnk, score FROM sel$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+       |      FROM embeddings),
+       |scored AS (SELECT qid, cid,
+       |             round(list_cosine_similarity(qe, ce), 4) AS rel
+       |           FROM q, c WHERE cid <> qid),
+       |cand AS MATERIALIZED (SELECT qid, cid, rel FROM (
+       |           SELECT qid, cid, rel,
+       |             row_number() OVER (PARTITION BY qid
+       |                                ORDER BY rel DESC, cid) AS rn
+       |           FROM scored) WHERE rn <= $MmrC),
+       |ps AS MATERIALIZED (SELECT x.qid, x.cid AS a, y.cid AS b,
+       |         round(list_cosine_similarity(cx.ce, cy.ce), 4) AS sim
+       |       FROM cand x JOIN cand y
+       |         ON x.qid = y.qid AND x.cid <> y.cid
+       |       JOIN c cx ON cx.cid = x.cid
+       |       JOIN c cy ON cy.cid = y.cid),
+       |sel1 AS (SELECT qid, cid, rel, 1 AS rnk, $lam * rel AS score
+       |         FROM (SELECT qid, cid, rel,
+       |                 row_number() OVER (PARTITION BY qid
+       |                                    ORDER BY rel DESC, cid) AS rn
+       |               FROM cand) WHERE rn = 1),
+       |acc1 AS MATERIALIZED (SELECT qid, cid, rel, rnk, score FROM sel1),
+       |$steps
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, rel,
+       |  round(score, 6) AS mmr
+       |FROM acc$MmrK ORDER BY qid, rnk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)))
+    Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
+    Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)))
 }
