@@ -442,8 +442,7 @@ object TextOps3 {
     * and engines — the t14 reproducibility property, now leak-free
     * (LeakageSplitSpec proves the contrast on a corpus where the
     * per-document hash demonstrably splits a duplicate family). */
-  private[graft] def t41Of(docs: DataFrame): DataFrame = {
-    val clusters = TextOps.t12Of(docs)
+  private def t41SplitOf(clusters: DataFrame): DataFrame = {
     val bucket = conv(substring(
       graft_md5(concat(lit("csplit:"), col("cluster").cast("string"))), 1, 8),
       16, 10).cast("long") % 100
@@ -451,8 +450,14 @@ object TextOps3 {
       when(bucket < 90, "train").otherwise("heldout").as("split"))
   }
 
+  private[graft] def t41Of(docs: DataFrame): DataFrame =
+    t41SplitOf(TextOps.t12Of(docs))
+
   def t41LeakageSafeSplit(s: SparkSession, dir: String): DataFrame =
-    t41Of(documents(s, dir)).sortedWide("doc_id")
+    // Downstream consumer of the materialized cluster map (the t17
+    // discipline): the split is keyed off the corpus's cluster
+    // assignment table, not a fresh closure.
+    t41SplitOf(TextOps.clusterMap(s, dir)).sortedWide("doc_id")
 
   val t41Oracle: String =
     s"""WITH clusters AS (${TextOps.t12Oracle})
