@@ -425,6 +425,85 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** OPTIMIZE (compaction): bin-pack this table's small data files into
+    * ~`targetBytes` outputs in a NEW version — the lakehouse maintenance
+    * op that keeps an append-heavy table scannable at scale. Every small
+    * append (the reference's daily loads, main.py:184-236) adds files;
+    * scan cost and task count follow FILE count, not bytes, so a 100 TB
+    * fact table drifts toward millions of tiny files without this.
+    *
+    * I/O is O(small files), never O(table): files are first-fit-decreasing
+    * packed by on-disk size, and any single-file bin (= already at or
+    * above target) is HARD-LINKED into the new version unchanged (the
+    * partition-pruned-merge machinery) — only genuinely small files are
+    * read and rewritten, each bin coalescing to one output file. Hive
+    * partition directories compact independently and keep their layout
+    * (data files in a partition dir carry no partition column; the
+    * compacted file lands back in the same directory, so read-side
+    * derivation is untouched).
+    *
+    * Commit is strictly optimistic: the new version publishes at exactly
+    * seq+1 over the version that was compacted. If ANY other commit lands
+    * first, the claim is discarded and `false` returns — compaction
+    * changes nothing logically, so the caller just retries later; a
+    * concurrent append into the old version dir is never lost to a
+    * half-compacted table. */
+  def compact(table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Boolean = {
+    val base = resolve(table)
+    val (seq0, v0) = head(table)
+    val (v, claimed) = claimNext(table)
+    val byDir = Files.walk(base).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .toSeq.groupBy(_.getParent)
+    byDir.foreach { case (srcDir, files) =>
+      val dstDir = claimed.resolve(base.relativize(srcDir).toString)
+      Files.createDirectories(dstDir)
+      val binFiles =
+        scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Path]]()
+      val binSize = scala.collection.mutable.ArrayBuffer[Long]()
+      files.map(f => f -> Files.size(f)).sortBy(-_._2).foreach {
+        case (f, sz) =>
+          val i = binSize.indexWhere(_ + sz <= targetBytes)
+          if (i >= 0) { binFiles(i) += f; binSize(i) += sz }
+          else {
+            binFiles += scala.collection.mutable.ArrayBuffer(f)
+            binSize += sz
+          }
+      }
+      binFiles.foreach { bin =>
+        if (bin.length == 1)
+          Files.createLink(
+            dstDir.resolve(bin.head.getFileName.toString), bin.head)
+        else {
+          val tmp = Files.createTempDirectory(dir(table), "_compact")
+          try {
+            spark.read.parquet(bin.map(_.toString).toSeq: _*)
+              .coalesce(1)
+              .write.mode(SaveMode.Append).parquet(tmp.toString)
+            Files.list(tmp).iterator().asScala.foreach { f =>
+              val n = f.getFileName.toString
+              if (!n.startsWith("_") && !n.startsWith("."))
+                Files.move(f, dstDir.resolve(n))
+            }
+          } finally deleteRecursive(tmp)
+        }
+      }
+    }
+    if (publish(table, seq0 + 1, v)) {
+      commitPointer(table, v)
+      gc(table, v0)
+      true
+    } else {
+      deleteRecursive(claimed)
+      false
+    }
+  }
+
   def drop(table: String): Unit = deleteRecursive(dir(table)) // K5
 
   private def deleteRecursive(p: Path): Unit =
