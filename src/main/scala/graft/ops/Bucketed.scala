@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.expr.Exprs._
@@ -140,7 +140,78 @@ object Bucketed {
        |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // --- q53: z-order layout, multi-dimensional row-group skipping --------
+
+  /** 16-bit Morton interleave of two long columns' low 16 bits — the
+    * space-filling curve behind multi-dimensional clustering (Delta/
+    * Iceberg OPTIMIZE ZORDER). Sorting by z makes every size-2^k-aligned
+    * square of (x, y) space a CONTIGUOUS z range, so a file holding a z
+    * slab has tight min/max statistics on BOTH columns at once — a
+    * single-column sort can only ever serve one predicate dimension.
+    * Pure shift/and/or Column arithmetic: whole-stage-codegen'd, no UDF. */
+  private[graft] def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Events rewritten z-ordered on (user_id, hour) — range-partitioned
+    * and sorted by the Morton value, then the curve column dropped: the
+    * layout IS the index. Memoized per source dir (pay-at-ingest, the
+    * q50/q51 discipline). At 100 TB this is how a point-ish query on a
+    * fact table touches kilobytes: every file covers a z slab ≈ a small
+    * (user, time) rectangle, and parquet row-group stats exclude all
+    * others before any IO. */
+  private def zEventsPath(s: SparkSession, dir: String): String =
+    lockFor("events_zorder").synchronized {
+      val path = scratchPath("zorder", "events_zorder", dir)
+      if (dir != written.get("events_zorder")) {
+        events(s, dir)
+          .withColumn("z", morton16(
+            col("user_id").bitwiseAND(lit(0xFFFFL)),
+            expr("ts div 3600000000000").bitwiseAND(lit(0xFFFFL))))
+          .repartitionByRange(32, col("z"))
+          .sortWithinPartitions(col("z"))
+          .drop("z")
+          .write.mode("overwrite").parquet(path)
+        written.put("events_zorder", dir)
+      }
+      path
+    }
+
+  /** The 2-d box scan off the z layout, pre-aggregation — exposed so
+    * ZOrderSpec can compare scan-level rows-read against a time-sorted
+    * layout for the same box. The answer is layout-independent (the
+    * oracle reads the flat corpus); the layout only changes how little
+    * gets read. */
+  private[graft] def zScan(s: SparkSession, dir: String): DataFrame = {
+    def nanos(d: java.time.LocalDate): Long =
+      d.toEpochDay * 86400L * 1000000000L
+    s.read.parquet(zEventsPath(s, dir))
+      .filter(col("user_id").between(0, 9) &&
+        col("ts") >= nanos(java.time.LocalDate.of(2024, 1, 11)) &&
+        col("ts") < nanos(java.time.LocalDate.of(2024, 1, 16)))
+  }
+
+  /** q53: per-type report over a (user, time) box — the query shape
+    * z-ordering exists for: selective in TWO dimensions at once. */
+  def q53ZOrderScan(s: SparkSession, dir: String): DataFrame =
+    zScan(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), lsum(col("value")).as("total_value"))
+      .sortedSmall("event_type")
+
+  val q53Oracle: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |${dsumSql("value")} AS total_value
+       |FROM events
+       |WHERE user_id BETWEEN 0 AND 9
+       |  AND ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-16'
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_bucketed_join", q50BucketedJoin, Some(q50Oracle)),
-    Q("q51_partition_pruning", q51PartitionPruning, Some(q51Oracle)))
+    Q("q51_partition_pruning", q51PartitionPruning, Some(q51Oracle)),
+    Q("q53_zorder_scan", q53ZOrderScan, Some(q53Oracle)))
 }
