@@ -82,8 +82,13 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     listDir(table).flatMap { p =>
       p.getFileName.toString match {
         case MarkerName(s) =>
-          Some(s.toInt ->
+          // A concurrent commit's GC may sweep an AGED marker between the
+          // directory listing and this read; the head marker is never
+          // swept (retention keeps one version behind it), so a missing
+          // file here is by definition not the head — skip it.
+          try Some(s.toInt ->
             Files.readString(p).trim.stripPrefix("v").toInt)
+          catch { case _: java.nio.file.NoSuchFileException => None }
         case _ => None
       }
     }.sortBy(_._1)
