@@ -186,7 +186,8 @@ object SimilarityOps {
     * near-dup dedup uses ~0.95. */
   def e05CosineDedup(s: SparkSession, dir: String): DataFrame =
     e05Of(embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding")))
+      .select(col("vec_id"), col("label"), col("embedding")),
+      Some(s -> dir))
       .sortedWide("label", "a", "b")
 
   /** Representative level ([[canonVecs]]' argument with the blocking
@@ -196,13 +197,24 @@ object SimilarityOps {
     * rep pairs expand to the doc-level list exactly (measured hazard:
     * 265.0 s at the 100× replica pre-canonicalization — every duplicate
     * group pays k² inside its label block). */
-  private[graft] def e05Of(vecs: DataFrame): DataFrame = {
+  private[graft] def e05Of(vecs: DataFrame,
+      art: Option[(SparkSession, String)] = None): DataFrame = {
     val e0 = vecs.select(col("vec_id"), col("label"), col("embedding"),
       norm2(col("embedding")).as("nrm"))
     val key = struct(col("label"), col("embedding"),
       when(col("nrm") === 0, col("vec_id")).otherwise(lit(-1L)).as("z"))
-    val tagged = graft.ext.Canon.tagReps(e0, key, "vec_id").persist()
-    tagged.count()
+    // The label-keyed canon map (distinct from e10/e15's label-free
+    // `vec_canon` — the key folds the blocking label in) is a pure
+    // per-corpus artifact; the label-blocked pair join stays live.
+    def buildTagged: DataFrame = graft.ext.Canon.tagReps(e0, key, "vec_id")
+    val tagged = art match {
+      case Some((s, dir)) =>
+        Artifacts.materialized(s, "vec_canon_lbl", dir)(buildTagged)
+      case None =>
+        val t = buildTagged.persist()
+        t.count()
+        t
+    }
     val member = tagged.select(col("vec_id"), col("rep"))
     val reps = tagged.filter(col("vec_id") === col("rep")).drop("rep")
     val grpSz = tagged.groupBy(col("rep")).agg(count(lit(1)).as("grp_n"))
@@ -569,13 +581,26 @@ object SimilarityOps {
   private final case class CanonVecs(
       member: DataFrame, repVecs: DataFrame, grpSz: DataFrame)
 
-  private def canonVecs(vecs: DataFrame): CanonVecs = {
+  /** `art = Some(session -> corpusDir)` routes the tagged table through
+    * [[Artifacts.materialized]] — the canon map is a pure per-corpus
+    * function shared by e05/e10/e15 (the minhash-family discipline from
+    * [[TextOps]]); synthetic-vector callers (specs) keep the persist
+    * path. */
+  private def canonVecs(vecs: DataFrame,
+      art: Option[(SparkSession, String)] = None): CanonVecs = {
     val e = vecs.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("nrm"))
     val key = struct(col("embedding"),
       when(col("nrm") === 0, col("vec_id")).otherwise(lit(-1L)).as("z"))
-    val tagged = graft.ext.Canon.tagReps(e, key, "vec_id").persist()
-    tagged.count() // eager: member, repVecs and grpSz all read it
+    def buildTagged: DataFrame = graft.ext.Canon.tagReps(e, key, "vec_id")
+    val tagged = art match {
+      case Some((s, dir)) =>
+        Artifacts.materialized(s, "vec_canon", dir)(buildTagged)
+      case None =>
+        val t = buildTagged.persist()
+        t.count() // eager: member, repVecs and grpSz all read it
+        t
+    }
     CanonVecs(
       member = tagged.select(col("vec_id"), col("rep")),
       repVecs = tagged.filter(col("vec_id") === col("rep")).drop("rep"),
@@ -585,8 +610,9 @@ object SimilarityOps {
   /** Representative-level sign-bucket cosine pairs (a ≤ b, cos > 0.4;
     * diagonal rows = duplicate groups with ≥2 members, cos_r = 1.0 by
     * construction) + the canonical vector state — shared by e10/e15. */
-  private def lshCosineRepState(vecs: DataFrame): (CanonVecs, DataFrame) = {
-    val cv = canonVecs(vecs)
+  private def lshCosineRepState(vecs: DataFrame,
+      art: Option[(SparkSession, String)] = None): (CanonVecs, DataFrame) = {
+    val cv = canonVecs(vecs, art)
     val e = cv.repVecs
       .select(col("vec_id"), col("embedding"), col("nrm"),
         signBucket.as("bucket"))
@@ -607,14 +633,18 @@ object SimilarityOps {
   }
 
   def e10LshCosineDedup(s: SparkSession, dir: String): DataFrame =
-    e10Of(embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    e10Of(embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      Some(s -> dir))
       .sortedWide("bucket", "a", "b")
 
-  private[graft] def e10Of(vecs: DataFrame): DataFrame = {
+  private[graft] def e10Of(vecs: DataFrame,
+      art: Option[(SparkSession, String)] = None): DataFrame = {
     // Representative level ([[canonVecs]]); bucket and cos_r are symmetric
     // pair payloads (pure functions of the two arrays), so membership
-    // expansion reproduces the doc-level pair list exactly.
-    val (cv, rp) = lshCosineRepState(vecs)
+    // expansion reproduces the doc-level pair list exactly. The canon map
+    // is the shared artifact; the bucketed pair join — this query's core —
+    // always runs live.
+    val (cv, rp) = lshCosineRepState(vecs, art)
     graft.ext.Canon.expandPairs(
       rp.select(col("a").as("ra"), col("b").as("rb"),
         col("bucket"), col("cos_r")),
@@ -1141,10 +1171,12 @@ object SimilarityOps {
     * lineage). Completes the semantic-dedup story: pairs (e05/e10) →
     * clusters → keeper election is a trivial filter. */
   def e15EmbeddingClusters(s: SparkSession, dir: String): DataFrame =
-    e15Of(embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    e15Of(embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      Some(s -> dir))
       .sortedWide("vec_id")
 
-  private[graft] def e15Of(vecs: DataFrame): DataFrame = {
+  private[graft] def e15Of(vecs: DataFrame,
+      art: Option[(SparkSession, String)] = None): DataFrame = {
     // The closure runs on the REPRESENTATIVE graph ([[canonVecs]], the t12
     // argument): within-group doc-level edges (cos_r = 1.0 for identical
     // non-zero vectors sharing every sign bucket) only restate that a
@@ -1152,14 +1184,21 @@ object SimilarityOps {
     // exists; reps are group minima, so the component's smallest member
     // is preserved under collapsing. Zero-norm vectors are keyed as
     // singletons (no within-group edges exist for them at doc level).
-    val (cv, rp) = lshCosineRepState(vecs)
+    val (cv, rp) = lshCosineRepState(vecs, art)
     // Eager checkpoint before the orientation union — it references edges
     // twice, and the lazy rep-pair join upstream would run twice (the t12
-    // lesson).
-    val edges = rp
+    // lesson). For corpus callers the edge list is a pure per-corpus
+    // artifact (t12's `lsh_edges` discipline): pair generation is e10's
+    // core and is billed there; the closure — THIS query's core — always
+    // runs live.
+    def buildEdges: DataFrame = rp
       .filter(col("a") =!= col("b")) // group connectivity is the member map
       .select(col("a"), col("b"))
-      .localCheckpoint()
+    val edges = art match {
+      case Some((s, dir)) =>
+        Artifacts.materialized(s, "vec_edges", dir)(buildEdges)
+      case None => buildEdges.localCheckpoint()
+    }
     val adj = edges.union(edges.select(col("b"), col("a")))
       .toDF("src", "dst")
     var labels = cv.repVecs
