@@ -1175,6 +1175,16 @@ object SimilarityOps {
       Some(s -> dir))
       .sortedWide("vec_id")
 
+  /** The per-corpus embedding-cluster assignment, materialized once per
+    * JVM — t12's `clusterMap` discipline on the vector side: downstream
+    * consumers (e20's keeper election) read the table a production
+    * pipeline would keep next to the corpus instead of re-running the
+    * closure; e15 itself always runs the closure live. */
+  private[ext] def vecClusterMap(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, "vec_clusters", dir)(
+      e15Of(embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        Some(s -> dir)))
+
   private[graft] def e15Of(vecs: DataFrame,
       art: Option[(SparkSession, String)] = None): DataFrame = {
     // The closure runs on the REPRESENTATIVE graph ([[canonVecs]], the t12

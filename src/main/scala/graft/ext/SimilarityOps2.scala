@@ -210,7 +210,115 @@ object SimilarityOps2 {
        |FROM acc$MmrK ORDER BY qid, rnk""".stripMargin
   }
 
+  // --- e20: SemDeDup keeper election -----------------------------------
+
+  /** e20: semantic-dedup keeper election (SemDeDup, Abbas et al. 2023):
+    * within each embedding near-dup cluster (e15's connected components,
+    * read from the per-corpus cluster artifact the way dedup-apply t17
+    * reads t12's), compute the cluster centroid and score every member by
+    * cosine-to-centroid; the keeper is the member closest to the centroid
+    * (ties → smallest vec_id), everything else is the semantic-duplicate
+    * mass a training pipeline drops.
+    *
+    * Plan shape at 100 TB: the cluster map is a (vec_id, cluster) join
+    * against the vector scan; multi-member clusters are a tiny fraction
+    * (near-dup mass), so the centroid aggregation and the scoring join
+    * touch only them; centroids per cluster are one groupBy with 64
+    * decimal sums (the e06 Lloyd recipe — order-independent across
+    * partitions AND engines, so the DuckDB oracle replays it exactly).
+    * No driver-side state, no all-pairs anywhere.
+    */
+  def e20SemdedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val norm2 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VecOps.graft_vec_norm(c)
+    val cl = SimilarityOps.vecClusterMap(s, dir)
+    val m0 = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .join(cl, "vec_id")
+    // Only clusters with >= 2 members have duplicates to elect among;
+    // the size table is near-dup-cluster-count-sized → broadcast.
+    val sz = m0.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val mem = m0.join(broadcast(sz), "cluster")
+    // Decimal-exact per-dimension means cast back float (the e06 recipe):
+    // 64 dsum buffers + the shared count stay under the codegen field cap.
+    val sums = (0 until 64).map(p =>
+      graft.expr.Exprs.dsum(
+        element_at(col("embedding"), p + 1).cast("double"), 12)
+        .as(s"s$p"))
+    val cents = mem
+      .groupBy(col("cluster"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
+      .select(col("cluster"),
+        array((0 until 64).map(p =>
+          (col(s"s$p") / col("cnt")).cast("float")): _*).as("cvec"))
+      .withColumn("cn", norm2(col("cvec")))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_c").desc, col("vec_id"))
+    mem.join(broadcast(cents), "cluster")
+      .select(col("cluster"), col("vec_id"), col("n_members"),
+        round(dot(col("embedding"), col("cvec")) /
+          (norm2(col("embedding")) * col("cn")), 4).as("cos_c"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .sortedSmall("cluster", "vec_id")
+  }
+
+  /** DuckDB replica: the e15 recursive-CTE closure (its fourth — the
+    * structural Spark win), then the same decimal-exact centroid means and
+    * rounded cosine scoring. */
+  val e20Oracle: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+       |   CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END +
+       |   CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
+       |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
+       |  FROM embeddings),
+       |edges AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE round(list_cosine_similarity(x.v, y.v), 4) > 0.4),
+       |adj AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION SELECT b, a FROM edges),
+       |reach(vec, r) AS (
+       |  SELECT src, dst FROM adj
+       |  UNION
+       |  SELECT reach.vec, adj.dst FROM reach
+       |  JOIN adj ON reach.r = adj.src),
+       |cl AS (
+       |  SELECT v.vec_id,
+       |    least(coalesce(MIN(r.r), v.vec_id), v.vec_id) AS cluster
+       |  FROM embeddings v LEFT JOIN reach r ON v.vec_id = r.vec
+       |  GROUP BY v.vec_id),
+       |big AS (
+       |  SELECT cluster, COUNT(*) AS n_members FROM cl
+       |  GROUP BY cluster HAVING COUNT(*) >= 2),
+       |mem AS (
+       |  SELECT cl.vec_id, cl.cluster, big.n_members, e.v
+       |  FROM cl JOIN big USING (cluster) JOIN e ON e.vec_id = cl.vec_id),
+       |cent AS (
+       |  SELECT cluster, CAST(list(mf ORDER BY pos) AS DOUBLE[]) AS cv
+       |  FROM (
+       |    SELECT cluster, pos,
+       |      CAST(${graft.expr.Exprs.davgSql("x", 12)} AS FLOAT) AS mf
+       |    FROM (SELECT cluster, generate_subscripts(v, 1) AS pos,
+       |            unnest(v) AS x FROM mem)
+       |    GROUP BY cluster, pos)
+       |  GROUP BY cluster),
+       |sc AS (
+       |  SELECT m.cluster, m.vec_id, m.n_members,
+       |    round(list_inner_product(m.v, c.cv) /
+       |      (sqrt(list_inner_product(m.v, m.v)) *
+       |       sqrt(list_inner_product(c.cv, c.cv))), 4) AS cos_c
+       |  FROM mem m JOIN cent c USING (cluster))
+       |SELECT cluster, vec_id, CAST(n_members AS BIGINT) AS n_members,
+       |  cos_c,
+       |  (row_number() OVER (PARTITION BY cluster
+       |                      ORDER BY cos_c DESC, vec_id) = 1) AS keep
+       |FROM sc ORDER BY cluster, vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
-    Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)))
+    Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
+    Q("e20_semdedup_keep", e20SemdedupKeep, Some(e20Oracle)))
 }
