@@ -468,11 +468,105 @@ object TextOps3 {
        |    THEN 'train' ELSE 'heldout' END AS split
        |FROM clusters ORDER BY doc_id""".stripMargin
 
+  // --- t42: content-defined chunking dedup ------------------------------
+
+  /** Tokens-per-chunk divisor: a token opens a new chunk when its salted
+    * hash ≡ 0 (mod CdcDiv), so chunks average CdcDiv tokens. */
+  private val CdcDiv = 16
+
+  /** t42: content-defined chunking + chunk-level dedup — the
+    * storage-dedup/long-document recipe (gear/FastCDC family, Xia et al.
+    * 2016) at token granularity. Chunk boundaries are a pure function of
+    * LOCAL content (a token opens a chunk when its salted hash lands in
+    * 1/CdcDiv of the space), so unlike t30's fixed-offset segments an
+    * insertion near a document's head shifts only the chunk it lands in —
+    * downstream chunks re-align and still dedup against other copies.
+    * Output per document: chunk count, token mass, chunks whose content
+    * appears in ≥2 distinct documents, and the shared ratio (ppm) — the
+    * cross-document boilerplate signal at chunk granularity.
+    *
+    * Plan shape at 100 TB: boundary flags are map-side (one hash per
+    * token, codegen'd — the posexplode/element_at recipe, no interpreted
+    * HOF); chunk ids are a running sum in one doc_id-keyed window (the
+    * exchange is partitionable by doc — no global sort); chunk content
+    * shuffles by (doc, chunk) once; the document-frequency table is
+    * chunk-vocabulary-sized and the join back is equi-keyed on the chunk
+    * digest. Never all-pairs, never corpus × corpus. */
+  def t42CdcChunks(s: SparkSession, dir: String): DataFrame =
+    t42Of(fanOut(documents(s, dir)))
+
+  /** The (doc_id, chunk_id, n_toks, h) chunk table — the CDC segmentation
+    * itself, exposed for the shift-robustness spec. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val cut = when(
+      conv(substring(graft_md5(concat(lit("cdc:"), col("tok"))), 1, 8),
+        16, 10).cast("long") % CdcDiv === 0, 1L).otherwise(0L)
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("cutf", cut)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok
+      .withColumn("chunk_id", sum(col("cutf")).over(w))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")),
+          " ").as("ctext"))
+      .select(col("doc_id"), col("chunk_id"), col("n_toks"),
+        substring(graft_md5(col("ctext")), 1, 16).as("h"))
+  }
+
+  private[graft] def t42Of(docs: DataFrame): DataFrame = {
+    val chunks = cdcChunksOf(docs)
+    val df = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("docs"))
+    chunks.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+        col("n_shared"),
+        expr("n_shared * 1000000 div n_chunks").as("shared_ppm"))
+      .sortedWide("doc_id")
+  }
+
+  val t42Oracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+       |           FROM documents),
+       |tok AS (SELECT doc_id, i AS pos, t[i] AS tok
+       |        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+       |              FROM d)),
+       |cf AS (SELECT doc_id, pos, tok,
+       |    CASE WHEN CAST(('0x' || substr(md5('cdc:' || tok), 1, 8))
+       |        AS BIGINT) % $CdcDiv = 0 THEN 1 ELSE 0 END AS cutf
+       |  FROM tok),
+       |cid AS (SELECT doc_id, pos, tok,
+       |    SUM(cutf) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+       |  FROM cf),
+       |chunks AS (SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
+       |    substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS h
+       |  FROM cid GROUP BY doc_id, chunk_id),
+       |df AS (SELECT h, COUNT(*) AS docs
+       |  FROM (SELECT DISTINCT doc_id, h FROM chunks) GROUP BY h)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(c.n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) FILTER (WHERE df.docs >= 2) AS BIGINT) AS n_shared,
+       |  (CAST(COUNT(*) FILTER (WHERE df.docs >= 2) AS BIGINT) * 1000000)
+       |    // COUNT(*) AS shared_ppm
+       |FROM chunks c JOIN df ON df.h = c.h
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
     Q("t38_source_cap", t38SourceCap, Some(t38Oracle)),
     Q("t39_winnowing", t39Winnowing, Some(t39Oracle)),
     Q("t40_winnow_pairs", t40WinnowPairs, Some(t40Oracle)),
-    Q("t41_leakage_safe_split", t41LeakageSafeSplit, Some(t41Oracle)))
+    Q("t41_leakage_safe_split", t41LeakageSafeSplit, Some(t41Oracle)),
+    Q("t42_cdc_chunks", t42CdcChunks, Some(t42Oracle)))
 }
