@@ -210,8 +210,69 @@ object Bucketed {
        |  AND ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-16'
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // --- q54: DYNAMIC partition pruning off the same layout ---------------
+
+  /** Calendar dimension (yr, era) derived from the corpus and written to
+    * scratch parquet at ingest (memoized like every layout here) — the
+    * dim side of the DPP demo. Tiny by construction (one row per order
+    * year), so the join broadcasts and DPP can reuse the broadcast
+    * result as the fact scan's partition filter. */
+  private def calendarDimPath(s: SparkSession, dir: String): String =
+    lockFor("g54_calendar").synchronized {
+      val path = scratchPath("dim", "g54_calendar", dir)
+      if (dir != written.get("g54_calendar")) {
+        orders(s, dir)
+          .select(year(col("o_orderdate")).as("yr")).distinct()
+          .withColumn("era",
+            when(col("yr") >= 1996, "recent").otherwise("archive"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        written.put("g54_calendar", dir)
+      }
+      path
+    }
+
+  /** The DPP join, pre-aggregation — exposed so DppSpec can assert the
+    * physical plan: the fact side's PartitionFilters must carry a
+    * `dynamicpruningexpression` fed by the dim filter, i.e. the partition
+    * values to scan are discovered AT RUNTIME from the dim side. q51
+    * proves the static half (a literal predicate prunes directories);
+    * this is the dim-driven half a star-schema query actually runs — at
+    * 100 TB the difference between scanning every date partition and
+    * touching only the ones the dimension selects, with no literal dates
+    * in the query at all. */
+  private[graft] def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(partitionedOrdersPath(s, dir))
+    val dim = s.read.parquet(calendarDimPath(s, dir))
+      .filter(col("era") === "recent")
+    fact.join(dim, "yr")
+  }
+
+  /** q54: per-(year, priority) report over the dim-selected era. */
+  def q54DynamicPruning(s: SparkSession, dir: String): DataFrame =
+    dppJoin(s, dir)
+      .groupBy(col("yr").cast("long").as("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        lsum(col("o_totalprice")).as("revenue"))
+      .sortedSmall("yr", "o_orderpriority")
+
+  val q54Oracle: String =
+    s"""WITH dim AS (
+       |  SELECT yr,
+       |    CASE WHEN yr >= 1996 THEN 'recent' ELSE 'archive' END AS era
+       |  FROM (SELECT DISTINCT EXTRACT(year FROM o_orderdate) AS yr
+       |        FROM orders)),
+       |f AS (SELECT EXTRACT(year FROM o_orderdate) AS yr, o_orderpriority,
+       |        o_totalprice FROM orders)
+       |SELECT CAST(f.yr AS BIGINT) AS yr, o_orderpriority,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+       |FROM f JOIN dim ON f.yr = dim.yr
+       |WHERE dim.era = 'recent'
+       |GROUP BY 1, 2 ORDER BY yr, o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q50_bucketed_join", q50BucketedJoin, Some(q50Oracle)),
     Q("q51_partition_pruning", q51PartitionPruning, Some(q51Oracle)),
-    Q("q53_zorder_scan", q53ZOrderScan, Some(q53Oracle)))
+    Q("q53_zorder_scan", q53ZOrderScan, Some(q53Oracle)),
+    Q("q54_dynamic_pruning", q54DynamicPruning, Some(q54Oracle)))
 }
