@@ -561,6 +561,84 @@ object TextOps3 {
        |GROUP BY c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // --- t43: graph centrality over the near-dup graph --------------------
+
+  private val PrIters = 5
+
+  /** t43: PageRank-style centrality over the doc-level near-dup graph
+    * (t07's banded LSH candidates at t12's 0.875 threshold) — the
+    * graph-based importance weight corpus curation uses to pick canonical
+    * representatives and down-weight boilerplate hubs: a document heavily
+    * connected into a near-dup neighborhood concentrates rank; isolated
+    * documents settle at the damping floor. Integerized (rank in ppm of
+    * one document's mass, floor division at every step) so five exact
+    * iterations replay identically in both engines.
+    *
+    * Plan shape at 100 TB: the edge list comes from banded candidate
+    * generation (equi-join on band buckets — never all-pairs) and each
+    * iteration is one equi-join of the rank table against the
+    * degree-annotated adjacency plus one keyed aggregation — the textbook
+    * distributed PageRank step, O(edges) per round, driver holds nothing.
+    * Unlike t12's closure (converges by pointer doubling), rank needs a
+    * FIXED iteration count to be deterministic — 5 here, unrolled in the
+    * oracle. */
+  def t43GraphRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(documents(s, dir)).select(col("doc_id"))
+    val edges = TextOps.t07Of(documents(s, dir), Some(s -> dir))
+      .filter(col("jaccard_est") >= 0.875)
+      .select(col("a"), col("b"))
+    val adj = edges.union(edges.select(col("b"), col("a")))
+      .toDF("src", "dst")
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adjDeg = adj.join(deg, "src").localCheckpoint()
+    var r = docs.select(col("doc_id"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    (1 to PrIters).foreach { _ =>
+      val inMass = r.join(adjDeg, r("doc_id") === adjDeg("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = docs
+        .join(inMass, docs("doc_id") === inMass("dst"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) +
+            expr("85 * coalesce(s, 0L) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    docs
+      .join(deg, docs("doc_id") === deg("src"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .join(r, "doc_id")
+      .select(col("doc_id"), col("deg"), col("r").as("rank_ppm"))
+      .sortedWide("doc_id")
+  }
+
+  val t43Oracle: String = {
+    val steps = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT d.doc_id,
+         |    150000 + (85 * COALESCE(m.s, 0)) // 100 AS r
+         |  FROM docs d LEFT JOIN (
+         |    SELECT adj.dst AS doc_id,
+         |      CAST(SUM(r${k - 1}.r // deg.deg) AS BIGINT) AS s
+         |    FROM adj JOIN r${k - 1} ON r${k - 1}.doc_id = adj.src
+         |    JOIN deg ON deg.src = adj.src
+         |    GROUP BY adj.dst) m ON m.doc_id = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e7 AS (${TextOps.t07Oracle}),
+       |edges AS (SELECT a, b FROM e7 WHERE jaccard_est >= 0.875),
+       |adj AS (SELECT a AS src, b AS dst FROM edges
+       |        UNION ALL SELECT b, a FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+       |docs AS (SELECT doc_id FROM documents),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
+       |$steps
+       |SELECT d.doc_id, COALESCE(deg.deg, 0) AS deg,
+       |  CAST(r$PrIters.r AS BIGINT) AS rank_ppm
+       |FROM docs d LEFT JOIN deg ON deg.src = d.doc_id
+       |JOIN r$PrIters ON r$PrIters.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
@@ -568,5 +646,6 @@ object TextOps3 {
     Q("t39_winnowing", t39Winnowing, Some(t39Oracle)),
     Q("t40_winnow_pairs", t40WinnowPairs, Some(t40Oracle)),
     Q("t41_leakage_safe_split", t41LeakageSafeSplit, Some(t41Oracle)),
-    Q("t42_cdc_chunks", t42CdcChunks, Some(t42Oracle)))
+    Q("t42_cdc_chunks", t42CdcChunks, Some(t42Oracle)),
+    Q("t43_graph_rank", t43GraphRank, Some(t43Oracle)))
 }
