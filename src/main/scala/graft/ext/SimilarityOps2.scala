@@ -317,8 +317,80 @@ object SimilarityOps2 {
        |                      ORDER BY cos_c DESC, vec_id) = 1) AS keep
        |FROM sc ORDER BY cluster, vec_id""".stripMargin
 
+  // --- e21: hard-negative mining ---------------------------------------
+
+  /** e21: hard-negative mining + alignment margin — the contrastive-
+    * training diagnostic run before an embedding fine-tune: per anchor,
+    * the hardest negative (highest-cosine vector of a DIFFERENT label),
+    * the decimal-exact mean cosine to its positives (same label), and the
+    * margin between them. A small or negative margin marks anchors whose
+    * neighborhood the label structure does not explain — exactly the rows
+    * a hard-negative sampler feeds back into training.
+    *
+    * Plan: the e02 skeleton (anchors broadcast, one codegen'd kernel per
+    * pair, per-anchor window for the argmax) with a label split; the
+    * positive-mean aggregation goes through decimal sums so both engines
+    * average identically. At 100 TB the pair stage rides any ANN index
+    * (e04/e06) — the gate stays brute-force so the oracle is exact. */
+  def e21HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val norm2 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VecOps.graft_vec_norm(c)
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlab"), col("vec_id").as("cid"),
+        col("label"),
+        round(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+          .as("cos_r"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid"))
+    val hardNeg = pairs.filter(col("label") =!= col("qlab"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("hard_neg_cid"),
+        col("cos_r").as("hard_neg_cos"))
+    val pos = pairs.filter(col("label") === col("qlab"))
+      .groupBy(col("qid"), col("qlab"))
+      .agg(count(lit(1)).as("n_pos"),
+        round(graft.expr.Exprs.davg(col("cos_r"), 12), 6)
+          .as("mean_pos_cos"))
+    pos.join(hardNeg, "qid")
+      .select(col("qid"), col("qlab").as("label"), col("n_pos"),
+        col("mean_pos_cos"), col("hard_neg_cid"), col("hard_neg_cos"),
+        round(col("mean_pos_cos") - col("hard_neg_cos"), 6).as("margin"))
+      .sortedSmall("qid")
+  }
+
+  val e21Oracle: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlab, v AS qv FROM e
+       |      WHERE vec_id < 5),
+       |p AS (SELECT qid, qlab, e.vec_id AS cid, e.label,
+       |        round(list_cosine_similarity(qv, e.v), 4) AS cos_r
+       |      FROM q, e WHERE e.vec_id <> q.qid),
+       |hn AS (SELECT qid, cid AS hard_neg_cid, cos_r AS hard_neg_cos
+       |       FROM (SELECT qid, cid, cos_r,
+       |               row_number() OVER (PARTITION BY qid
+       |                 ORDER BY cos_r DESC, cid) AS rn
+       |             FROM p WHERE label <> qlab) WHERE rn = 1),
+       |pos AS (SELECT qid, qlab AS label, COUNT(*) AS n_pos,
+       |          round(${graft.expr.Exprs.davgSql("cos_r", 12)}, 6)
+       |            AS mean_pos_cos
+       |        FROM p WHERE label = qlab GROUP BY 1, 2)
+       |SELECT pos.qid, pos.label, pos.n_pos, pos.mean_pos_cos,
+       |  hn.hard_neg_cid, hn.hard_neg_cos,
+       |  round(pos.mean_pos_cos - hn.hard_neg_cos, 6) AS margin
+       |FROM pos JOIN hn ON hn.qid = pos.qid
+       |ORDER BY pos.qid""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
-    Q("e20_semdedup_keep", e20SemdedupKeep, Some(e20Oracle)))
+    Q("e20_semdedup_keep", e20SemdedupKeep, Some(e20Oracle)),
+    Q("e21_hard_negatives", e21HardNegatives, Some(e21Oracle)))
 }
