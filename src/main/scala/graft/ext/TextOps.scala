@@ -384,6 +384,18 @@ object TextOps {
       cd.member)
   }
 
+  /** Doc-level near-dup edge table at t12's threshold — t07's output
+    * filtered, the pair list a production pipeline keeps next to the
+    * corpus. Downstream graph consumers (t43's rank propagation) read it
+    * instead of re-running candidate generation, the same discipline as
+    * t17/t41 reading [[clusterMap]]; t07 itself always builds its pairs
+    * live. */
+  private[ext] def docEdges(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, "lsh_doc_edges", dir)(
+      t07Of(documents(s, dir), Some(s -> dir))
+        .filter(col("jaccard_est") >= 0.875)
+        .select(col("a"), col("b")))
+
   val t07Oracle: String = {
     val est = (0 until K)
       .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1.0 ELSE 0.0 END")
