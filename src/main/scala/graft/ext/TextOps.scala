@@ -384,17 +384,34 @@ object TextOps {
       cd.member)
   }
 
-  /** Doc-level near-dup edge table at t12's threshold — t07's output
-    * filtered, the pair list a production pipeline keeps next to the
-    * corpus. Downstream graph consumers (t43's rank propagation) read it
-    * instead of re-running candidate generation, the same discipline as
-    * t17/t41 reading [[clusterMap]]; t07 itself always builds its pairs
-    * live. */
-  private[ext] def docEdges(s: SparkSession, dir: String): DataFrame =
-    Artifacts.materialized(s, "lsh_doc_edges", dir)(
-      t07Of(documents(s, dir), Some(s -> dir))
-        .filter(col("jaccard_est") >= 0.875)
+  /** Representative-level near-dup graph state at t12's threshold — the
+    * member map, group sizes, and rep edge list (a ≤ b; a diagonal row
+    * marks a duplicate group's internal clique) a production pipeline
+    * keeps next to the corpus. Downstream graph consumers (t43's rank
+    * propagation) read this instead of re-running candidate generation —
+    * the t17/t41 cluster-map discipline; t07 itself always builds its
+    * pairs live. The edge artifact is rep-level on purpose: the doc-level
+    * graph is its blow-up by group multiplicity, so consumers that need
+    * doc semantics reconstruct them exactly from (edges, sizes) without
+    * ever materializing the k² expansion. */
+  private[ext] def repGraphState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cd, rp) = lshRepState(documents(s, dir), Some(s -> dir))
+    val edges = Artifacts.materialized(s, "lsh_rep_edges", dir)(
+      rp.filter(col("jaccard_est") >= 0.875)
         .select(col("a"), col("b")))
+    (cd.member, cd.grpSz, edges)
+  }
+
+  /** In-session twin of [[repGraphState]] for synthetic-docs callers
+    * (GraphRankSpec's equivalence proof). */
+  private[graft] def repGraphStateOf(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (cd, rp) = lshRepState(docs)
+    (cd.member, cd.grpSz,
+      rp.filter(col("jaccard_est") >= 0.875)
+        .select(col("a"), col("b")).localCheckpoint())
+  }
 
   val t07Oracle: String = {
     val est = (0 until K)

@@ -583,41 +583,101 @@ object TextOps3 {
     * FIXED iteration count to be deterministic — 5 here, unrolled in the
     * oracle. */
   def t43GraphRank(s: SparkSession, dir: String): DataFrame = {
-    val docs = fanOut(documents(s, dir)).select(col("doc_id"))
-    // The edge table is per-corpus state read from the shared artifact
-    // (t07 bills candidate generation; t17/t41 read clusters the same
-    // way) — this query's core is the propagation below.
-    val edges = TextOps.docEdges(s, dir)
+    val (member, grpSz, repEdges) = TextOps.repGraphState(s, dir)
+    t43Core(member, grpSz, repEdges).sortedWide("doc_id")
+  }
+
+  /** Rank propagation on the REPRESENTATIVE graph. The doc-level graph is
+    * the blow-up of the rep graph by group multiplicity: every member of
+    * a duplicate group has the IDENTICAL neighborhood (the within-group
+    * clique plus all members of adjacent groups), so by symmetry all
+    * members carry equal rank and degree at every round, and the
+    * doc-level update collapses exactly — including the floor divisions:
+    * a member of A receives (m_A−1)·(r_A div deg_A) from its own clique
+    * plus Σ_B m_B·(r_B div deg_B) from adjacent groups, each term a sum
+    * of identical integers. GraphRankSpec proves equality against the
+    * doc-level reference on a duplicated corpus. The point is scale: a
+    * k-way-duplicated corpus has k² doc edges per rep edge (measured:
+    * doc-level t43 63 s at the 100× replica), while rep-level work
+    * tracks distinct content. */
+  private[graft] def t43Core(member: DataFrame, grpSz: DataFrame,
+      repEdges: DataFrame): DataFrame = {
+    val m = grpSz.toDF("g", "m")
+    val cross = repEdges.filter(col("a") =!= col("b"))
+    val crossAdj = cross.union(cross.select(col("b"), col("a")))
+      .toDF("g", "nbr")
+    // WEIGHTED adjacency: a rep edge (g, nbr) stands for m_nbr doc edges
+    // into each member of g, and a diagonal row stands for the group's
+    // internal clique — (m−1) edges into each member. Folding the
+    // multiplicities into static edge weights makes every round ONE join
+    // + ONE aggregation, the same shape as the naive doc-level loop.
+    val adjW = crossAdj.join(m.toDF("nbr", "w"), "nbr")
+      .select(col("g"), col("nbr"), col("w"))
+      .union(repEdges.filter(col("a") === col("b"))
+        .join(m, repEdges("a") === m("g"))
+        .select(col("g"), col("g").as("nbr"), (col("m") - 1).as("w")))
+      .localCheckpoint() // consumed by every round + the degree rollup
+    // Member degree = total incident doc-edge weight.
+    val degG = adjW.groupBy(col("g")).agg(sum(col("w")).as("deg"))
+      .localCheckpoint()
+    val allG = m.select(col("g"))
+    // Rank chains LAZILY: each r feeds exactly one consumer (the next
+    // round), so the five rounds fuse into one job instead of five eager
+    // checkpoint waves (measured at sf0.1: 5.3 s eager → 3.8 s chained;
+    // the rep-level collapse then bounds duplicated corpora — the 100×
+    // replica's doc-level loop took 63 s on k² blown-up edges). Contrast
+    // t12, whose labels feed a fixpoint count AND the next round — there
+    // materialization is forced by the double consumer.
+    var r = allG.select(col("g"), lit(1000000L).as("r"))
+    (1 to PrIters).foreach { _ =>
+      val u = r.join(degG, "g")
+        .select(col("g").as("nbr"), expr("r div deg").as("u"))
+      val inMass = adjW.join(u, "nbr")
+        .select(col("g"), (col("w") * col("u")).as("c"))
+        .groupBy(col("g")).agg(sum(col("c")).as("s"))
+      r = allG
+        .join(inMass, Seq("g"), "left")
+        .select(col("g"),
+          (lit(150000L) +
+            expr("85 * coalesce(s, 0L) div 100")).as("r"))
+    }
+    member.select(col("doc_id"), col("rep").as("g"))
+      .join(degG, Seq("g"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("g"))
+      .join(r, "g")
+      .select(col("doc_id"), col("deg"), col("r").as("rank_ppm"))
+  }
+
+  /** Doc-level reference (the blow-up-graph formulation) — kept for
+    * GraphRankSpec's equivalence proof on a duplicated corpus; never the
+    * registry path. */
+  private[graft] def naiveGraphRank(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val edges = TextOps.t07Of(docs)
+      .filter(col("jaccard_est") >= 0.875)
+      .select(col("a"), col("b"))
     val adj = edges.union(edges.select(col("b"), col("a")))
       .toDF("src", "dst")
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // Checkpointed: consumed by every round AND the output's deg column
-    // (derived from it below, so the banded pair join never re-runs).
     val adjDeg = adj.join(deg, "src").localCheckpoint()
-    // Rank itself chains LAZILY: each r feeds exactly one consumer (the
-    // next round), so the five rounds fuse into one job instead of five
-    // eager checkpoint waves (measured at sf0.1: 5.3 s eager → 3.8 s
-    // chained → 3.0 s with the shared edge artifact). Contrast t12,
-    // whose labels feed a fixpoint count AND the next round — there
-    // materialization is forced by the double consumer.
-    var r = docs.select(col("doc_id"), lit(1000000L).as("r"))
+    var r = ids.select(col("doc_id"), lit(1000000L).as("r"))
     (1 to PrIters).foreach { _ =>
       val inMass = r.join(adjDeg, r("doc_id") === adjDeg("src"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = docs
-        .join(inMass, docs("doc_id") === inMass("dst"), "left")
+      r = ids
+        .join(inMass, ids("doc_id") === inMass("dst"), "left")
         .select(col("doc_id"),
           (lit(150000L) +
             expr("85 * coalesce(s, 0L) div 100")).as("r"))
     }
     val degOut = adjDeg.select(col("src"), col("deg")).distinct()
-    docs
-      .join(degOut, docs("doc_id") === degOut("src"), "left")
+    ids
+      .join(degOut, ids("doc_id") === degOut("src"), "left")
       .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
       .join(r, "doc_id")
       .select(col("doc_id"), col("deg"), col("r").as("rank_ppm"))
-      .sortedWide("doc_id")
   }
 
   val t43Oracle: String = {

@@ -22,6 +22,28 @@ class GraphRankSpec extends AnyFunSuite {
     }
   }
 
+  test("rep-level rank equals the doc-level blow-up graph on a duplicated corpus") {
+    import TestSpark.spark.implicits._
+    // 7-fold duplicated corpus (the CanonPairsSpec recipe): every doc has
+    // 6 exact copies, so the doc graph is a nontrivial blow-up of the rep
+    // graph — cliques inside groups, complete bipartite between near-dup
+    // groups.
+    val base = graft.tables.Tables.documents(spark, sf)
+      .limit(40).select("doc_id", "text").as[(Long, String)].collect()
+    val dup = (0 until 7).flatMap(k =>
+      base.map { case (id, t) => (id + k * 100000L, t, t.length.toLong) })
+      .toDF("doc_id", "text", "n_chars")
+    val (member, grpSz, repEdges) = ext.TextOps.repGraphStateOf(dup)
+    val rep = ext.TextOps3.t43Core(member, grpSz, repEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val doc = ext.TextOps3.naiveGraphRank(dup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rep.length == doc.length && rep.sameElements(doc),
+      s"rep-level rank diverged from doc-level on ${rep.length} docs")
+  }
+
   test("ranks are bounded below by the floor and concentrate via edges") {
     assert(rows.forall(_.getAs[Long]("rank_ppm") >= 150000L))
     val top = rows.maxBy(_.getAs[Long]("rank_ppm"))
