@@ -42,10 +42,13 @@ object Quality {
     val o = orders(s, dir)
     val l = lineitem(s, dir)
 
+    // No broadcast hint: the key side is dimension-sized here and Catalyst
+    // broadcasts it on its own; at 100 TB the same plan degrades gracefully
+    // to a shuffle join instead of being pinned into an oversized broadcast.
     val fkOrders = report("fk_orphan_orders",
       sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), count(lit(1)))(
       o.select(col("o_custkey"))
-        .join(broadcast(c.select(col("c_custkey"))),
+        .join(c.select(col("c_custkey")),
           col("o_custkey") === col("c_custkey"), "left"))
 
     val fkLineitem = report("fk_orphan_lineitem",
