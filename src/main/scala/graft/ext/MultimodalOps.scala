@@ -408,6 +408,79 @@ object MultimodalOps {
       |WHERE ca.media_id = p.a AND cb.media_id = p.b
       |ORDER BY a, b""".stripMargin
 
+  // --- m06: perceptual (aHash) image near-dup -------------------------
+
+  /** 64-bit average-hash of a decoded image — the perceptual near-dup
+    * fingerprint: the image partitions into a fixed 8×8 grid, each cell
+    * accumulates integer ITU-R 601 luma (299R+587G+114B), and bit (cy,cx)
+    * is set when the cell's mean luma exceeds the global mean. Integer
+    * arithmetic end-to-end, so the hash is bit-stable across JVMs. Small
+    * pixel perturbations move a few cell means slightly (low hamming
+    * distance); distinct content flips ~half the bits — AHashSpec
+    * measures both ends. */
+  private[graft] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        val c = cy * 8 + x * 8 / w
+        sums(c) += luma
+        cnts(c) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val mean = total / (w.toLong * h)
+    var bits = 0L
+    var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) / cnts(c) > mean)
+        bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
+  /** m06: perceptual near-dup pairs over REAL decoded images — aHash per
+    * image (one decode per row inside `mapPartitions`, the codec seam's
+    * batch shape), then hamming-banded candidate generation on the 64-bit
+    * fingerprints (8 bands of 8 bits: by pigeonhole any pair within
+    * hamming 7 is a candidate — t13's recipe at double width) and the
+    * exact bit_count(xor) check on candidates only. DuckDB cannot decode
+    * PNGs, so the gate is AHashSpec (synthesized images: exact copies at
+    * hamming 0, perturbed copies within the radius, distinct content
+    * filtered out) — the same spec-gated footing as the codec itself. */
+  def m06AHashPairs(images: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sig = images.select(col("media_id"), col("content"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+          require(img != null, s"media_id ${row.getLong(0)}: not an image")
+          (row.getLong(0), aHash(img))
+        }
+      }(enc)
+      .toDF("doc_id", "simhash")
+    graft.ext.TextOps
+      .simhashBandedPairs(sig, nBands = 8, width = 64)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a").as("media_a"), col("b").as("media_b"),
+        col("hamming"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
     Q("m02_decode_features", m02DecodeFeatures, Some(m02Oracle)),

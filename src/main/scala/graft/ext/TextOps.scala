@@ -813,8 +813,9 @@ object TextOps {
   /** Hamming-banded candidate pairs over a (doc_id, simhash) table —
     * exact hamming attached, candidates only (never all-pairs). */
   private[graft] def simhashBandedPairs(sig: DataFrame,
-      nBands: Int, includeDiagonal: Boolean = false): DataFrame = {
-    val buckets = simhashBandBits(nBands).zipWithIndex.map {
+      nBands: Int, includeDiagonal: Boolean = false,
+      width: Int = 32): DataFrame = {
+    val buckets = simhashBandBits(nBands, width).zipWithIndex.map {
       case ((shift, mask), i) =>
         sig.select(col("doc_id"), lit(i).as("band"),
           shiftright(col("simhash"), shift).bitwiseAND(lit(mask))
