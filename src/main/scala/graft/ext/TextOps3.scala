@@ -707,6 +707,59 @@ object TextOps3 {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --- t44: temperature-scaled mixture weights --------------------------
+
+  /** t44: α-temperature mixture reweighting (α = 0.5, the Pile/ROOTS/
+    * multilingual-LM recipe): per source, the natural token share and the
+    * temperature-flattened share w_i ∝ p_i^α that up-samples small
+    * sources without letting any source dominate, plus the token quota
+    * each source gets under a fixed training budget. Determinism across
+    * engines: the only float steps are sqrt and two divisions in a FIXED
+    * order; per-source weights are rounded to 9dp and normalized by their
+    * exact decimal sum, so both engines walk identical IEEE sequences.
+    *
+    * Plan: one corpus aggregation keyed on the (bounded-cardinality)
+    * source column; the total and the normalizer are 1-row broadcasts —
+    * at 100 TB the corpus scan is the whole cost and everything after it
+    * is constant-size. */
+  def t44TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = fanOut(documents(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
+    val scored = perSrc.crossJoin(broadcast(tot))
+      .withColumn("w",
+        round(sqrt(col("n_tokens").cast("double") / col("tot")), 9))
+    val nrm = scored.agg(
+      graft.expr.Exprs.dsum(col("w"), 9).as("norm"))
+    scored.crossJoin(broadcast(nrm))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div tot").as("nat_ppm"),
+        floor(col("w") / col("norm") * lit(1000000.0)).cast("long")
+          .as("temp_ppm"),
+        floor(lit(100000.0) * col("w") / col("norm")).cast("long")
+          .as("quota_tokens"))
+      .sortedSmall("source")
+  }
+
+  val t44Oracle: String =
+    """WITH d AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM d),
+      |w AS (SELECT d.*, t.tot,
+      |        round(sqrt(CAST(n_tokens AS DOUBLE) / t.tot), 9) AS w
+      |      FROM d, t),
+      |nrm AS (SELECT CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE) AS norm
+      |        FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  (n_tokens * 1000000) // tot AS nat_ppm,
+      |  CAST(floor(w / nrm.norm * 1000000.0) AS BIGINT) AS temp_ppm,
+      |  CAST(floor(100000.0 * w / nrm.norm) AS BIGINT) AS quota_tokens
+      |FROM w, nrm ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
@@ -715,5 +768,6 @@ object TextOps3 {
     Q("t40_winnow_pairs", t40WinnowPairs, Some(t40Oracle)),
     Q("t41_leakage_safe_split", t41LeakageSafeSplit, Some(t41Oracle)),
     Q("t42_cdc_chunks", t42CdcChunks, Some(t42Oracle)),
-    Q("t43_graph_rank", t43GraphRank, Some(t43Oracle)))
+    Q("t43_graph_rank", t43GraphRank, Some(t43Oracle)),
+    Q("t44_temperature_mix", t44TemperatureMix, Some(t44Oracle)))
 }
