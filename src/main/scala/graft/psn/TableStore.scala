@@ -273,10 +273,37 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     commitClaimed(table, v)
   }
 
+  /** Schema-on-write guard for in-place appends: a frame whose columns or
+    * types differ from the table's would land as mixed-schema files in
+    * the SAME version directory, and a plain parquet read samples one
+    * footer — the new column silently vanishes (or the read fails) far
+    * from the write that caused it. Appends therefore fail loudly on
+    * drift; widening is an explicit [[overwrite]]/[[mergeWith]] — a NEW
+    * version, so time travel keeps each snapshot's schema intact.
+    * Column order and nullability are not drift; names + types are. */
+  private def assertSchemaMatches(table: String, df: DataFrame,
+      relaxed: Set[String] = Set.empty): Unit = {
+    // `relaxed` columns compare by NAME only: hive-style partition values
+    // are type-inferred on read, so the partition column's physical type
+    // may legitimately differ from the written frame's.
+    def shape(fs: Array[org.apache.spark.sql.types.StructField]) = fs
+      .map(f => (f.name, if (relaxed(f.name)) "*" else f.dataType.sql))
+      .sortBy(_._1).toSeq
+    val cur = shape(read(table).schema.fields)
+    val in = shape(df.schema.fields)
+    require(cur == in,
+      s"schema drift on append to '$table': table has " +
+        s"${cur.map { case (n, t) => s"$n:$t" }.mkString("[", ", ", "]")}, " +
+        s"frame has ${in.map { case (n, t) => s"$n:$t" }.mkString("[", ", ", "]")}. " +
+        "Widen via overwrite/mergeWith (a new version), never by mixing " +
+        "file schemas in place.")
+  }
+
   def append(table: String, df: DataFrame): Unit =
-    if (exists(table))
+    if (exists(table)) {
+      assertSchemaMatches(table, df)
       df.write.mode(SaveMode.Append).parquet(resolve(table).toString)
-    else commitRewrite(table, df) // first write creates + commits v1
+    } else commitRewrite(table, df) // first write creates + commits v1
 
   /** Append with hive-style partitioning — the 100 TB layout for fact
     * tables (time_play partitioned by day): date-filtered scans prune whole
@@ -288,9 +315,11 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       df.write.mode(SaveMode.Append).partitionBy(partitionCol)
         .parquet(claimed.toString)
       commitClaimed(table, v)
-    } else
+    } else {
+      assertSchemaMatches(table, df, relaxed = Set(partitionCol))
       df.write.mode(SaveMode.Append).partitionBy(partitionCol)
         .parquet(resolve(table).toString)
+    }
   }
 
   def overwrite(table: String, df: DataFrame): Unit = // K3
