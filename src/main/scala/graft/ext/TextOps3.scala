@@ -760,6 +760,100 @@ object TextOps3 {
       |  CAST(floor(100000.0 * w / nrm.norm) AS BIGINT) AS quota_tokens
       |FROM w, nrm ORDER BY source""".stripMargin
 
+  // --- t45: greedy longest-prefix (WordPiece-style) tokenization --------
+
+  private val VocabK = 10
+
+  /** t45: greedy longest-prefix tokenization — the WordPiece/BPE-apply
+    * decomposition, DataFrame-native: a corpus-derived vocabulary (top-K
+    * words by frequency, deterministic tiebreak) tokenizes every word by
+    * repeatedly stripping the longest matching vocabulary prefix; a
+    * character with no match consumes as one UNK. Per document: word
+    * count, piece count, UNK chars, and fertility (pieces per word, ppm)
+    * — the tokenizer-health metric data pipelines track per corpus
+    * slice.
+    *
+    * Plan shape: tokenization runs on DISTINCT words only (the canon
+    * discipline — word instances join the result back), each stripping
+    * round is one broadcast prefix-join + per-word argmax over a
+    * vocabulary that is TINY by construction, and rounds are bounded by
+    * max word length / min piece length. At 100 TB the distinct-word
+    * table is vocabulary-sized (millions, not trillions), the rounds
+    * stay broadcast joins, and the instance expansion is one hash join.
+    * A production tokenizer library would run inside mapPartitions; this
+    * formulation trades that for exact cross-engine parity — the DuckDB
+    * oracle replays the greedy recursion as a recursive CTE (its
+    * seventh). */
+  def t45WordpieceTokenize(s: SparkSession, dir: String): DataFrame = {
+    val inst = fanOut(documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = inst.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(VocabK)
+      .select(col("word").as("piece"), length(col("word")).as("plen"))
+    var tok = inst.select(col("word")).distinct()
+      .select(col("word"), col("word").as("rest"),
+        lit(0L).as("pieces"), lit(0L).as("unk"))
+      .localCheckpoint()
+    var remaining = 1L
+    var rounds = 0
+    while (remaining > 0 && rounds < 64) {
+      val best = tok.filter(col("rest") =!= "")
+        .join(broadcast(vocab),
+          expr("substring(rest, 1, plen) = piece"), "left")
+        .groupBy(col("word"), col("rest"), col("pieces"), col("unk"))
+        .agg(max(coalesce(col("plen"), lit(0))).as("best"))
+      val stepped = best.select(col("word"),
+        expr("substr(rest, greatest(best, 1) + 1)").as("rest"),
+        (col("pieces") + when(col("best") > 0, 1L).otherwise(0L))
+          .as("pieces"),
+        (col("unk") + when(col("best") === 0, 1L).otherwise(0L))
+          .as("unk"))
+      tok = tok.filter(col("rest") === "").union(stepped).localCheckpoint()
+      rounds += 1
+      remaining = tok.filter(col("rest") =!= "").count()
+    }
+    inst.join(tok.select(col("word"), col("pieces"), col("unk")), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("pieces")).as("n_pieces"),
+        sum(col("unk")).as("n_unk_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        col("n_unk_chars"),
+        expr("n_pieces * 1000000 div n_words").as("fertility_ppm"))
+      .sortedWide("doc_id")
+  }
+
+  val t45Oracle: String =
+    s"""WITH RECURSIVE
+       |inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |         FROM documents),
+       |words AS (SELECT DISTINCT word FROM inst),
+       |vocab AS (
+       |  SELECT word AS piece FROM (
+       |    SELECT word, COUNT(*) AS c FROM inst GROUP BY word
+       |    ORDER BY c DESC, word LIMIT $VocabK)),
+       |tok(word, rest, pieces, unk) AS (
+       |  SELECT word, word, 0, 0 FROM words
+       |  UNION ALL
+       |  SELECT word,
+       |    substr(rest, GREATEST(best, 1) + 1),
+       |    pieces + CASE WHEN best > 0 THEN 1 ELSE 0 END,
+       |    unk + CASE WHEN best = 0 THEN 1 ELSE 0 END
+       |  FROM (
+       |    SELECT word, rest, pieces, unk,
+       |      coalesce((SELECT MAX(len(v.piece)) FROM vocab v
+       |                WHERE v.piece = substr(rest, 1, len(v.piece))), 0)
+       |        AS best
+       |    FROM tok WHERE rest <> '')),
+       |done AS (SELECT word, pieces, unk FROM tok WHERE rest = '')
+       |SELECT i.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(d.pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(d.unk) AS BIGINT) AS n_unk_chars,
+       |  (CAST(SUM(d.pieces) AS BIGINT) * 1000000) // COUNT(*)
+       |    AS fertility_ppm
+       |FROM inst i JOIN done d USING (word)
+       |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
@@ -769,5 +863,6 @@ object TextOps3 {
     Q("t41_leakage_safe_split", t41LeakageSafeSplit, Some(t41Oracle)),
     Q("t42_cdc_chunks", t42CdcChunks, Some(t42Oracle)),
     Q("t43_graph_rank", t43GraphRank, Some(t43Oracle)),
-    Q("t44_temperature_mix", t44TemperatureMix, Some(t44Oracle)))
+    Q("t44_temperature_mix", t44TemperatureMix, Some(t44Oracle)),
+    Q("t45_wordpiece_tokenize", t45WordpieceTokenize, Some(t45Oracle)))
 }
