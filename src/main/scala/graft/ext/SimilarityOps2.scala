@@ -388,9 +388,92 @@ object SimilarityOps2 {
        |FROM pos JOIN hn ON hn.qid = pos.qid
        |ORDER BY pos.qid""".stripMargin
 
+  // --- e22: binary-quantized hamming search ----------------------------
+
+  /** e22: binary quantization + hamming search — the third member of the
+    * compression family (int8 e08: 4×, PQ e12: 32×; sign binarization:
+    * 64× — one bit per dimension, packed into a single LONG for 64-dim
+    * vectors). Search ranks by hamming distance via bit_count(xor) — one
+    * codegen'd instruction pair per candidate — with exact cosine
+    * re-ranking of the binary top-C shortlist, the standard two-stage
+    * shape (compressed scan → exact re-rank) production binary indexes
+    * run. Agreement between sign bits is a Johnson-Lindenstrauss-style
+    * angle proxy; the re-rank stage restores exact order among
+    * survivors.
+    *
+    * At 100 TB: the binary code column is 8 bytes/vector — the scan that
+    * ranks the whole corpus reads 64× less than the float embeddings,
+    * and only the shortlist touches the full vectors. */
+  def e22BinaryHammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = 20
+    val k = 5
+    // Sign bit j (1-indexed dim j) → bit 63-j+1... fixed layout: bit
+    // (64 - j) so dim 1 is the most significant — replayed identically
+    // in the oracle.
+    val code = (1 to 64)
+      .map(j => when(element_at(col("embedding"), j) > 0f,
+        lit(1L << (64 - j))).otherwise(0L))
+      .reduce(_ + _)
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), code.as("code"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("code").as("qcode"))
+    val wHam = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("cid"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id").as("cid"),
+        col("embedding"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long")
+          .as("hamming"))
+      .withColumn("hrnk", row_number().over(wHam))
+      .filter(col("hrnk") <= shortlist)
+    val norm2 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VecOps.graft_vec_norm(c)
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid"))
+    cand
+      .select(col("qid"), col("cid"), col("hamming"),
+        round(dot(col("qe"), col("embedding")) /
+          (norm2(col("qe")) * norm2(col("embedding"))), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= k)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .sortedSmall("qid", "rnk")
+  }
+
+  val e22Oracle: String = {
+    val bits = (1 to 64)
+      .map(j =>
+        s"CASE WHEN embedding[$j] > 0 THEN ${java.lang.Long.toString(1L << (64 - j))} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  CAST($bits AS BIGINT) AS code FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv, code AS qcode FROM e
+       |      WHERE vec_id < 5),
+       |h AS (SELECT qid, qv, e.vec_id AS cid, e.v,
+       |        CAST(bit_count(xor(e.code, q.qcode)) AS BIGINT) AS hamming
+       |      FROM q, e WHERE e.vec_id <> q.qid),
+       |sl AS (SELECT qid, qv, cid, v, hamming FROM (
+       |         SELECT qid, qv, cid, v, hamming,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY hamming ASC, cid) AS hrnk
+       |         FROM h) WHERE hrnk <= 20),
+       |r AS (SELECT qid, cid, hamming,
+       |        round(list_cosine_similarity(qv, v), 4) AS cos_r
+       |      FROM sl)
+       |SELECT qid, cid, hamming, cos_r, rnk FROM (
+       |  SELECT qid, cid, hamming, cos_r,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_r DESC, cid) AS BIGINT) AS rnk
+       |  FROM r) WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
     Q("e20_semdedup_keep", e20SemdedupKeep, Some(e20Oracle)),
-    Q("e21_hard_negatives", e21HardNegatives, Some(e21Oracle)))
+    Q("e21_hard_negatives", e21HardNegatives, Some(e21Oracle)),
+    Q("e22_binary_hamming_topk", e22BinaryHammingTopK, Some(e22Oracle)))
 }
