@@ -148,7 +148,11 @@ object TextOps3 {
         element_at(col("t"), col("i") + 2).as("w2"))
       .persist()
     val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .persist()
+    // The prefix table is the bigram table's marginal: c(w1 ·) = Σ_w2
+    // c(w1 w2) — derived from the (vocabulary-sized) c2 instead of a
+    // second pass over the corpus-sized bigram stream.
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     big.join(broadcast(c2), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
       .select(col("doc_id"), expr("c2 * 1000000 div c1").as("p_ppm"))
