@@ -1002,8 +1002,11 @@ object TextOps2 {
       .select(col("doc_id"), explode(wordGrams(8)).as("gram"))
       .select(col("doc_id"), substring(graft_md5(col("gram")), 1, 16).as("h"))
       .distinct()
-    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    grams.join(df, "h")
+    // df rides a window over the SAME h-keyed shuffle instead of an
+    // aggregate + self-join (one exchange and one join stage fewer; the
+    // per-h partition IS the posting list being counted).
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    grams.withColumn("df", count(lit(1)).over(wh))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
