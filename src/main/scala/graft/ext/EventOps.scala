@@ -416,6 +416,53 @@ object EventOps {
        |  n_events > 0 AS is_active
        |FROM j ORDER BY user_id, day""".stripMargin
 
+  /** s12: windowed semantic event dedup — collapse repeated
+    * (user, event_type) activity inside each 5-minute bucket to its first
+    * occurrence (by ts, then event_id), reporting per-type totals, kept
+    * counts, and the value sum of the keepers. This is the batch twin of
+    * [[graft.streaming.Streams.dedupedEvents]] generalized from exact
+    * event_id redelivery to a SEMANTIC key: the pattern that collapses
+    * double-fired client telemetry before it skews downstream counts.
+    * Streaming form: the same keep-first state under
+    * `dropDuplicatesWithinWatermark(user_id, event_type, bucket)`.
+    *
+    * Plan: one shuffle on (user_id, event_type, bucket) for the
+    * keep-first window, then a map-side-combinable rollup to event_type —
+    * no join, no second pass over the event stream. */
+  def s12EventDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = tsSec
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("bucket", sec - sec % 300)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        lsum(when(col("rn") === 1, col("value")).otherwise(lit(0.0)))
+          .as("kept_value"))
+      .withColumn("n_dupes", col("n_total") - col("n_kept"))
+      .sortedSmall("event_type")
+  }
+
+  val s12Oracle: String =
+    s"""WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+       |           FROM events),
+       |b AS (SELECT *, sec - sec % 300 AS bucket FROM e),
+       |r AS (SELECT event_type, value,
+       |        row_number() OVER (
+       |          PARTITION BY user_id, event_type, bucket
+       |          ORDER BY ts, event_id) AS rn
+       |      FROM b)
+       |SELECT event_type, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${dsumSql("CASE WHEN rn = 1 THEN value ELSE 0 END")} AS kept_value,
+       |  COUNT(*) - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dupes
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -427,5 +474,6 @@ object EventOps {
     Q("s08_funnel", s08Funnel, Some(s08Oracle)),
     Q("s09_cohort_retention", s09CohortRetention, Some(s09Oracle)),
     Q("s10_inter_event_gaps", s10InterEventGaps, Some(s10Oracle)),
-    Q("s11_gap_fill", s11GapFill, Some(s11Oracle)))
+    Q("s11_gap_fill", s11GapFill, Some(s11Oracle)),
+    Q("s12_event_dedup", s12EventDedup, Some(s12Oracle)))
 }

@@ -470,10 +470,84 @@ object SimilarityOps2 {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  // --- e23: matryoshka truncated-dimension search -----------------------
+
+  /** e23: matryoshka (MRL-style) two-stage search — rank the whole corpus
+    * by cosine over the first 16 of 64 dimensions, then exactly re-rank
+    * the truncated top-20 shortlist with full-dimension cosine. This is
+    * the dimension-TRUNCATION member of the compression family: int8
+    * (e08) and binary (e22) shrink each dimension's width, PQ (e12)
+    * re-codes blocks, matryoshka simply reads a prefix — no codebook, no
+    * training pass, and the coarse stage is the same kernel as the exact
+    * one on a 4× shorter array. Embeddings trained with matryoshka
+    * representation learning (Kusupati et al. 2022) order information by
+    * prefix precisely so this query shape works.
+    *
+    * At 100 TB: the coarse scan reads a 16-float prefix column (4× less
+    * I/O — materialized as its own parquet column so the scan prunes),
+    * and only the shortlist touches full vectors. Same two-stage plan as
+    * e22 with prefix-slice instead of bit-pack. */
+  def e23MatryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    val prefixDims = 16
+    val shortlist = 20
+    val k = 5
+    val norm2 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VecOps.graft_vec_norm(c)
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, prefixDims).as("prefix"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("prefix").as("qp"))
+    val wCoarse = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_t").desc, col("cid"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id").as("cid"),
+        col("embedding"),
+        round(dot(col("qp"), col("prefix")) /
+          (norm2(col("qp")) * norm2(col("prefix"))), 4).as("cos_t"))
+      .withColumn("trnk", row_number().over(wCoarse))
+      .filter(col("trnk") <= shortlist)
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid"))
+    cand
+      .select(col("qid"), col("cid"), col("cos_t"),
+        round(dot(col("qe"), col("embedding")) /
+          (norm2(col("qe")) * norm2(col("embedding"))), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .sortedSmall("qid", "rnk")
+  }
+
+  val e23Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  CAST(embedding[1:16] AS DOUBLE[]) AS p FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, p AS qp FROM e
+      |      WHERE vec_id < 5),
+      |t AS (SELECT qid, qv, e.vec_id AS cid, e.v,
+      |        round(list_cosine_similarity(qp, e.p), 4) AS cos_t
+      |      FROM q, e WHERE e.vec_id <> q.qid),
+      |sl AS (SELECT qid, qv, cid, v, cos_t FROM (
+      |         SELECT qid, qv, cid, v, cos_t,
+      |           row_number() OVER (PARTITION BY qid
+      |             ORDER BY cos_t DESC, cid) AS trnk
+      |         FROM t) WHERE trnk <= 20),
+      |r AS (SELECT qid, cid, cos_t,
+      |        round(list_cosine_similarity(qv, v), 4) AS cos_r
+      |      FROM sl)
+      |SELECT qid, cid, cos_t, cos_r, rnk FROM (
+      |  SELECT qid, cid, cos_t, cos_r,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos_r DESC, cid) AS BIGINT) AS rnk
+      |  FROM r) WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
     Q("e20_semdedup_keep", e20SemdedupKeep, Some(e20Oracle)),
     Q("e21_hard_negatives", e21HardNegatives, Some(e21Oracle)),
-    Q("e22_binary_hamming_topk", e22BinaryHammingTopK, Some(e22Oracle)))
+    Q("e22_binary_hamming_topk", e22BinaryHammingTopK, Some(e22Oracle)),
+    Q("e23_matryoshka_topk", e23MatryoshkaTopK, Some(e23Oracle)))
 }

@@ -877,6 +877,66 @@ object TextOps3 {
        |FROM inst i JOIN done d USING (word)
        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin
 
+  // --- t46: BPE merge-step pair statistics ------------------------------
+
+  /** t46: byte-pair-encoding merge statistics — the frequency table the
+    * FIRST BPE training step ranks: for every adjacent character pair
+    * inside every word, the corpus-weighted occurrence count (each
+    * position in each word instance counts) and the number of distinct
+    * words containing the pair. The top pair is the first merge a BPE
+    * trainer would perform; t45 covers the APPLY side of tokenizer life,
+    * this covers the TRAIN side's inner loop.
+    *
+    * Plan shape: the same canon discipline as t45 — pair extraction runs
+    * over DISTINCT words (vocabulary-sized), each word exploding into
+    * len-1 positions via `sequence`, and corpus weights arrive from the
+    * word-frequency table computed in the same pass; the expensive
+    * instance stream is touched once for the frequency count. At 100 TB
+    * the pair table is |vocab|×positions — millions of rows — and every
+    * further merge round (not gated here) is the same shape over a
+    * re-segmented vocabulary. */
+  def t46BpePairStats(s: SparkSession, dir: String): DataFrame = {
+    val wf = fanOut(documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val pairs = wf
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("f"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word"), col("f"),
+        expr("substr(word, i, 1)").as("a"),
+        expr("substr(word, i + 1, 1)").as("b"))
+    // Global ranking window: safe — the grouped pair table is bounded by
+    // alphabet² rows regardless of corpus size.
+    val w = Window.orderBy(col("total").desc, col("a"), col("b"))
+    pairs
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("f")).as("total"),
+        countDistinct(col("word")).as("n_words"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 20)
+      .sortedSmall("rnk")
+  }
+
+  val t46Oracle: String =
+    """WITH inst AS (SELECT unnest(string_split(text, ' ')) AS word
+      |              FROM documents),
+      |wf AS (SELECT word, COUNT(*) AS f FROM inst GROUP BY word),
+      |pos AS (SELECT word, f,
+      |          CAST(unnest(range(1, len(word))) AS INT) AS i
+      |        FROM wf WHERE len(word) >= 2),
+      |pairs AS (SELECT substr(word, i, 1) AS a,
+      |            substr(word, i + 1, 1) AS b, f, word FROM pos),
+      |agg AS (SELECT a, b, CAST(SUM(f) AS BIGINT) AS total,
+      |          COUNT(DISTINCT word) AS n_words
+      |        FROM pairs GROUP BY a, b)
+      |SELECT a, b, total, n_words, rnk FROM (
+      |  SELECT a, b, total, n_words,
+      |    CAST(row_number() OVER (ORDER BY total DESC, a, b) AS BIGINT)
+      |      AS rnk
+      |  FROM agg) WHERE rnk <= 20
+      |ORDER BY rnk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
@@ -887,5 +947,6 @@ object TextOps3 {
     Q("t42_cdc_chunks", t42CdcChunks, Some(t42Oracle)),
     Q("t43_graph_rank", t43GraphRank, Some(t43Oracle)),
     Q("t44_temperature_mix", t44TemperatureMix, Some(t44Oracle)),
-    Q("t45_wordpiece_tokenize", t45WordpieceTokenize, Some(t45Oracle)))
+    Q("t45_wordpiece_tokenize", t45WordpieceTokenize, Some(t45Oracle)),
+    Q("t46_bpe_pair_stats", t46BpePairStats, Some(t46Oracle)))
 }
