@@ -543,11 +543,90 @@ object SimilarityOps2 {
       |  FROM r) WHERE rnk <= 5
       |ORDER BY qid, rnk""".stripMargin
 
+  // --- e24: reciprocal-rank fusion of two retrievers --------------------
+
+  /** e24: reciprocal-rank fusion — the standard hybrid-search combiner
+    * (Cormack et al. 2009; every production "vector + keyword" stack):
+    * each retriever contributes 1/(K + rank) for documents on its list,
+    * ranks fuse additively, no score calibration needed. Here the two
+    * retrievers are the engine's own cosine top-10 (e02 shape) and MIPS
+    * top-10 (e18 shape) — angle vs magnitude-weighted relevance — and
+    * the fused score is computed in SCALED INTEGER arithmetic
+    * (1000000 div (60+rank)) so both engines agree bit-for-bit with no
+    * float-sum ordering concerns.
+    *
+    * Plan: both rankers are the broadcast-queries brute-force skeleton
+    * sharing one candidate scan; the fusion itself is a full-outer join
+    * of two (qid, cid, rank) lists — top-k-sized, tiny — and one final
+    * per-query window. At 100 TB the rankers swap to their indexed
+    * variants (e04/e06 for cosine, the e18 norm-augmentation reduction
+    * for MIPS) and the fusion join shape is unchanged. */
+  def e24RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val rrfK = 60
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val norm2 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VecOps.graft_vec_norm(c)
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(dot(col("qe"), col("embedding")) /
+          (norm2(col("qe")) * norm2(col("embedding"))), 4).as("cos_r"),
+        round(dot(col("qe"), col("embedding")), 4).as("dot_r"))
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid"))
+    val wDot = Window.partitionBy(col("qid"))
+      .orderBy(col("dot_r").desc, col("cid"))
+    val cosTop = pairs.withColumn("rc", row_number().over(wCos))
+      .filter(col("rc") <= 10).select(col("qid"), col("cid"), col("rc"))
+    val dotTop = pairs.withColumn("rd", row_number().over(wDot))
+      .filter(col("rd") <= 10).select(col("qid"), col("cid"), col("rd"))
+    val wFused = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("cid"))
+    cosTop.join(dotTop, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        (coalesce(expr(s"1000000 div (${rrfK} + rc)"), lit(0L)) +
+          coalesce(expr(s"1000000 div (${rrfK} + rd)"), lit(0L)))
+          .as("rrf"),
+        col("rc").cast("long").as("cos_rank"),
+        col("rd").cast("long").as("dot_rank"))
+      .withColumn("rnk", row_number().over(wFused).cast("long"))
+      .filter(col("rnk") <= 10)
+      .sortedSmall("qid", "rnk")
+  }
+
+  val e24Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |p AS (SELECT qid, e.vec_id AS cid,
+      |        round(list_cosine_similarity(qv, e.v), 4) AS cos_r,
+      |        round(list_inner_product(qv, e.v), 4) AS dot_r
+      |      FROM q, e WHERE e.vec_id <> q.qid),
+      |ct AS (SELECT qid, cid, rc FROM (
+      |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |           ORDER BY cos_r DESC, cid) AS rc FROM p) WHERE rc <= 10),
+      |dt AS (SELECT qid, cid, rd FROM (
+      |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |           ORDER BY dot_r DESC, cid) AS rd FROM p) WHERE rd <= 10),
+      |f AS (SELECT coalesce(ct.qid, dt.qid) AS qid,
+      |        coalesce(ct.cid, dt.cid) AS cid,
+      |        coalesce(1000000 // (60 + rc), 0)
+      |          + coalesce(1000000 // (60 + rd), 0) AS rrf,
+      |        CAST(rc AS BIGINT) AS cos_rank, CAST(rd AS BIGINT) AS dot_rank
+      |      FROM ct FULL OUTER JOIN dt
+      |        ON ct.qid = dt.qid AND ct.cid = dt.cid)
+      |SELECT qid, cid, CAST(rrf AS BIGINT) AS rrf, cos_rank, dot_rank, rnk
+      |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |        ORDER BY rrf DESC, cid) AS BIGINT) AS rnk FROM f)
+      |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
     Q("e20_semdedup_keep", e20SemdedupKeep, Some(e20Oracle)),
     Q("e21_hard_negatives", e21HardNegatives, Some(e21Oracle)),
     Q("e22_binary_hamming_topk", e22BinaryHammingTopK, Some(e22Oracle)),
-    Q("e23_matryoshka_topk", e23MatryoshkaTopK, Some(e23Oracle)))
+    Q("e23_matryoshka_topk", e23MatryoshkaTopK, Some(e23Oracle)),
+    Q("e24_rrf_fusion", e24RrfFusion, Some(e24Oracle)))
 }

@@ -39,6 +39,29 @@ class WaveDedupSearchSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"matryoshka recall@5 $recall < 0.2")
   }
 
+  test("e24 RRF: docs on both retriever lists dominate single-list docs") {
+    // With K=60 and top-10 lists, the worst both-lists score
+    // (2·⌊1e6/70⌋ = 28570) beats the best single-list score
+    // (⌊1e6/61⌋ = 16393), so fused ranking must place every both-lists
+    // doc ahead of every single-list doc — the property that makes RRF
+    // a calibration-free combiner.
+    val r = SimilarityOps2.e24RrfFusion(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ordered = rows.sortBy(_.getLong(5))
+      val both = ordered.map(x => !x.isNullAt(3) && !x.isNullAt(4))
+      // once we see a single-list doc, no both-lists doc may follow
+      assert(!both.dropWhile(identity).contains(true),
+        "single-list doc ranked above a both-lists doc")
+    }
+    r.foreach { x =>
+      val expected =
+        (if (x.isNullAt(3)) 0L else 1000000L / (60 + x.getLong(3))) +
+          (if (x.isNullAt(4)) 0L else 1000000L / (60 + x.getLong(4)))
+      assert(x.getLong(2) == expected)
+    }
+  }
+
   test("t46 BPE pairs: counts match a direct recount on the instance stream") {
     val r = TextOps3.t46BpePairStats(spark, sf).collect()
     assert(r.length == 20)
