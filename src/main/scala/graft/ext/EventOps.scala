@@ -463,6 +463,59 @@ object EventOps {
        |    AS n_dupes
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** s13: event-rate anomaly flags — each (type, hour)'s count compared
+    * against its own trailing 24-observed-hours baseline (ROWS frame, so
+    * gap hours don't dilute the mean identically on both engines); a
+    * spike is count > 2× trailing mean, tested in cross-multiplied
+    * INTEGER arithmetic (n·trailing_n > 2·trailing_sum) so no division
+    * enters the hash. The on-call "did this event type just surge"
+    * probe; streaming twin is the same agg under a sliding watermark
+    * window.
+    *
+    * Plan: one shuffle for the hourly rollup (map-side combinable), one
+    * type-partitioned window over the TINY rollup (types × hours), final
+    * bounded sort. */
+  def s13RateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = tsSec
+    val hourly = events(s, dir)
+      .groupBy((sec - sec % 3600).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("trailing_sum",
+        coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trailing_n", count(col("n")).over(w))
+      .filter(col("trailing_n") > 0)
+      .select(col("hour_start"), col("event_type"), col("n"),
+        col("trailing_sum"), col("trailing_n"),
+        (col("n") * col("trailing_n") >
+          col("trailing_sum") * 2).as("is_spike"))
+      .sortedWide("event_type", "hour_start")
+  }
+
+  val s13Oracle: String =
+    """WITH e AS (SELECT event_type,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |h AS (SELECT sec - sec % 3600 AS hour_start, event_type,
+      |        COUNT(*) AS n
+      |      FROM e GROUP BY 1, 2),
+      |t AS (SELECT hour_start, event_type, n,
+      |        coalesce(SUM(n) OVER (PARTITION BY event_type
+      |          ORDER BY hour_start
+      |          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0)
+      |          AS trailing_sum,
+      |        COUNT(n) OVER (PARTITION BY event_type ORDER BY hour_start
+      |          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_n
+      |      FROM h)
+      |SELECT hour_start, event_type, n,
+      |  CAST(trailing_sum AS BIGINT) AS trailing_sum,
+      |  CAST(trailing_n AS BIGINT) AS trailing_n,
+      |  n * trailing_n > trailing_sum * 2 AS is_spike
+      |FROM t WHERE trailing_n > 0
+      |ORDER BY event_type, hour_start""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -475,5 +528,6 @@ object EventOps {
     Q("s09_cohort_retention", s09CohortRetention, Some(s09Oracle)),
     Q("s10_inter_event_gaps", s10InterEventGaps, Some(s10Oracle)),
     Q("s11_gap_fill", s11GapFill, Some(s11Oracle)),
-    Q("s12_event_dedup", s12EventDedup, Some(s12Oracle)))
+    Q("s12_event_dedup", s12EventDedup, Some(s12Oracle)),
+    Q("s13_rate_anomaly", s13RateAnomaly, Some(s13Oracle)))
 }

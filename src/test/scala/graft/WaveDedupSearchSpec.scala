@@ -85,6 +85,17 @@ class WaveDedupSearchSpec extends AnyFunSuite {
     assert(totals.zip(totals.tail).forall { case (x, y) => x >= y })
   }
 
+  test("s13 rate anomaly: trailing frame bounded at 24; spike test is the cross-multiplied mean") {
+    val r = EventOps.s13RateAnomaly(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (n, ts, tn) = (x.getLong(2), x.getLong(3), x.getLong(4))
+      assert(tn >= 1 && tn <= 24)
+      assert(ts >= tn, "counts are >= 1 so the trailing sum covers its rows")
+      assert(x.getBoolean(5) == (n * tn > ts * 2))
+    }
+  }
+
   test("s12 event dedup: kept = distinct (user,type,bucket) keys; totals add up") {
     val r = EventOps.s12EventDedup(spark, sf).collect()
     val events = graft.tables.Tables.events(spark, sf)
