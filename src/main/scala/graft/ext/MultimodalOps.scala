@@ -467,10 +467,20 @@ object MultimodalOps {
     val sig = images.select(col("media_id"), col("content"))
       .mapPartitions { it =>
         it.map { row =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
-          require(img != null, s"media_id ${row.getLong(0)}: not an image")
-          (row.getLong(0), aHash(img))
+          val id = row.getLong(0)
+          // A corrupt-but-recognized payload can throw inside the codec;
+          // rethrow with the row's identity attached so one bad image in a
+          // large batch is attributable (the null return already is).
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+            catch {
+              case e: Exception =>
+                throw new IllegalArgumentException(
+                  s"media_id $id: image decode failed", e)
+            }
+          require(img != null, s"media_id $id: not an image")
+          (id, aHash(img))
         }
       }(enc)
       .toDF("doc_id", "simhash")

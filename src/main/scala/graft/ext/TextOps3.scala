@@ -153,13 +153,23 @@ object TextOps3 {
     // c(w1 w2) — derived from the (vocabulary-sized) c2 instead of a
     // second pass over the corpus-sized bigram stream.
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    big.join(broadcast(c2), Seq("w1", "w2"))
+    val scored = big.join(broadcast(c2), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
       .select(col("doc_id"), expr("c2 * 1000000 div c1").as("p_ppm"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p_ppm) div count(1)").as("score_ppm"))
-      .sortedWide("doc_id")
+      // Eager cut: materialize the per-doc result (O(docs), the query's
+      // own output size) so both short-lived caches can be released NOW
+      // instead of accumulating in the block manager for the lifetime of
+      // a long-running bench JVM. localCheckpoint blocks are freed by the
+      // ContextCleaner once the result DF is unreachable; persisted plans
+      // would be pinned by the cache registry until an explicit unpersist
+      // that a lazy builder has no place to issue.
+      .localCheckpoint()
+    big.unpersist()
+    c2.unpersist()
+    scored.sortedWide("doc_id")
   }
 
   val t37Oracle: String =
@@ -768,7 +778,13 @@ object TextOps3 {
 
   private val VocabK = 10
 
-  /** Per-corpus (vocabulary, round-bound) driver memo for t45. */
+  /** Per-corpus (vocabulary, round-bound) driver memo for t45. Keyed by
+    * corpus dir under the same identical-rebuild assumption as
+    * [[graft.ext.Artifacts.materialized]]: a path names one immutable
+    * corpus for the life of the JVM, so regenerating different data at
+    * the same path within one process would silently reuse a stale
+    * vocabulary — rebuild into a fresh dir (as the replica tooling does)
+    * or restart the JVM. */
   private val wpModel =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[String], Int)]()
 

@@ -15,9 +15,10 @@ import graft.ops.Out._
   * and order-total drift), so the gate exercises non-zero paths.
   *
   * Scale shape: every check is one aggregation over one scan or one
-  * equi-join — FK probes are left joins flagged null (broadcast here
-  * because the key side is dimension-sized; at 100 TB the same plan runs
-  * as a shuffle join or a bloom-filter pre-pass), uniqueness is a keyed
+  * equi-join — FK probes are left joins flagged null (left unhinted:
+  * Catalyst broadcasts the dimension-sized key side on its own here, and
+  * at 100 TB the same plan degrades gracefully to a shuffle join or a
+  * bloom-filter pre-pass), uniqueness is a keyed
   * groupBy, and the consistency checks accumulate integer cents so both
   * engines compare exactly (no double-sum order dependence). The six
   * one-row aggregates union into the report — independent stages, no
