@@ -95,6 +95,19 @@ final class HttpPsnClient(
       platinum = earned.path("platinum").asLong())
   }
 
+  override def titleCount(): Int = {
+    // One limit-0 page request: records stay on the server, only the
+    // `totalItemCount` metadata field travels. Loud failure if the remote
+    // omits it — silently falling back to a full fetch here would
+    // reintroduce the plan-time driver bottleneck this method exists to
+    // prevent.
+    val meta = get("/titles?offset=0&limit=0").path("totalItemCount")
+    require(!meta.isMissingNode && !meta.isNull,
+      "titles metadata missing totalItemCount: the paged API must expose " +
+        "a record-free count for plan-time partition sizing")
+    meta.asInt()
+  }
+
   override def titleStats(): Seq[GameTitleRaw] = {
     val out = Seq.newBuilder[GameTitleRaw]
     var offset: Option[Long] = Some(0L)

@@ -15,6 +15,14 @@ trait PsnClient {
 
   /** S2: per-title play stats iterator (main.py:85-91). */
   def titleStats(): Seq[GameTitleRaw]
+
+  /** S2 metadata: total title count WITHOUT fetching any record — the
+    * paged API's `totalItemCount` field, readable from a limit-0 page
+    * request. This is the only call the DSv2 planner makes: partition
+    * sizing at plan time must never trigger a driver-side record fetch
+    * (planning would otherwise read the whole remote dataset once on the
+    * driver and again on the executors). */
+  def titleCount(): Int
 }
 
 /** Deterministic in-memory client for tests and local runs. */
@@ -23,6 +31,7 @@ final class FakePsnClient(
     titles: Seq[GameTitleRaw]) extends PsnClient {
   override def profileTrophies(): TrophySummary = trophies
   override def titleStats(): Seq[GameTitleRaw] = titles
+  override def titleCount(): Int = titles.size
 }
 
 object FakePsnClient {

@@ -26,9 +26,11 @@ import graft.psn.{FakePsnClient, GameTitleRaw, PsnClient}
   * executors; `SupportsPushDownRequiredColumns` prunes record fields at the
   * source exactly as the reference's list-comprehension projection does
   * (/root/reference/main.py:91-93), and `SupportsPushDownFilters` evaluates
-  * title_id/play_count predicates source-side — whole pages with no
-  * matching record are pruned at plan time and never fetched, mirroring
-  * the reference's remote `SELECT … WHERE` (S3, main.py:153-157).
+  * title_id/play_count predicates source-side in each page reader before
+  * deserialization, mirroring the reference's remote `SELECT … WHERE`
+  * (S3, main.py:153-157). Planning touches only metadata — one record-free
+  * `titleCount()` call sizes the page set — so the driver never fetches a
+  * record at plan time.
   *
   * Usage:
   * {{{
@@ -135,12 +137,11 @@ final class PsnScanBuilder(tableName: String, pageSize: Int)
 
   /** Accept the supported subset for source-side evaluation; return ALL
     * filters as residual so Spark re-applies them post-scan, so rows a
-    * page DOES deliver can never leak past the predicate. Page pruning
-    * itself assumes the remote data is stable between planning and
-    * reading (the snapshot assumption every paged remote scan makes —
-    * a row mutated into matching after planning sits on a page that was
-    * never planned). Streaming re-plans pages every micro-batch, so
-    * there the window is one poll. */
+    * page DOES deliver can never leak past the predicate. The page COUNT
+    * (not content) is snapshotted at plan time — a title list that grows
+    * between planning and reading contributes its new page on the next
+    * scan; streaming re-plans pages every micro-batch, so there the
+    * window is one poll. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(PsnFilters.supported)
     filters
@@ -150,16 +151,19 @@ final class PsnScanBuilder(tableName: String, pageSize: Int)
   private def pagePartitions(): Array[InputPartition] =
     if (tableName == "trophies") Array(PsnPage(0, 1))
     else {
-      // Plan only pages that contain ≥1 matching record — the paged
-      // equivalent of the reference pushing its WHERE into the remote
-      // engine: pruned pages are never fetched by any executor.
-      val all = PsnSource.client().titleStats()
-      val pages = math.max(1, (all.size + pageSize - 1) / pageSize)
+      // Plan from METADATA only: one record-free count call sizes the
+      // page set. An earlier design fetched the full title list on the
+      // driver at plan time to prune non-matching pages — the exact
+      // driver bottleneck a paged DSv2 source exists to avoid (plan-time
+      // latency = full dataset fetch, and executors then fetch every
+      // surviving page again). Content pruning cannot be decided from a
+      // count, so no page is dropped at plan time; semantics are
+      // unchanged because the reader evaluates the pushed filters before
+      // deserialization and Spark re-applies them all as residuals.
+      val pages =
+        math.max(1, (PsnSource.client().titleCount() + pageSize - 1) / pageSize)
       (0 until pages)
-        .filter(p => all.slice(p * pageSize, p * pageSize + pageSize)
-          .exists(PsnFilters.matches(pushed, _)))
-        .map(p => PsnPage(p * pageSize, pageSize)
-          .asInstanceOf[InputPartition]).toArray
+        .map(p => PsnPage(p * pageSize, pageSize): InputPartition).toArray
     }
 
   override def build(): Scan = new Scan with Batch {

@@ -35,7 +35,7 @@ class HttpPsnClientSpec extends AnyFunSuite {
     }.mkString(",")
     val next =
       if (from + limit >= all.size) "null" else (from + limit).toString
-    s"""{"titles":[$page],"nextOffset":$next}"""
+    s"""{"titles":[$page],"nextOffset":$next,"totalItemCount":${all.size}}"""
   }
 
   private val profileJson = {
@@ -86,6 +86,15 @@ class HttpPsnClientSpec extends AnyFunSuite {
     assert(titles == fake.titleStats())
     // 3 titles at limit=2 → exactly two /titles pages were fetched
     assert(requests.count(_._1.startsWith("/titles")) == 2)
+  }
+
+  test("titleCount reads metadata via a single record-free request") {
+    val (n, requests) = withServer { base =>
+      new HttpPsnClient(base, "tok", pageSize = 2).titleCount()
+    }
+    assert(n == fake.titleStats().size)
+    // one limit-0 request, no record-bearing page fetch
+    assert(requests.map(_._1) == Seq("/titles?offset=0&limit=0"))
   }
 
   test("S5 config path: env token is sanitized before reaching the wire") {

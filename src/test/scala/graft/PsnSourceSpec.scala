@@ -28,20 +28,60 @@ class PsnSourceSpec extends AnyFunSuite {
       Seq("CUSA_00001", "CUSA_00002", "PPSA_10003"))
   }
 
-  test("filter pushdown prunes whole pages at plan time") {
-    // play_count > 100 matches only Gamma Souls (133) on page 2 of 2 —
-    // page 1 (42, 7) must not be planned at all.
+  test("filter pushdown reaches the page readers") {
+    // play_count > 100 matches only Gamma Souls (133): both pages are
+    // planned (planning sees only a count, not content), and the pushed
+    // predicate drops non-matching rows inside each reader.
     val filtered = titles.filter(col("play_count") > 100)
-    assert(filtered.rdd.getNumPartitions == 1)
+    assert(filtered.rdd.getNumPartitions == 2)
     assert(filtered.collect().map(_.getAs[String]("title_id")).toSeq ==
       Seq("PPSA_10003"))
     // the scan advertises what it pushed
     assert(filtered.queryExecution.executedPlan.toString
       .contains("PushedFilters: [GreaterThan(play_count,100)]"))
-    // title_id equality: same single-page plan
     val one = titles.filter(col("title_id") === "CUSA_00002")
-    assert(one.rdd.getNumPartitions == 1)
     assert(one.collect().map(_.getAs[Long]("play_count")).toSeq == Seq(7))
+  }
+
+  test("planning performs no record fetch — metadata count only") {
+    // The r7 design fetched the full title list on the driver at plan
+    // time to prune pages; this asserts the fix: planInputPartitions may
+    // consult titleCount() (record-free metadata) but never titleStats().
+    import java.util.concurrent.atomic.AtomicInteger
+    val stats = new AtomicInteger(0)
+    val counts = new AtomicInteger(0)
+    val counting = new graft.psn.PsnClient {
+      private val inner = FakePsnClient.default
+      override def profileTrophies() = inner.profileTrophies()
+      override def titleStats() = {
+        stats.incrementAndGet(); inner.titleStats()
+      }
+      override def titleCount() = {
+        counts.incrementAndGet(); inner.titleCount()
+      }
+    }
+    val saved = graft.sources.PsnSource.clientFactory
+    graft.sources.PsnSource.clientFactory = () => counting
+    try {
+      val b = new graft.sources.PsnScanBuilder("titles", pageSize = 2)
+      b.pushFilters(Array(
+        org.apache.spark.sql.sources.GreaterThan("play_count", 100L)))
+      val parts = b.build().toBatch.planInputPartitions()
+      assert(parts.length == 2)
+      assert(stats.get() == 0,
+        s"plan-time record fetches: ${stats.get()} (must be 0)")
+      assert(counts.get() == 1,
+        s"plan-time metadata calls: ${counts.get()} (must be 1)")
+      // end-to-end through the session: records are fetched only by the
+      // page readers (one titleStats per planned page), never at planning
+      stats.set(0); counts.set(0)
+      val got = titles.filter(col("play_count") > 100)
+        .collect().map(_.getAs[String]("title_id")).toSeq
+      assert(got == Seq("PPSA_10003"))
+      assert(counts.get() >= 1)
+      assert(stats.get() == 2,
+        s"record fetches: ${stats.get()} (one per planned page, 2 pages)")
+    } finally graft.sources.PsnSource.clientFactory = saved
   }
 
   test("unsupported predicates leave the plan unpruned but correct") {
