@@ -1,13 +1,18 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.psn.TableStore
 import graft.tables.Tables
 
 /** SQL entry point. The reference ships SQL text to BigQuery
   * (/root/reference/main.py:153-157, 274-284); in this engine the same
   * surface is `spark.sql` over registered corpus views — parsed by Catalyst,
   * planned and executed like every DataFrame query (one engine, two
-  * front-ends). */
+  * front-ends) — plus [[runDml]] for the reference's statement-level
+  * UPDATE-FROM, routed through the versioned store's transactional merge.
+  */
 object Sql {
   /** Register every corpus table as a temp view named after the table. */
   def registerViews(s: SparkSession, dir: String): Unit =
@@ -19,4 +24,145 @@ object Sql {
     registerViews(s, dir)
     s.sql(query)
   }
+
+  /** The reference's upsert statement shape (main.py:274-284):
+    * {{{
+    * UPDATE `proj.ds.target` target
+    * SET target.c1 = temp.c1, target.c2 = temp.c2, ...
+    * FROM `proj.ds.temp` temp
+    * WHERE target.id = temp.id
+    * }}}
+    * parsed to (target table, source table, join keys, column
+    * assignments). Table ids keep only their last dotted segment — the
+    * store is the single-namespace analog of `project.dataset`. */
+  final case class UpdateFrom(target: String, source: String,
+      targetKey: String, sourceKey: String, sets: Seq[(String, String)])
+
+  private val Stmt = (
+    """(?is)\s*UPDATE\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
+    """SET\s+(.+?)\s+FROM\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
+    """WHERE\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*;?\s*""").r
+  private val Assign = """(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+
+  private def baseName(qualified: String): String =
+    qualified.split('.').last
+
+  /** Parse the UPDATE-FROM statement; loud on anything outside the shape
+    * (arbitrary SET expressions, multi-predicate WHERE) — this front-end
+    * covers exactly the reference's DML surface, not general SQL DML. */
+  def parseUpdateFrom(sql: String): UpdateFrom = sql match {
+    case Stmt(target, tAlias, setList, source, sAlias, wa1, wc1, wa2, wc2) =>
+      val (tKey, sKey) =
+        if (wa1.equalsIgnoreCase(tAlias) && wa2.equalsIgnoreCase(sAlias))
+          (wc1, wc2)
+        else if (wa1.equalsIgnoreCase(sAlias) && wa2.equalsIgnoreCase(tAlias))
+          (wc2, wc1)
+        else throw new IllegalArgumentException(
+          s"WHERE must equate the two aliases '$tAlias'/'$sAlias', " +
+            s"got '$wa1.$wc1 = $wa2.$wc2'")
+      val sets = setList.split(",").toSeq.map {
+        case Assign(lAlias, lCol, rAlias, rCol) =>
+          require(lAlias == null || lAlias.equalsIgnoreCase(tAlias),
+            s"SET column '$lAlias.$lCol' must belong to target '$tAlias'")
+          require(rAlias.equalsIgnoreCase(sAlias),
+            s"SET source '$rAlias.$rCol' must come from '$sAlias' " +
+              "(only column-copy assignments are supported)")
+          lCol -> rCol
+        case other => throw new IllegalArgumentException(
+          s"unsupported SET item '$other': expected t.col = s.col")
+      }
+      UpdateFrom(baseName(target), baseName(source), tKey, sKey, sets)
+    case _ => throw new IllegalArgumentException(
+      "unsupported DML: expected UPDATE <t> a SET a.c = b.c, ... " +
+        "FROM <s> b WHERE a.k = b.k")
+  }
+
+  /** Execute the reference's UPDATE-FROM against a [[TableStore]] table.
+    * The statement routes through [[TableStore.mergeWith]], so it gets the
+    * store's full transactional discipline for free: snapshot-pinned scan,
+    * CAS-committed version, optimistic retry — no reader ever observes a
+    * half-updated table.
+    *
+    * Semantics match BigQuery's UPDATE-FROM: a matched target row takes
+    * the source's value for every SET column (including NULL — this is
+    * assignment, not coalesce), unmatched rows are untouched, and a source
+    * that matches one target key with more than one row is an error
+    * (BigQuery: "UPDATE/MERGE must match at most one source row"). The
+    * uniqueness probe aggregates to a bounded LIMIT-1 check, not a
+    * driver-side materialization of the source.
+    *
+    * The source table resolves in the store first (the reference stages
+    * updates as a real temp TABLE next to the target, main.py:256-273),
+    * then as a session temp view. */
+  def runDml(s: SparkSession, store: TableStore, sql: String): Unit = {
+    val u = parseUpdateFrom(sql)
+    val src =
+      if (store.exists(u.source)) store.read(u.source) else s.table(u.source)
+    val dup = src.groupBy(col(u.sourceKey)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"UPDATE FROM ${u.source}: source key ${u.sourceKey} value " +
+        s"'${dup.headOption.map(_.get(0)).orNull}' matches multiple rows")
+    val uKey = "__u_" + u.sourceKey
+    // distinct: SET t.k = s.k would otherwise select the key rename twice
+    val rhsCols = (u.sourceKey +: u.sets.map(_._2)).distinct
+    val renamedSrc = src.select(rhsCols.map(c => col(c).as("__u_" + c)): _*)
+    store.mergeWith(u.target) { cur =>
+      val matched = col(uKey).isNotNull
+      val outCols: Seq[Column] = cur.columns.toSeq.map { c =>
+        u.sets.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((_, sc)) =>
+            when(matched, col("__u_" + sc)).otherwise(cur(c)).as(c)
+          case None => cur(c)
+        }
+      }
+      cur.join(renamedSrc, cur(u.targetKey) === col(uKey), "left")
+        .select(outCols: _*)
+    }
+  }
+
+  /** q56: the reference's own DML statement end-to-end — stage an updates
+    * table next to the target (main.py:256-273's temp-table load), run the
+    * literal UPDATE-FROM text through [[runDml]], drop the temp table
+    * (main.py:286-287), and read the committed result back from the store.
+    * The oracle recomputes the update directly over `orders`, so the hash
+    * gate proves statement parse → transactional merge → versioned commit
+    * → read-back equals the declarative answer (q16's algebra, now
+    * reachable from SQL text).
+    *
+    * Scale shape: identical to [[graft.psn.TableStore.mergeWith]] — one
+    * left join on the key, full-version rewrite; the partition-pruned
+    * variant is the 100 TB path and shares the same front-end. */
+  def q56SqlUpdateFrom(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_t", orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    store.overwrite("orders_tmp", orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 1.1).as("o_totalprice")))
+    runDml(s, store,
+      """UPDATE `graft-project.store.orders_t` target
+        |SET target.o_totalprice = temp.o_totalprice
+        |FROM `graft-project.store.orders_tmp` temp
+        |WHERE target.o_orderkey = temp.o_orderkey
+        |""".stripMargin)
+    store.drop("orders_tmp")
+    store.read("orders_t")
+      .select(col("o_orderkey"), col("o_totalprice").as("merged_price"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q56Oracle: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+      |       ELSE o_totalprice END AS merged_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val all: Seq[graft.Q] = Seq(
+    graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)))
 }

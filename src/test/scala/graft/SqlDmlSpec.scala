@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sql
+import graft.psn.TableStore
+
+/** Statement-level DML front-end (VERDICT r7 missing-1): the reference
+  * executes its upsert as SQL text (main.py:274-284 `UPDATE … FROM temp
+  * WHERE target.id = temp.id`); Sql.runDml must accept that literal
+  * statement and route it through TableStore.mergeWith with BigQuery's
+  * UPDATE-FROM semantics. */
+class SqlDmlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The reference's statement VERBATIM (main.py:274-284), fully-qualified
+    * backticked ids and all — only the table ids' project/dataset prefix
+    * differs, which the parser discards. */
+  private val referenceText =
+    """
+    UPDATE `my-project.playstation.game` target
+    SET target.last_played_date_time = temp.last_played_date_time,
+        target.play_count = temp.play_count,
+        target.play_duration = temp.play_duration
+    FROM `my-project.playstation.game_temp` temp
+    WHERE target.id = temp.id
+    """
+
+  test("parses the reference's literal UPDATE-FROM text") {
+    val u = Sql.parseUpdateFrom(referenceText)
+    assert(u.target == "game" && u.source == "game_temp")
+    assert(u.targetKey == "id" && u.sourceKey == "id")
+    assert(u.sets == Seq(
+      "last_played_date_time" -> "last_played_date_time",
+      "play_count" -> "play_count",
+      "play_duration" -> "play_duration"))
+  }
+
+  test("alias-flipped WHERE and unqualified SET lhs parse; junk is loud") {
+    val u = Sql.parseUpdateFrom(
+      "UPDATE t1 a SET x = b.y FROM t2 b WHERE b.k = a.k2")
+    assert(u.targetKey == "k2" && u.sourceKey == "k" &&
+      u.sets == Seq("x" -> "y"))
+    intercept[IllegalArgumentException] {
+      Sql.parseUpdateFrom("DELETE FROM t WHERE x = 1")
+    }
+    intercept[IllegalArgumentException] { // arbitrary SET expression
+      Sql.parseUpdateFrom(
+        "UPDATE t1 a SET a.x = b.y + 1 FROM t2 b WHERE a.k = b.k")
+    }
+    intercept[IllegalArgumentException] { // WHERE names a third alias
+      Sql.parseUpdateFrom(
+        "UPDATE t1 a SET a.x = b.y FROM t2 b WHERE a.k = c.k")
+    }
+  }
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("dml_wh").toString)
+
+  test("runDml on the reference text: matched rows take source values (including NULL), unmatched untouched") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game",
+      Seq((1L, "t1", 10L, "PT1H"), (2L, "t2", 20L, "PT2H"),
+        (3L, "t3", 30L, "PT3H"))
+        .toDF("id", "last_played_date_time", "play_count", "play_duration"))
+    // id=1 gets new values; id=2 gets an explicit NULL duration (UPDATE is
+    // assignment, not coalesce); id=3 is unmatched
+    store.overwrite("game_temp",
+      Seq((1L, "t1b", 11L, Some("PT9H")), (2L, "t2b", 22L, None))
+        .toDF("id", "last_played_date_time", "play_count", "play_duration"))
+    Sql.runDml(spark, store, referenceText)
+    val got = store.read("game").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)))).toSeq
+    assert(got == Seq(
+      (1L, "t1b", 11L, Some("PT9H")),
+      (2L, "t2b", 22L, None),
+      (3L, "t3", 30L, Some("PT3H"))))
+    // the update went through the versioned commit protocol
+    assert(store.versions("game").nonEmpty)
+  }
+
+  test("multi-match source keys are an error, not a silent pick") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game", Seq((1L, 5L)).toDF("id", "play_count"))
+    store.overwrite("game_temp",
+      Seq((1L, 6L), (1L, 7L)).toDF("id", "play_count"))
+    val e = intercept[IllegalArgumentException] {
+      Sql.runDml(spark, store,
+        "UPDATE `p.d.game` t SET t.play_count = s.play_count " +
+          "FROM `p.d.game_temp` s WHERE t.id = s.id")
+    }
+    assert(e.getMessage.contains("multiple rows"))
+  }
+
+  test("source falls back to a session temp view when not in the store") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game", Seq((1L, 5L), (2L, 6L)).toDF("id", "play_count"))
+    Seq((2L, 60L)).toDF("id", "play_count")
+      .createOrReplaceTempView("dml_updates_view")
+    Sql.runDml(spark, store,
+      "UPDATE game t SET t.play_count = s.play_count " +
+        "FROM dml_updates_view s WHERE t.id = s.id")
+    assert(store.read("game").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (2L, 60L)))
+  }
+}
