@@ -491,10 +491,92 @@ object MultimodalOps {
         col("hamming"))
   }
 
+  /** 8 luminance patterns chosen to be far apart in 8×8 block-mean space
+    * (aHash's feature space): gradients in four orientations, two
+    * checkerboard phases, two half-plane splits. Images of the same class
+    * are pixel-identical; distinct classes sit at large hamming distance,
+    * so the pair structure of the gate corpus is a pure function of the
+    * class assignment. */
+  private[graft] def classPng(cls: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val l = cls match {
+          case 0 => (x * 4) & 0xff
+          case 1 => (y * 4) & 0xff
+          case 2 => 255 - ((x * 4) & 0xff)
+          case 3 => 255 - ((y * 4) & 0xff)
+          case 4 => if (((x / 8) + (y / 8)) % 2 == 0) 0 else 255
+          case 5 => if (((x / 8) + (y / 8)) % 2 == 0) 255 else 0
+          // Diagonal gradients, not half-plane splits: a half-plane's
+          // above-mean cell set is exactly a gradient's (x<32 dark ≡
+          // right-half cells set, the same bits as cls 0), which collides
+          // at hamming 0. The triangles sit ≥16 bits from every other
+          // class.
+          case 6 => ((x + y) * 2) & 0xff
+          case _ => ((x + 63 - y) * 2) & 0xff
+        }
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic PNG corpus for the m06 gate: one real 64×64
+    * PNG per document (bounded slice), class = doc_id % 8. PNG is lossless
+    * and the pixels are set explicitly, so decode→aHash is bit-exact on
+    * every JVM — the q20/e07 pinned-contract precedent applied to a codec
+    * DuckDB does not have. Encoding runs executor-side in the same
+    * mapPartitions shape the decode path uses. */
+  private[graft] def syntheticImages(s: SparkSession, dir: String,
+      maxId: Long = 240L): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < maxId)
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          (id, classPng((id % 8).toInt))
+        }
+      }(enc)
+      .toDF("media_id", "content")
+  }
+
+  /** m06 registry gate: real PNG decode → aHash → banded candidate
+    * generation → exact hamming filter, over the pinned synthetic corpus.
+    * Same-class images are pixel-identical (hamming 0) and the 8 classes
+    * are structurally far apart (≥16 bits pairwise by cell-count
+    * analysis; the gate's exact row count re-proves no cross-class pair
+    * within the radius on every run), so the
+    * oracle replays the expected pair set — every within-class pair at
+    * hamming 0 — from `documents` alone, gating the full decode pipeline
+    * through the DuckDB hash compare without DuckDB decoding a pixel. */
+  def m06AHashPairsGate(s: SparkSession, dir: String): DataFrame =
+    m06AHashPairs(syntheticImages(s, dir))
+      .sortedWide("media_a", "media_b")
+
+  val m06Oracle: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240)
+      |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+      |  CAST(0 AS BIGINT) AS hamming
+      |FROM d a JOIN d b
+      |  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+      |ORDER BY media_a, media_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
     Q("m02_decode_features", m02DecodeFeatures, Some(m02Oracle)),
     Q("m03_frame_sample", m03FrameSample, Some(m03Oracle)),
     Q("m04_resize", m04Resize, Some(m04Oracle)),
-    Q("m05_frame_dedup", m05FrameDedup, Some(m05Oracle)))
+    Q("m05_frame_dedup", m05FrameDedup, Some(m05Oracle)),
+    Q("m06_ahash_pairs", m06AHashPairsGate, Some(m06Oracle)))
 }
