@@ -804,10 +804,10 @@ object TextOps3 {
     * max word length / min piece length. At 100 TB the distinct-word
     * table is vocabulary-sized (millions, not trillions), the rounds
     * stay broadcast joins, and the instance expansion is one hash join.
-    * A production tokenizer library would run inside mapPartitions; this
-    * formulation trades that for exact cross-engine parity — the DuckDB
-    * oracle replays the greedy recursion as a recursive CTE (its
-    * seventh). */
+    * Tokenization dispatches through [[tokenizePieces]]: the fused
+    * codegen'd loop inside its compile-safety bounds, the mapPartitions
+    * trie twin beyond them (production vocab sizes) — the DuckDB oracle
+    * replays the greedy recursion as a recursive CTE (its seventh). */
   def t45WordpieceTokenize(s: SparkSession, dir: String): DataFrame = {
     val inst = fanOut(documents(s, dir))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -832,11 +832,49 @@ object TextOps3 {
       (v, m)
     })
     val words = inst.select(col("word")).distinct()
+    inst.join(tokenizePieces(words, vocabWords, maxLen), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("pieces")).as("n_pieces"),
+        sum(col("unk")).as("n_unk_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        col("n_unk_chars"),
+        expr("n_pieces * 1000000 div n_words").as("fertility_ppm"))
+      .sortedWide("doc_id")
+  }
+
+  /** Codegen-safety bounds for the FUSED tokenizer: the fused form builds
+    * `rounds` chained projections each holding |vocab| startsWith probes,
+    * so its expression-tree size is rounds × |vocab|. Past these bounds
+    * Janino's 64KB method limit would push the plan into silent
+    * interpreted fallback (or fail to compile outright) — and both are
+    * DATA-dependent (`maxLen` is read from the corpus). The dispatcher
+    * below switches to the trie twin instead of degrading silently. */
+  private[graft] val MaxFusedRounds = 64
+  private[graft] val MaxFusedVocab = 64
+
+  /** Tokenizer seam: (distinct words, vocabulary) → (word, pieces, unk).
+    * Fused codegen'd form inside the bounds; mapPartitions trie beyond
+    * them (the shape a production tokenizer library takes). The two are
+    * equality-spec'd against each other (WordpieceTrieSpec) at the
+    * corpus vocab and at a 5k-entry vocab. */
+  private[graft] def tokenizePieces(words: DataFrame,
+      vocab: Array[String], maxLen: Int): DataFrame =
+    if (maxLen <= MaxFusedRounds && vocab.length <= MaxFusedVocab)
+      tokenizeFused(words, vocab, maxLen)
+    else tokenizeTrie(words, vocab)
+
+  /** The fused greedy loop: `rounds` chained projections, each one
+    * `greatest` over per-piece startsWith probes — every round is a pure
+    * narrow map and the whole loop stays inside whole-stage codegen.
+    * Callers must respect [[MaxFusedRounds]]/[[MaxFusedVocab]]. */
+  private[graft] def tokenizeFused(words: DataFrame,
+      vocab: Array[String], rounds: Int): DataFrame = {
     var tok = words
       .select(col("word"), col("word").as("rest"),
         lit(0L).as("pieces"), lit(0L).as("unk"))
-    (1 to maxLen).foreach { _ =>
-      val best = vocabWords
+    (1 to rounds).foreach { _ =>
+      val best = vocab
         .map(p => when(col("rest").startsWith(p), lit(p.length))
           .otherwise(lit(0)))
         .reduce((a, b) => greatest(a, b))
@@ -851,15 +889,65 @@ object TextOps3 {
           (col("unk") + when(col("rest") =!= "" && col("best") === 0, 1L)
             .otherwise(0L)).as("unk"))
     }
-    inst.join(tok.select(col("word"), col("pieces"), col("unk")), "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("pieces")).as("n_pieces"),
-        sum(col("unk")).as("n_unk_chars"))
-      .select(col("doc_id"), col("n_words"), col("n_pieces"),
-        col("n_unk_chars"),
-        expr("n_pieces * 1000000 div n_words").as("fertility_ppm"))
-      .sortedWide("doc_id")
+    tok.select(col("word"), col("pieces"), col("unk"))
+  }
+
+  /** Greedy longest-prefix over a character trie in `mapPartitions` — the
+    * production-vocabulary path (30–50k pieces, arbitrary word length):
+    * per-word cost is O(len × depth) with zero expression-tree growth.
+    * The trie builds once per partition from the driver-shipped vocab
+    * (KB–MB sized model artifact, the codebook discipline). */
+  private[graft] def tokenizeTrie(words: DataFrame,
+      vocab: Array[String]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val pieces = vocab // stable local for closure capture
+    words.select(col("word"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions { it =>
+        // children[node] : Char -> next node; terminal[node] : piece end
+        val children =
+          scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.HashMap.empty[Char, Int])
+        val terminal = scala.collection.mutable.ArrayBuffer(false)
+        pieces.foreach { p =>
+          var n = 0
+          p.foreach { ch =>
+            n = children(n).getOrElseUpdate(ch, {
+              children += scala.collection.mutable.HashMap.empty[Char, Int]
+              terminal += false
+              children.length - 1
+            })
+          }
+          terminal(n) = true
+        }
+        it.map { w =>
+          var i = 0
+          var nPieces = 0L
+          var nUnk = 0L
+          while (i < w.length) {
+            // longest terminal reachable from position i
+            var n = 0
+            var j = i
+            var lastEnd = -1
+            var live = true
+            while (live && j < w.length) {
+              children(n).get(w.charAt(j)) match {
+                case Some(next) =>
+                  n = next; j += 1
+                  if (terminal(n)) lastEnd = j
+                case None => live = false
+              }
+            }
+            if (lastEnd > i) { nPieces += 1L; i = lastEnd }
+            else { nUnk += 1L; i += 1 }
+          }
+          (w, nPieces, nUnk)
+        }
+      }(enc)
+      .toDF("word", "pieces", "unk")
   }
 
   val t45Oracle: String =
