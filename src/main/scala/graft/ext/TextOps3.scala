@@ -1041,6 +1041,213 @@ object TextOps3 {
       |  FROM agg) WHERE rnk <= 20
       |ORDER BY rnk""".stripMargin
 
+  // --- t47: iterated BPE training -------------------------------------
+
+  private val BpeRounds = 6
+
+  /** Adjacent-symbol pair statistics of a segmentation table
+    * (f, seg=" sym sym … ") — the t46 shape generalized from characters
+    * to multi-char symbols. Bounded by Σ per-word symbol counts over the
+    * DISTINCT-word vocabulary, not by corpus rows. */
+  private def segPairStats(seg: DataFrame): DataFrame = seg
+    .select(col("f"), split(trim(col("seg")), " ").as("t"))
+    .filter(size(col("t")) >= 2)
+    .select(col("f"), col("t"),
+      explode(sequence(lit(0), size(col("t")) - 2)).as("i"))
+    .select(element_at(col("t"), col("i") + 1).as("a"),
+      element_at(col("t"), col("i") + 2).as("b"), col("f"))
+    .groupBy(col("a"), col("b"))
+    .agg(sum(col("f")).as("total"))
+
+  /** t47: iterated BPE training — N merge rounds of the loop whose first
+    * step t46 gates: count adjacent symbol pairs (corpus-weighted over
+    * the distinct-word vocabulary), merge the argmax pair in every
+    * word's segmentation, recount. Output is the learned merge table —
+    * the actual artifact a BPE tokenizer trainer produces.
+    *
+    * Plan shape (the t12/t43 round discipline): the vocabulary-sized
+    * segmentation table advances one eager `localCheckpoint` per round,
+    * so round r's pair count scans a materialized table instead of
+    * re-deriving r stacked projections (O(N) total work, not O(N²));
+    * the per-round argmax is a 1-row driver collect (the Rank.offsets
+    * bound), and the merge applies as one narrow `replace` projection —
+    * space-delimited symbols make left-to-right non-overlapping string
+    * replacement exactly BPE's merge semantics, in both engines. At
+    * 100 TB the corpus is touched ONCE (the word-frequency pass);
+    * every round after that is vocabulary-sized. */
+  def t47BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val wf = fanOut(documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    var seg = wf
+      .select(col("f"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+          .as("seg"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    (1 to BpeRounds).foreach { r =>
+      val top = segPairStats(seg)
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"t47: corpus exhausted at merge round $r of $BpeRounds")
+      val (a, b, tot) =
+        (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      merges += ((r.toLong, a, b, tot))
+      val prev = seg
+      seg = seg
+        .withColumn("seg", org.apache.spark.sql.functions.replace(
+          col("seg"), lit(s" $a $b "), lit(s" $a$b ")))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    seg.unpersist()
+    import s.implicits._
+    merges.result()
+      .toDF("merge_round", "left_sym", "right_sym", "total")
+      .sortedSmall("merge_round")
+  }
+
+  /** N chained (non-recursive) CTE stages replaying the exact loop —
+    * each stage re-pairs, argmaxes with the same (total DESC, a, b)
+    * tiebreak, and applies the same delimited string replace. */
+  val t47Oracle: String = {
+    val stages = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b, f FROM (
+         |    SELECT f, string_split(trim(seg), ' ') AS t,
+         |      unnest(range(1, len(string_split(trim(seg), ' ')))) AS i
+         |    FROM s${r - 1})),
+         |b$r AS (
+         |  SELECT a, b, CAST(SUM(f) AS BIGINT) AS total
+         |  FROM p$r GROUP BY a, b
+         |  ORDER BY total DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT f, replace(seg, ' ' || b$r.a || ' ' || b$r.b || ' ',
+         |    ' ' || b$r.a || b$r.b || ' ') AS seg
+         |  FROM s${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, a AS left_sym, " +
+        s"b AS right_sym, total FROM b$r").mkString(" UNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT word, COUNT(*) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS (
+       |  SELECT f, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg
+       |  FROM wf),
+       |$stages
+       |$union
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  // --- t48: exact shared-substring spans ------------------------------
+
+  private val SpanK = 8 // anchor gram width (words)
+  private val SpanMin = 12 // report spans of at least this many words
+  private val SpanDfCap = 256 // drop anchors shared by more docs than this
+
+  /** t48: exact substring deduplication — maximal verbatim word-level
+    * spans shared between documents (the suffix-array operator of
+    * "Deduplicating Training Data", expressed as rolling anchor postings
+    * instead of a global suffix array; t39/t42 approximate this, t48 is
+    * exact over surviving anchors). Pipeline: distinct-text
+    * representatives (the Canon collapse — exact-dup pairs are t01's
+    * membership, not a span list) → every K-word gram with its position
+    * → hash-bucketed posting self-join with string verification →
+    * diagonal run detection (consecutive anchor matches at constant
+    * pos offset merge via the pos − row_number trick) → maximal spans,
+    * reported at ≥ [[SpanMin]] words.
+    *
+    * Scale shape: the posting join is equi-join-shaped (64-bit gram hash
+    * as shuffle key, full gram string verified in the join condition, so
+    * hash collisions cannot corrupt results); boilerplate anchors are
+    * df-capped at [[SpanDfCap]] BEFORE the self-join (the t23 prefix-
+    * filter discipline — pairs per anchor are bounded by cap², and a
+    * dropped anchor only splits a span, deterministically in both
+    * engines); runs group on (pair, diagonal), a key no wider than the
+    * match list itself. Nothing is all-pairs, nothing is driver-side. */
+  def t48SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val reps = fanOut(documents(s, dir))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val grams = reps
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanK)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (SpanK - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          (0 until SpanK).map(j => element_at(col("w"), col("pos") + j)): _*)
+          .as("gram"))
+      .withColumn("h", xxhash64(col("gram")))
+    // df-cap via partial+final countDistinct then an equi-join back — NOT
+    // a collect_set window, whose per-gram state is exactly the unbounded
+    // boilerplate list the cap exists to defuse.
+    val rare = grams.groupBy(col("h"), col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= SpanDfCap)
+      .select(col("h"), col("gram"))
+    val kept = grams.join(rare, Seq("h", "gram"))
+      .select(col("doc_id"), col("pos"), col("gram"), col("h"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+      col("gram").as("ga"), col("h").as("ha"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+      col("gram").as("gb"), col("h").as("hb"))
+    val pairs = a.join(b,
+      col("ha") === col("hb") && col("ga") === col("gb") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val byDiag = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("run", col("pa") - row_number().over(byDiag))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pa") - col("pb")).as("diag"), col("run"))
+      .agg(min(col("pa")).as("a_pos"), min(col("pb")).as("b_pos"),
+        (count(lit(1)) + (SpanK - 1)).as("span_words"))
+      .filter(col("span_words") >= SpanMin)
+      .select(col("doc_a"), col("doc_b"),
+        col("a_pos").cast("long"), col("b_pos").cast("long"),
+        col("span_words"))
+      .sortedWide("doc_a", "doc_b", "a_pos", "b_pos")
+  }
+
+  val t48Oracle: String =
+    s"""WITH d AS (SELECT min(doc_id) AS doc_id, text
+       |           FROM documents GROUP BY text),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+       |g AS (SELECT doc_id, i AS pos,
+       |        array_to_string(w[i:i + ${SpanK - 1}], ' ') AS gram
+       |      FROM (SELECT doc_id, w,
+       |              unnest(range(1, len(w) - ${SpanK - 2})) AS i
+       |            FROM t WHERE len(w) >= $SpanK)),
+       |df AS (SELECT gram FROM (
+       |         SELECT gram, COUNT(DISTINCT doc_id) AS df
+       |         FROM g GROUP BY gram)
+       |       WHERE df <= $SpanDfCap),
+       |kept AS (SELECT g.* FROM g JOIN df USING (gram)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pa, b.pos AS pb
+       |  FROM kept a JOIN kept b
+       |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+       |    pa - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run
+       |  FROM pairs),
+       |spans AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(MIN(pa) AS BIGINT) AS a_pos,
+       |    CAST(MIN(pb) AS BIGINT) AS b_pos,
+       |    COUNT(*) + ${SpanK - 1} AS span_words
+       |  FROM runs GROUP BY doc_a, doc_b, diag, run)
+       |SELECT doc_a, doc_b, a_pos, b_pos, span_words
+       |FROM spans WHERE span_words >= $SpanMin
+       |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
@@ -1052,5 +1259,7 @@ object TextOps3 {
     Q("t43_graph_rank", t43GraphRank, Some(t43Oracle)),
     Q("t44_temperature_mix", t44TemperatureMix, Some(t44Oracle)),
     Q("t45_wordpiece_tokenize", t45WordpieceTokenize, Some(t45Oracle)),
-    Q("t46_bpe_pair_stats", t46BpePairStats, Some(t46Oracle)))
+    Q("t46_bpe_pair_stats", t46BpePairStats, Some(t46Oracle)),
+    Q("t47_bpe_train", t47BpeTrain, Some(t47Oracle)),
+    Q("t48_substring_dedup", t48SubstringDedup, Some(t48Oracle)))
 }
