@@ -540,6 +540,37 @@ final class TableStore(spark: SparkSession, warehouse: String) {
 
   def drop(table: String): Unit = deleteRecursive(dir(table)) // K5
 
+  /** Sweep orphaned claim directories left by CRASHED writers — claimed
+    * (the `vN` dir exists) but never published (no commit marker names
+    * them and they are not the head). A fresh unreferenced claim may
+    * belong to an in-flight writer that will still legitimately publish
+    * (commitClaimed re-seqs under contention), so the sweep is
+    * age-gated: only claims whose newest file is older than
+    * `olderThanMs` go (the lease discipline — a writer that has not
+    * touched its claim for the TTL is dead, not slow). Orphans BELOW the
+    * head also age out through [[gc]] on later commits; vacuum covers
+    * the above-head case and idle tables. Returns the swept versions. */
+  def vacuum(table: String, olderThanMs: Long = 3600000L): Seq[Int] = {
+    val referenced = markers(table).map(_._2).toSet + currentVersion(table)
+    val now = System.currentTimeMillis()
+    listDir(table).flatMap { p =>
+      val n = p.getFileName.toString
+      if (!n.matches("v\\d+") || referenced(n.drop(1).toInt)) None
+      else {
+        val entries = {
+          val s = Files.list(p)
+          try s.iterator().asScala.toList finally s.close()
+        }
+        val lastTouched = (p +: entries)
+          .map(f => Files.getLastModifiedTime(f).toMillis).max
+        if (now - lastTouched >= olderThanMs) {
+          deleteRecursive(p)
+          Some(n.drop(1).toInt)
+        } else None
+      }
+    }.sorted
+  }
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
