@@ -1168,9 +1168,14 @@ object TextOps3 {
     * dropped anchor only splits a span, deterministically in both
     * engines); runs group on (pair, diagonal), a key no wider than the
     * match list itself. Nothing is all-pairs, nothing is driver-side. */
-  def t48SubstringDedup(s: SparkSession, dir: String): DataFrame = {
-    val reps = fanOut(documents(s, dir))
+  private def repsOf(s: SparkSession, dir: String): DataFrame =
+    fanOut(documents(s, dir))
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+
+  /** The shared span pipeline behind t48 (report) and t49 (scrub):
+    * anchors → df-cap → verified posting join → diagonal runs → maximal
+    * spans ≥ [[SpanMin]]. */
+  private def spansOf(reps: DataFrame): DataFrame = {
     val grams = reps
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= SpanK)
@@ -1211,10 +1216,15 @@ object TextOps3 {
       .select(col("doc_a"), col("doc_b"),
         col("a_pos").cast("long"), col("b_pos").cast("long"),
         col("span_words"))
-      .sortedWide("doc_a", "doc_b", "a_pos", "b_pos")
   }
 
-  val t48Oracle: String =
+  def t48SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    spansOf(repsOf(s, dir))
+      .sortedWide("doc_a", "doc_b", "a_pos", "b_pos")
+
+  /** Shared CTE chain replaying [[spansOf]] — the prefix of both the
+    * t48 and t49 oracles. */
+  private val spanOracleCtes: String =
     s"""WITH d AS (SELECT min(doc_id) AS doc_id, text
        |           FROM documents GROUP BY text),
        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
@@ -1239,14 +1249,88 @@ object TextOps3 {
        |      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run
        |  FROM pairs),
        |spans AS (
-       |  SELECT doc_a, doc_b,
-       |    CAST(MIN(pa) AS BIGINT) AS a_pos,
-       |    CAST(MIN(pb) AS BIGINT) AS b_pos,
-       |    COUNT(*) + ${SpanK - 1} AS span_words
-       |  FROM runs GROUP BY doc_a, doc_b, diag, run)
-       |SELECT doc_a, doc_b, a_pos, b_pos, span_words
-       |FROM spans WHERE span_words >= $SpanMin
+       |  SELECT doc_a, doc_b, a_pos, b_pos, span_words FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(MIN(pa) AS BIGINT) AS a_pos,
+       |      CAST(MIN(pb) AS BIGINT) AS b_pos,
+       |      COUNT(*) + ${SpanK - 1} AS span_words
+       |    FROM runs GROUP BY doc_a, doc_b, diag, run)
+       |  WHERE span_words >= $SpanMin)""".stripMargin
+
+  val t48Oracle: String =
+    s"""$spanOracleCtes
+       |SELECT doc_a, doc_b, a_pos, b_pos, span_words FROM spans
        |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
+
+  /** t49: substring scrub — APPLY t48's spans to the corpus: the
+    * lower-id side of every reported span keeps its text, the higher-id
+    * side has the covered word positions removed, and the survivors
+    * reassemble in position order (the "Deduplicating Training Data"
+    * remove-duplicate-substrings step, rep-level like t48; exact-dup
+    * collapse is t01/t17's membership). Covered positions union via
+    * explode+distinct (span-bounded, not corpus-bounded), removal is a
+    * left-anti equi-join on (doc, pos), reassembly is the t30 recipe —
+    * position-sorted struct array per document, bounded by the document
+    * length the row already carried. */
+  def t49SubstringScrub(s: SparkSession, dir: String): DataFrame = {
+    val reps = repsOf(s, dir)
+    val spans = spansOf(reps)
+    val covered = spans
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_pos"),
+          col("b_pos") + col("span_words") - 1)).as("pos"))
+      .distinct()
+    val words = reps
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        col("w"))
+      .select(col("doc_id"), col("n_words"),
+        explode(sequence(lit(1), size(col("w")))).as("pos"), col("w"))
+      .select(col("doc_id"), col("n_words"), col("pos").cast("long").as("pos"),
+        element_at(col("w"), col("pos")).as("word"))
+    val keptWords = words
+      .join(covered.withColumn("pos", col("pos").cast("long")),
+        Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = keptWords.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word"))).as("text_scrubbed"))
+    reps.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_scrubbed"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+      .sortedWide("doc_id")
+  }
+
+  val t49Oracle: String =
+    s"""$spanOracleCtes,
+       |covered AS (
+       |  SELECT DISTINCT doc_b AS doc_id, b_pos + i AS pos
+       |  FROM (SELECT doc_b, b_pos,
+       |          unnest(range(0, span_words)) AS i FROM spans)),
+       |words AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS pos, w
+       |  FROM t),
+       |wpos AS (SELECT doc_id, n_words, pos, w[pos] AS word FROM words),
+       |keptw AS (
+       |  SELECT wpos.* FROM wpos LEFT JOIN covered
+       |    ON wpos.doc_id = covered.doc_id AND wpos.pos = covered.pos
+       |  WHERE covered.doc_id IS NULL),
+       |rebuilt AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(word, ' ' ORDER BY pos) AS text_scrubbed
+       |  FROM keptw GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+       |  CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_scrubbed,
+       |  coalesce(r.text_scrubbed, '') AS text_scrubbed
+       |FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
@@ -1261,5 +1345,6 @@ object TextOps3 {
     Q("t45_wordpiece_tokenize", t45WordpieceTokenize, Some(t45Oracle)),
     Q("t46_bpe_pair_stats", t46BpePairStats, Some(t46Oracle)),
     Q("t47_bpe_train", t47BpeTrain, Some(t47Oracle)),
-    Q("t48_substring_dedup", t48SubstringDedup, Some(t48Oracle)))
+    Q("t48_substring_dedup", t48SubstringDedup, Some(t48Oracle)),
+    Q("t49_substring_scrub", t49SubstringScrub, Some(t49Oracle)))
 }
