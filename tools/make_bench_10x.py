@@ -16,8 +16,17 @@ import json
 import sys
 
 
+def _duck(path):
+    """bench_duck output: flat {name: s} (legacy) or {per, errors}."""
+    d = json.load(open(path))
+    if "per" in d:
+        return d["per"], d.get("errors", {})
+    return d, {}
+
+
 def main() -> None:
-    s1, s10, d1, d10 = (json.load(open(p)) for p in sys.argv[1:5])
+    s1, s10 = (json.load(open(p)) for p in sys.argv[1:3])
+    (d1, d1err), (d10, d10err) = (_duck(p) for p in sys.argv[3:5])
     out = sys.argv[5] if len(sys.argv) > 5 else "BENCH_10X.json"
     q1, q10 = s1["queries"], s10["queries"]
     names = sorted(set(q1) & set(q10))
@@ -49,7 +58,8 @@ def main() -> None:
         "yardsticks": {"spark_1x": s1.get("yardsticks"),
                        "spark_10x": s10.get("yardsticks")},
         "errors": {"spark_1x": s1.get("errors"),
-                   "spark_10x": s10.get("errors")},
+                   "spark_10x": s10.get("errors"),
+                   "duck_1x": d1err, "duck_10x": d10err},
         "superlinear_spark": superlinear,
         "queries": per,
     }
