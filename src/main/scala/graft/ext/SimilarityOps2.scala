@@ -621,6 +621,94 @@ object SimilarityOps2 {
       |        ORDER BY rrf DESC, cid) AS BIGINT) AS rnk FROM f)
       |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  // --- e25: k-center coreset selection ---------------------------------
+
+  private val KCenters = 8
+
+  /** Rounded squared euclidean distance from the proven fold primitives
+    * (`list_inner_product` on DOUBLE[] is a sequential left fold — the
+    * e09 identity): ‖a−b‖² = a·a + b·b − 2·a·b, round 4 so both engines
+    * compare the same value. */
+  private def sqDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    round(dot(a, a) + dot(b, b) - dot(a, b) * 2, 4)
+
+  /** e25: k-center coreset selection — greedy farthest-first traversal
+    * (Gonzalez 1985), the diversity-sampling primitive training-data
+    * pipelines use to pick maximally-spread exemplars (coreset seeding,
+    * eval-set diversification, k-means++-style init). Deterministic:
+    * seed = smallest vec_id, then K−1 rounds of "farthest point from the
+    * selected set" with (distance DESC, vec_id) tiebreak. Output is the
+    * selection order with each center's coverage radius at selection
+    * time — the classic 2-approximation certificate for the k-center
+    * objective.
+    *
+    * Plan shape (the t47 round discipline): per-point running min
+    * squared distance to the selected set advances one eager
+    * localCheckpoint per round — each round is ONE narrow map (distance
+    * to the single new center, O(N·d)) + a 1-row argmax collect; no
+    * shuffle grows with K, nothing is pairwise. At 100 TB this is K
+    * linear passes — the textbook distributed k-center. */
+  def e25KCenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy(col("vec_id")).limit(1).collect().head
+    var selected = List[(Long, Long, Double)](
+      (1L, seed.getLong(0), 0.0))
+    var st = e
+      .withColumn("md",
+        sqDist(col("embedding"), typedlit(seed.getSeq[Float](1).toArray)))
+      .localCheckpoint()
+    (2 to KCenters).foreach { r =>
+      val chosen = selected.map(_._2)
+      val top = st.filter(!col("vec_id").isInCollection(chosen))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect().head
+      selected ::= ((r.toLong, top.getLong(0), top.getDouble(2)))
+      val cvec = top.getSeq[Float](1).toArray
+      val prev = st
+      st = st
+        .withColumn("md",
+          least(col("md"), sqDist(col("embedding"), typedlit(cvec))))
+        .localCheckpoint()
+      prev.unpersist()
+    }
+    st.unpersist()
+    import s.implicits._
+    selected.reverse.toDF("sel_round", "vec_id", "coverage")
+      .sortedSmall("sel_round")
+  }
+
+  /** K−1 chained CTE stages replaying the greedy loop exactly —
+    * same seed, same rounded-distance fold, same tiebreak. */
+  val e25Oracle: String = {
+    def dist(a: String, b: String) =
+      s"round(list_inner_product($a, $a) + list_inner_product($b, $b)" +
+        s" - list_inner_product($a, $b) * 2, 4)"
+    val stages = (2 to KCenters).map { r =>
+      val prior = (1 until r)
+        .map(i => s"SELECT vec_id FROM b$i").mkString(" UNION ALL ")
+      s"""b$r AS (
+         |  SELECT vec_id, v, md FROM d${r - 1}
+         |  WHERE vec_id NOT IN ($prior)
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |d$r AS (
+         |  SELECT d.vec_id, d.v,
+         |    LEAST(d.md, ${dist("d.v", "b.v")}) AS md
+         |  FROM d${r - 1} d, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val union = (s"SELECT CAST(1 AS BIGINT) AS sel_round, vec_id, " +
+      s"CAST(0.0 AS DOUBLE) AS coverage FROM b1") +:
+      (2 to KCenters).map(r =>
+        s"SELECT CAST($r AS BIGINT), vec_id, md FROM b$r")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |b1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.v, ${dist("e.v", "b.v")} AS md
+       |       FROM e, b1 b),
+       |$stages
+       |${union.mkString(" UNION ALL ")}
+       |ORDER BY sel_round""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -628,5 +716,6 @@ object SimilarityOps2 {
     Q("e21_hard_negatives", e21HardNegatives, Some(e21Oracle)),
     Q("e22_binary_hamming_topk", e22BinaryHammingTopK, Some(e22Oracle)),
     Q("e23_matryoshka_topk", e23MatryoshkaTopK, Some(e23Oracle)),
-    Q("e24_rrf_fusion", e24RrfFusion, Some(e24Oracle)))
+    Q("e24_rrf_fusion", e24RrfFusion, Some(e24Oracle)),
+    Q("e25_kcenter_coreset", e25KCenterCoreset, Some(e25Oracle)))
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.SimilarityOps2
+
+/** Invariants of e25 greedy k-center (farthest-first traversal). Exact-value
+  * parity is gated by the DuckDB oracle at sf0.01; here we check the
+  * guarantees the algorithm is FOR: the seed rule, selection distinctness,
+  * and the monotone coverage certificate that makes it a 2-approximation. */
+class CoresetSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("e25 k-center: seed is min vec_id; rounds distinct; coverage non-increasing") {
+    val r = SimilarityOps2.e25KCenterCoreset(spark, sf).collect()
+    assert(r.length == 8)
+    assert(r.map(_.getLong(0)).toSeq == (1L to 8L))
+    val ids = r.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length, "centers must be distinct")
+    // Seed is the smallest vec_id with coverage 0 by convention.
+    val minId = graft.tables.Tables.embeddings(spark, sf)
+      .agg(min(col("vec_id"))).head().getLong(0)
+    assert(r.head.getLong(1) == minId && r.head.getDouble(2) == 0.0)
+    // Greedy picks the farthest remaining point each round and min-distances
+    // only shrink as centers accumulate, so the selected radii must be
+    // non-increasing from round 2 on — the k-center 2-approx certificate.
+    val radii = r.drop(1).map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radii must be non-increasing: ${radii.mkString(",")}")
+    assert(radii.head > 0.0, "a non-degenerate corpus has a positive radius")
+  }
+
+  test("e25 k-center: round-2 radius equals the true max distance from the seed") {
+    val r = SimilarityOps2.e25KCenterCoreset(spark, sf).collect()
+    val seedId = r.head.getLong(1)
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val seedVec = e.filter(col("vec_id") === seedId)
+      .head().getSeq[Float](1).toArray
+    // Same sequential-left-fold double accumulation as VecOps.dot.
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    // Recompute ‖x−seed‖² rounded 4 exactly as the operator does.
+    val maxD = e.collect().filter(_.getLong(0) != seedId).map { row =>
+      val v = row.getSeq[Float](1).toArray
+      BigDecimal(d2(v, v) + d2(seedVec, seedVec) - 2 * d2(v, seedVec))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.max
+    assert(math.abs(r(1).getDouble(2) - maxD) < 1e-9,
+      s"round-2 radius ${r(1).getDouble(2)} != direct max $maxD")
+  }
+}
