@@ -16,6 +16,7 @@ object Registry {
     ops.Relational.all ++ ops.Relational2.all ++ ops.Bucketed.all ++
       ops.Skew.all ++ ops.Quality.all ++ ops.Sql.all ++
       ext.TextOps.all ++ ext.TextOps2.all ++ ext.TextOps3.all ++
+      ext.TextOps4.all ++
       ext.SimilarityOps.all ++ ext.SimilarityOps2.all ++
       ext.EventOps.all ++ ext.MultimodalOps.all
 }
