@@ -281,7 +281,7 @@ object SimilarityOps {
     * the lowest vec_ids, two decimal-exact Lloyd rounds). Returns
     * (codebook (cid, cvec, cn), final assignment (vec_id, embedding,
     * cid)) — shared by e06 and the IVF-PQ composition (e14). */
-  private def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ext] def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val kCells = 16
     // minimize |c|^2 - 2 a·c (== L2 distance up to the constant |a|^2);
     // nearest-cell election is the partial-aggregable min(struct) argmin
@@ -398,13 +398,20 @@ object SimilarityOps {
     * assignment, same nprobe=2 probe + rounded-cosine top-10.
     * `list_inner_product` over DOUBLE[] is a sequential left fold —
     * verified bit-identical to the codegen'd VecOps kernels. */
-  val e06Oracle: String = {
-    // dist(v, c) exactly as the Spark side computes it: cn*cn − dot*2
-    // with cn = sqrt(Σc²) (sqrt-then-square, NOT Σc² — the lost bits are
-    // part of the contract).
-    def dist(v: String, c: String): String =
-      s"sqrt(list_inner_product($c, $c)) * sqrt(list_inner_product($c, $c))" +
-        s" - list_inner_product($v, $c) * 2"
+  // dist(v, c) exactly as the Spark side computes it: cn*cn − dot*2
+  // with cn = sqrt(Σc²) (sqrt-then-square, NOT Σc² — the lost bits are
+  // part of the contract).
+  private[ext] def ivfDistSql(v: String, c: String): String =
+    s"sqrt(list_inner_product($c, $c)) * sqrt(list_inner_product($c, $c))" +
+      s" - list_inner_product($v, $c) * 2"
+
+  /** DuckDB CTE chain replaying [[ivfModel]]'s training + final assignment
+    * — e (vectors as DOUBLE[]), c0 seeds, two decimal-exact Lloyd rounds,
+    * a3 = the final (vec_id, v, cid) assignment. Shared by e06's probe
+    * oracle and e26's cluster-balanced sampler so both gates replay ONE
+    * model. */
+  private[ext] val ivfAssignCtes: String = {
+    def dist(v: String, c: String): String = ivfDistSql(v, c)
     def assign(src: String, cents: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, v, cid FROM (
@@ -422,14 +429,19 @@ object SimilarityOps {
          |            unnest(v) AS x FROM $assigned)
          |    GROUP BY cid, pos)
          |  GROUP BY cid)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
        |${assign("e", "c0", "a1")},
        |${recompute("a1", "c1")},
        |${assign("e", "c1", "a2")},
        |${recompute("a2", "c2")},
-       |${assign("e", "c2", "a3")},
+       |${assign("e", "c2", "a3")}""".stripMargin
+  }
+
+  val e06Oracle: String = {
+    def dist(v: String, c: String): String = ivfDistSql(v, c)
+    s"""WITH $ivfAssignCtes,
        |probes AS (
        |  SELECT qid, qv, cid FROM (
        |    SELECT e.vec_id AS qid, e.v AS qv, c.cid,

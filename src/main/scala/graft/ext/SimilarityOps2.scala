@@ -709,6 +709,62 @@ object SimilarityOps2 {
        |ORDER BY sel_round""".stripMargin
   }
 
+  // --- e26: cluster-balanced sampling ---------------------------------
+
+  /** e26: cluster-balanced corpus sampling — the density-aware pruning
+    * step of cluster-then-sample curation pipelines (SemDeDup/D4-style):
+    * assign every vector to its IVF cell (e06's trained model, shared
+    * bit-for-bit with that gate's oracle), then keep ceil(sqrt(n_cell))
+    * exemplars per cell, chosen by a deterministic md5 draw. Dense
+    * regions are downweighted (a cell 100× larger contributes only 10×
+    * the samples), sparse regions survive — the diversity-preserving
+    * alternative to uniform sampling.
+    *
+    * Plan shape: the assignment is e06's probe (broadcast codebook
+    * against the partitioned vector scan, argmin in place); the draw is
+    * ONE window shuffle keyed on cid (count + row_number share the single
+    * exchange) followed by the quota filter. At 100 TB the cell count
+    * scales with the corpus (65k+ cells), so the window keys are
+    * plentiful and the per-cell streams are bounded by cell size; a
+    * pathological mega-cell is exactly what the sqrt quota caps. */
+  def e26ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, assigned) = SimilarityOps.ivfModel(s, dir)
+    val draw = conv(substring(
+      graft.functions.Md5Hex.graft_md5(
+        concat(lit("e26:"), col("vec_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val byCell = Window.partitionBy(col("cid"))
+    val r = assigned
+      .select(col("cid"), col("vec_id"), draw.as("draw"))
+      .withColumn("cell_n", count(lit(1)).over(byCell))
+      .withColumn("samp_rank",
+        row_number().over(byCell.orderBy(col("draw"), col("vec_id")))
+          .cast("long"))
+      .filter(col("samp_rank") <= ceil(sqrt(col("cell_n"))))
+      .select(col("cid"), col("vec_id"), col("cell_n"), col("samp_rank"))
+    r.sortedSmall("cid", "samp_rank")
+  }
+
+  /** Replays e06's shared training/assignment CTEs, then the same
+    * sqrt-quota draw. */
+  val e26Oracle: String =
+    s"""WITH ${SimilarityOps.ivfAssignCtes},
+       |d AS (
+       |  SELECT cid, vec_id,
+       |    CAST(('0x' || substr(md5('e26:' || CAST(vec_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) AS draw,
+       |    COUNT(*) OVER (PARTITION BY cid) AS cell_n
+       |  FROM a3),
+       |r AS (
+       |  SELECT cid, vec_id, cell_n,
+       |    CAST(row_number() OVER (PARTITION BY cid
+       |      ORDER BY draw, vec_id) AS BIGINT) AS samp_rank
+       |  FROM d)
+       |SELECT cid, vec_id, cell_n, samp_rank FROM r
+       |WHERE samp_rank <= ceil(sqrt(cell_n))
+       |ORDER BY cid, samp_rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -717,5 +773,6 @@ object SimilarityOps2 {
     Q("e22_binary_hamming_topk", e22BinaryHammingTopK, Some(e22Oracle)),
     Q("e23_matryoshka_topk", e23MatryoshkaTopK, Some(e23Oracle)),
     Q("e24_rrf_fusion", e24RrfFusion, Some(e24Oracle)),
-    Q("e25_kcenter_coreset", e25KCenterCoreset, Some(e25Oracle)))
+    Q("e25_kcenter_coreset", e25KCenterCoreset, Some(e25Oracle)),
+    Q("e26_cluster_sample", e26ClusterSample, Some(e26Oracle)))
 }

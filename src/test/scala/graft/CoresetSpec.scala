@@ -5,10 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ext.SimilarityOps2
 
-/** Invariants of e25 greedy k-center (farthest-first traversal). Exact-value
-  * parity is gated by the DuckDB oracle at sf0.01; here we check the
-  * guarantees the algorithm is FOR: the seed rule, selection distinctness,
-  * and the monotone coverage certificate that makes it a 2-approximation. */
+/** Invariants of the diversity-sampling operators: e25 greedy k-center
+  * (farthest-first traversal) and e26 cluster-balanced sampling.
+  * Exact-value parity is gated by the DuckDB oracle at sf0.01; here we
+  * check the guarantees each algorithm is FOR: e25's seed rule, selection
+  * distinctness and the monotone coverage certificate that makes it a
+  * 2-approximation; e26's exact sqrt quota per cell and full-corpus cell
+  * accounting. */
 class CoresetSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -52,5 +55,26 @@ class CoresetSpec extends AnyFunSuite {
     }.max
     assert(math.abs(r(1).getDouble(2) - maxD) < 1e-9,
       s"round-2 radius ${r(1).getDouble(2)} != direct max $maxD")
+  }
+
+  test("e26 cluster sample: exact ceil(sqrt) quota per cell; cells cover the corpus") {
+    val r = SimilarityOps2.e26ClusterSample(spark, sf).collect()
+    val ids = r.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length, "a vector sampled once at most")
+    r.groupBy(_.getLong(0)).values.foreach { rows =>
+      val n = rows.head.getLong(2)
+      assert(rows.forall(_.getLong(2) == n), "cell_n consistent within a cell")
+      val quota = math.ceil(math.sqrt(n.toDouble)).toLong
+      val ranks = rows.map(_.getLong(3)).sorted
+      assert(ranks.toSeq == (1L to quota),
+        s"ranks must be exactly 1..$quota, got ${ranks.mkString(",")}")
+    }
+    // Every vector sits in exactly one cell, so distinct cell sizes must
+    // sum to the corpus — the sampler saw everything, dense cells get
+    // sublinear representation.
+    val total = graft.tables.Tables.embeddings(spark, sf).count()
+    val cellSum = r.groupBy(_.getLong(0)).values.map(_.head.getLong(2)).sum
+    assert(cellSum == total, s"cells cover $cellSum of $total vectors")
+    assert(r.length < total, "sampling must actually prune")
   }
 }
