@@ -55,15 +55,21 @@ object TextOps4 {
     * map, and measured 4.5× wall for 10× input; the codegen'd alternative
     * (explode + groupBy) would buy a corpus-sized shuffle to save
     * per-element dispatch, the wrong trade at any scale. */
-  def t50QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  def t50QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    scoreOf(documents(s, dir)).sortedWide("doc_id")
+
+  /** The t50 scorer as a stateless projection over any (doc_id, text)
+    * relation — shared verbatim by the batch gate above and the
+    * streaming twin ([[graft.streaming.Streams.scoredDocuments]]), so
+    * both paths score with the identical expression tree. */
+  private[graft] def scoreOf(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    documents(s, dir)
+    docs
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         aggregate(toks, lit(0L),
           (acc, t) => acc + weight(bucket(t))).as("score_raw"))
       .withColumn("kept", col("score_raw") > 0L)
-      .sortedWide("doc_id")
   }
 
   val t50Oracle: String =

@@ -278,4 +278,18 @@ object Streams {
           else Iterator.empty
       }
   }
+
+  /** Streaming twin of TextOps4.t50 — quality-score documents IN FLIGHT
+    * (the filter stage of a streaming ingest pipeline). Stateless
+    * per-row projection shared verbatim with the batch gate
+    * ([[graft.ext.TextOps4.scoreOf]]): no watermark, no state store,
+    * append mode — at scale this is pure partition-parallel map over
+    * arriving files/micro-batches. */
+  def scoredDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    graft.ext.TextOps4.scoreOf(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir))
+  }
 }

@@ -411,6 +411,20 @@ class StreamsSpec extends AnyFunSuite {
     assert(tS.count() == 2)
     assert(tS.exceptAll(tB).count() == 0 && tB.exceptAll(tS).count() == 0)
   }
+
+  test("streaming document quality scores match the t50 batch twin row-for-row") {
+    val q = Streams.scoredDocuments(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scored_docs_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scored_docs_out")
+    val batch = ext.TextOps4.t50QualityClassifier(spark, sf)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
 
 /** Stateless extension ops run unchanged over streams: the t19 chunk
