@@ -516,6 +516,48 @@ object EventOps {
       |FROM t WHERE trailing_n > 0
       |ORDER BY event_type, hour_start""".stripMargin
 
+  /** s14: rolling active users — exact DAU and trailing-7-day WAU per
+    * active day, the engagement staple every event pipeline reports.
+    *
+    * The scalable shape for rolling DISTINCT: no per-day user-set window
+    * (unbounded state) and no day×day range join — each distinct
+    * (day, user) pair EXPANDS to the ≤7 anchor days it keeps the user
+    * active for (constant ×7 narrow explode), then one distinct + one
+    * count per anchor. Every stage is an equi-shuffle on (day, user) or
+    * day; the anchor-day dimension is broadcast. At 100 TB: shuffles
+    * carry distinct pairs (bounded by users×days, already deduped
+    * map-side), never raw events. */
+  def s14RollingActive(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("(ts div 1000000000) div 86400")
+    val du = events(s, dir)
+      .select(day.as("day"), col("user_id")).distinct()
+    val anchors = du.select(col("day")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("user_id"))
+      .join(broadcast(anchors), "day", "left_semi")
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select((col("day") * 86400L).as("day_start"),
+        col("dau"), col("wau"))
+      .sortedWide("day_start")
+  }
+
+  val s14Oracle: String =
+    """WITH e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+      |             AS day, user_id FROM events),
+      |du AS (SELECT DISTINCT day, user_id FROM e),
+      |anchors AS (SELECT DISTINCT day FROM du),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+      |ex AS (SELECT DISTINCT a.day AS day, du.user_id
+      |       FROM du JOIN anchors a ON a.day BETWEEN du.day AND du.day + 6),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM ex GROUP BY day)
+      |SELECT CAST(d.day * 86400 AS BIGINT) AS day_start,
+      |  CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau
+      |FROM dau d JOIN wau w USING (day) ORDER BY day_start""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -529,5 +571,6 @@ object EventOps {
     Q("s10_inter_event_gaps", s10InterEventGaps, Some(s10Oracle)),
     Q("s11_gap_fill", s11GapFill, Some(s11Oracle)),
     Q("s12_event_dedup", s12EventDedup, Some(s12Oracle)),
-    Q("s13_rate_anomaly", s13RateAnomaly, Some(s13Oracle)))
+    Q("s13_rate_anomaly", s13RateAnomaly, Some(s13Oracle)),
+    Q("s14_rolling_active", s14RollingActive, Some(s14Oracle)))
 }
