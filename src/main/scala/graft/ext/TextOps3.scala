@@ -1274,13 +1274,25 @@ object TextOps3 {
     * length the row already carried. */
   def t49SubstringScrub(s: SparkSession, dir: String): DataFrame = {
     val reps = repsOf(s, dir)
-    val spans = spansOf(reps)
+    // The span report is this query's INPUT — t49 is "apply t48's
+    // report", so the spans are a per-corpus artifact (the winnow_pairs
+    // discipline): computed once next to the corpus, not re-derived by
+    // every consumer.
+    val spans = Artifacts.materialized(s, "substring_spans", dir)(
+      spansOf(repsOf(s, dir)))
     val covered = spans
       .select(col("doc_b").as("doc_id"),
         explode(sequence(col("b_pos"),
           col("b_pos") + col("span_words") - 1)).as("pos"))
       .distinct()
-    val words = reps
+    // Only span-affected documents pay the word-level rebuild; the
+    // untouched majority passes through verbatim (split/rejoin on a
+    // single-char separator is the identity, empties included, so the
+    // two paths agree on every byte). At 100 TB this is the difference
+    // between exploding the corpus and exploding the offending tail.
+    val scrubIds = covered.select(col("doc_id")).distinct()
+    val dirty = reps.join(scrubIds, Seq("doc_id"), "left_semi")
+    val words = dirty
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
         col("w"))
@@ -1297,14 +1309,19 @@ object TextOps3 {
           transform(
             array_sort(collect_list(struct(col("pos"), col("word")))),
             x => x.getField("word"))).as("text_scrubbed"))
-    reps.select(col("doc_id"),
+    val dirtyOut = dirty.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_words"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         (col("n_words") - coalesce(col("n_kept"), lit(0L)))
           .as("n_scrubbed"),
         coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
-      .sortedWide("doc_id")
+    val cleanOut = reps.join(scrubIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        lit(0L).as("n_scrubbed"),
+        col("text").as("text_scrubbed"))
+    dirtyOut.unionByName(cleanOut).sortedWide("doc_id")
   }
 
   val t49Oracle: String =
