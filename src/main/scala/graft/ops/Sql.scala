@@ -121,6 +121,157 @@ object Sql {
     }
   }
 
+  /** The canonical upsert statement (BigQuery/ANSI shape):
+    * {{{
+    * MERGE INTO `proj.ds.target` t USING `proj.ds.src` s
+    * ON t.k = s.k
+    * WHEN MATCHED THEN UPDATE SET t.c = s.c, ...
+    * WHEN NOT MATCHED THEN INSERT (k, c, ...) VALUES (s.k, s.c, ...)
+    * }}} */
+  final case class MergeInto(target: String, source: String,
+      targetKey: String, sourceKey: String, sets: Seq[(String, String)],
+      inserts: Seq[(String, String)])
+
+  private val MergeStmt = (
+    """(?is)\s*MERGE\s+INTO\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
+    """USING\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
+    """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+""" +
+    """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+""" +
+    """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*""" +
+    """VALUES\s*\(([^)]*)\)\s*;?\s*""").r
+  private val SrcRef = """(?is)\s*(\w+)\.(\w+)\s*""".r
+
+  /** Parse MERGE INTO; loud on anything outside the two-clause
+    * update+insert shape (no DELETE clause, no predicated WHENs) — like
+    * [[parseUpdateFrom]], this covers the statement surface a reference
+    * user actually ships, not general SQL DML. */
+  def parseMergeInto(sql: String): MergeInto = sql match {
+    case MergeStmt(target, tAlias, source, sAlias,
+        oa1, oc1, oa2, oc2, setList, insCols, insVals) =>
+      val (tKey, sKey) =
+        if (oa1.equalsIgnoreCase(tAlias) && oa2.equalsIgnoreCase(sAlias))
+          (oc1, oc2)
+        else if (oa1.equalsIgnoreCase(sAlias) && oa2.equalsIgnoreCase(tAlias))
+          (oc2, oc1)
+        else throw new IllegalArgumentException(
+          s"ON must equate the two aliases '$tAlias'/'$sAlias', " +
+            s"got '$oa1.$oc1 = $oa2.$oc2'")
+      val sets = setList.split(",").toSeq.map {
+        case Assign(lAlias, lCol, rAlias, rCol) =>
+          require(lAlias == null || lAlias.equalsIgnoreCase(tAlias),
+            s"SET column '$lAlias.$lCol' must belong to target '$tAlias'")
+          require(rAlias.equalsIgnoreCase(sAlias),
+            s"SET source '$rAlias.$rCol' must come from '$sAlias'")
+          lCol -> rCol
+        case other => throw new IllegalArgumentException(
+          s"unsupported SET item '$other': expected t.col = s.col")
+      }
+      val cols = insCols.split(",").toSeq.map(_.trim)
+      val vals = insVals.split(",").toSeq.map {
+        case SrcRef(a, c) =>
+          require(a.equalsIgnoreCase(sAlias),
+            s"INSERT value '$a.$c' must come from '$sAlias'")
+          c
+        case other => throw new IllegalArgumentException(
+          s"unsupported INSERT value '$other': expected s.col")
+      }
+      require(cols.length == vals.length && cols.nonEmpty,
+        s"INSERT column list (${cols.length}) and VALUES " +
+          s"(${vals.length}) must align")
+      MergeInto(baseName(target), baseName(source), tKey, sKey,
+        sets, cols.zip(vals))
+    case _ => throw new IllegalArgumentException(
+      "unsupported DML: expected MERGE INTO <t> a USING <s> b ON a.k = b.k " +
+        "WHEN MATCHED THEN UPDATE SET ... " +
+        "WHEN NOT MATCHED THEN INSERT (...) VALUES (...)")
+  }
+
+  /** Execute MERGE INTO against a [[TableStore]] table — same
+    * transactional route as [[runDml]] (snapshot-pinned scan, CAS commit,
+    * optimistic retry). Matched target rows take the SET assignments,
+    * unmatched source rows INSERT (columns absent from the list are
+    * NULL), unmatched target rows pass through. Source keys must be
+    * unique AND non-null — a null key can never match, and silently
+    * inserting it would manufacture an unreachable row, so both are
+    * loud errors (BigQuery's one-source-row rule, tightened). */
+  def runMerge(s: SparkSession, store: TableStore, sql: String): Unit = {
+    val u = parseMergeInto(sql)
+    val src =
+      if (store.exists(u.source)) store.read(u.source) else s.table(u.source)
+    val bad = src.groupBy(col(u.sourceKey)).count()
+      .filter(col("count") > 1 || col(u.sourceKey).isNull).limit(1).collect()
+    require(bad.isEmpty,
+      s"MERGE USING ${u.source}: source key ${u.sourceKey} value " +
+        s"'${bad.headOption.map(_.get(0)).orNull}' is null or non-unique")
+    val uKey = "__u_" + u.sourceKey
+    val rhsCols =
+      (u.sourceKey +: (u.sets.map(_._2) ++ u.inserts.map(_._2))).distinct
+    val renamedSrc = src.select(rhsCols.map(c => col(c).as("__u_" + c)): _*)
+    store.mergeWith(u.target) { cur =>
+      val srcM = col(uKey).isNotNull
+      val tgtM = cur(u.targetKey).isNotNull
+      val outCols: Seq[Column] = cur.columns.toSeq.map { c =>
+        val ins = u.inserts.find(_._1.equalsIgnoreCase(c))
+          .map(p => col("__u_" + p._2))
+          .getOrElse(lit(null))
+        val upd = u.sets.find(_._1.equalsIgnoreCase(c))
+          .map(p => col("__u_" + p._2))
+        when(srcM && !tgtM, ins)
+          .when(srcM && tgtM, upd.getOrElse(cur(c)))
+          .otherwise(cur(c)).as(c)
+      }
+      cur.join(renamedSrc, cur(u.targetKey) === col(uKey), "full")
+        .select(outCols: _*)
+    }
+  }
+
+  /** q57: the MERGE INTO statement end-to-end through the versioned
+    * store: the target holds two thirds of `orders`, the staged source
+    * carries a repriced copy of EVERY order with a sentinel status —
+    * matched rows take the new price but KEEP their status (only price
+    * is in SET), unmatched orders INSERT whole rows carrying the
+    * sentinel. The oracle recomputes both branches declaratively, so the
+    * hash gate proves parse → full-outer merge → transactional commit →
+    * read-back exercises the update and insert paths distinguishably.
+    *
+    * Scale shape: one full outer join on the key over the store scan —
+    * [[graft.psn.TableStore.mergeWith]]'s rewrite discipline unchanged. */
+  def q57SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_m", orders(s, dir)
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    store.overwrite("orders_src", orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 1.05).as("o_totalprice"),
+        lit("N").as("o_orderstatus")))
+    runMerge(s, store,
+      """MERGE INTO `graft-project.store.orders_m` t
+        |USING `graft-project.store.orders_src` s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice,
+        |  o_orderstatus) VALUES (s.o_orderkey, s.o_totalprice,
+        |  s.o_orderstatus)
+        |""".stripMargin)
+    store.drop("orders_src")
+    store.read("orders_m")
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("merged_price"),
+        col("o_orderstatus").as("status"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q57Oracle: String =
+    """SELECT o_orderkey, o_totalprice * 1.05 AS merged_price,
+      |  CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus
+      |       ELSE 'N' END AS status
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** q56: the reference's own DML statement end-to-end — stage an updates
     * table next to the target (main.py:256-273's temp-table load), run the
     * literal UPDATE-FROM text through [[runDml]], drop the temp table
@@ -164,5 +315,6 @@ object Sql {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   val all: Seq[graft.Q] = Seq(
-    graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)))
+    graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
+    graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)))
 }

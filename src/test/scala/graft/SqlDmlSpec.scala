@@ -111,4 +111,61 @@ class SqlDmlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 5L), (2L, 60L)))
   }
+
+  private val mergeText =
+    """
+    MERGE INTO `my-project.playstation.game` t
+    USING `my-project.playstation.game_src` s
+    ON t.id = s.id
+    WHEN MATCHED THEN UPDATE SET t.play_count = s.play_count
+    WHEN NOT MATCHED THEN INSERT (id, play_count)
+      VALUES (s.id, s.play_count)
+    """
+
+  test("parses MERGE INTO; DELETE clauses and predicated WHENs are loud") {
+    val m = Sql.parseMergeInto(mergeText)
+    assert(m.target == "game" && m.source == "game_src")
+    assert(m.targetKey == "id" && m.sourceKey == "id")
+    assert(m.sets == Seq("play_count" -> "play_count"))
+    assert(m.inserts == Seq("id" -> "id", "play_count" -> "play_count"))
+    intercept[IllegalArgumentException] {
+      Sql.parseMergeInto(
+        "MERGE INTO a t USING b s ON t.id = s.id " +
+          "WHEN MATCHED THEN DELETE")
+    }
+    intercept[IllegalArgumentException] {
+      Sql.parseMergeInto(mergeText.replace("(id, play_count)", "(id)"))
+    }
+  }
+
+  test("runMerge: matched updated, unmatched source inserted (absent cols NULL), unmatched target kept") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game",
+      Seq((1L, "t1", 10L), (3L, "t3", 30L))
+        .toDF("id", "title", "play_count"))
+    store.overwrite("game_src",
+      Seq((1L, "x1", 11L), (2L, "x2", 22L))
+        .toDF("id", "title", "play_count"))
+    Sql.runMerge(spark, store, mergeText)
+    val got = store.read("game").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, Some("t1"), 11L), // updated: only play_count is in SET
+      (2L, None, 22L), // inserted: title absent from the INSERT list
+      (3L, Some("t3"), 30L))) // untouched
+    assert(store.versions("game").nonEmpty)
+  }
+
+  test("runMerge: null or duplicate source keys are loud errors") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game", Seq((1L, 5L)).toDF("id", "play_count"))
+    store.overwrite("game_src",
+      Seq((Some(1L), 6L), (None, 7L)).toDF("id", "play_count"))
+    val e = intercept[IllegalArgumentException] {
+      Sql.runMerge(spark, store, mergeText)
+    }
+    assert(e.getMessage.contains("null or non-unique"))
+  }
 }
