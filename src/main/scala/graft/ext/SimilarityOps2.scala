@@ -649,27 +649,41 @@ object SimilarityOps2 {
     * to the single new center, O(N·d)) + a 1-row argmax collect; no
     * shuffle grows with K, nothing is pairwise. At 100 TB this is K
     * linear passes — the textbook distributed k-center. */
-  def e25KCenterCoreset(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val seed = e.orderBy(col("vec_id")).limit(1).collect().head
+  def e25KCenterCoreset(s: SparkSession, dir: String): DataFrame =
+    e25Of(s, embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** The greedy loop over any (vec_id, embedding) relation. Selects
+    * min(K, N) centers: a corpus smaller than the budget exhausts
+    * cleanly after its last point instead of failing the argmax. */
+  private[graft] def e25Of(s: SparkSession, e: DataFrame): DataFrame = {
+    val seedRows = e.orderBy(col("vec_id")).limit(1).collect()
+    require(seedRows.nonEmpty, "k-center selection over an empty corpus")
+    val seed = seedRows.head
     var selected = List[(Long, Long, Double)](
       (1L, seed.getLong(0), 0.0))
     var st = e
       .withColumn("md",
         sqDist(col("embedding"), typedlit(seed.getSeq[Float](1).toArray)))
       .localCheckpoint()
-    (2 to KCenters).foreach { r =>
+    var r = 2
+    var exhausted = false
+    while (r <= KCenters && !exhausted) {
       val chosen = selected.map(_._2)
-      val top = st.filter(!col("vec_id").isInCollection(chosen))
-        .orderBy(col("md").desc, col("vec_id")).limit(1).collect().head
-      selected ::= ((r.toLong, top.getLong(0), top.getDouble(2)))
-      val cvec = top.getSeq[Float](1).toArray
-      val prev = st
-      st = st
-        .withColumn("md",
-          least(col("md"), sqDist(col("embedding"), typedlit(cvec))))
-        .localCheckpoint()
-      prev.unpersist()
+      val tops = st.filter(!col("vec_id").isInCollection(chosen))
+        .orderBy(col("md").desc, col("vec_id")).limit(1).collect()
+      if (tops.isEmpty) exhausted = true
+      else {
+        val top = tops.head
+        selected ::= ((r.toLong, top.getLong(0), top.getDouble(2)))
+        val cvec = top.getSeq[Float](1).toArray
+        val prev = st
+        st = st
+          .withColumn("md",
+            least(col("md"), sqDist(col("embedding"), typedlit(cvec))))
+          .localCheckpoint()
+        prev.unpersist()
+        r += 1
+      }
     }
     st.unpersist()
     import s.implicits._

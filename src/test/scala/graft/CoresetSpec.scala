@@ -57,6 +57,22 @@ class CoresetSpec extends AnyFunSuite {
       s"round-2 radius ${r(1).getDouble(2)} != direct max $maxD")
   }
 
+  test("e25 k-center: a corpus smaller than K exhausts cleanly at N centers") {
+    import spark.implicits._
+    val tiny = Seq(
+      (10L, Array(0f, 0f)), (11L, Array(3f, 4f)), (12L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps2.e25Of(spark, tiny).collect()
+    assert(r.length == 3)
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // seed 10, then (3,4) at 25, then (0,1) at 1 — order + radii exact
+    assert(r.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(0.0, 25.0, 1.0))
+    intercept[IllegalArgumentException] {
+      SimilarityOps2.e25Of(spark, tiny.filter(col("vec_id") < 0))
+    }
+  }
+
   test("e26 cluster sample: exact ceil(sqrt) quota per cell; cells cover the corpus") {
     val r = SimilarityOps2.e26ClusterSample(spark, sf).collect()
     val ids = r.map(_.getLong(1))
