@@ -572,11 +572,58 @@ object MultimodalOps {
       |  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
       |ORDER BY media_a, media_b""".stripMargin
 
+  /** m07: cross-modal consistency — for every visually-duplicate image
+    * pair (m06's decoded-aHash candidates over the pinned corpus), how
+    * much do the two captions agree? Identical images carrying unrelated
+    * captions are the classic noisy-pair signal in caption-image training
+    * sets (one label is wrong, or the pair is a re-post with drifted alt
+    * text); high caption overlap marks a pure duplicate for t01-style
+    * collapse. Agreement = distinct shared tokens between the captions
+    * (integer-exact; boolean caption identity is degenerate on this
+    * corpus — every text is unique — so the gate scores the graded
+    * signal a curation threshold would actually cut on). The image side
+    * decodes real PNGs; the text side replays in DuckDB.
+    *
+    * Scale shape: m06's banded candidate generation (never all-pairs)
+    * plus two equi-joins from the pair's media ids to the caption
+    * projection of `documents`, then a per-pair array intersect — at
+    * 100 TB the caption side is one narrow column keyed on the join id
+    * and the intersect is caption-bounded, not corpus-bounded. */
+  def m07CrossModalConsistency(s: SparkSession, dir: String): DataFrame = {
+    val caps = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    m06AHashPairs(syntheticImages(s, dir))
+      .join(caps.select(col("doc_id").as("media_a"), col("toks").as("ta")),
+        "media_a")
+      .join(caps.select(col("doc_id").as("media_b"), col("toks").as("tb")),
+        "media_b")
+      .select(col("media_a"), col("media_b"), col("hamming"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("caption_overlap"))
+      .sortedWide("media_a", "media_b")
+  }
+
+  /** Replays m06's pinned pair structure and the caption-token overlap
+    * from `documents` alone (DuckDB decodes no pixels — the m06
+    * contract-oracle precedent). */
+  val m07Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE doc_id < 240)
+      |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+      |  CAST(0 AS BIGINT) AS hamming,
+      |  CAST(len(list_distinct(list_intersect(a.toks, b.toks)))
+      |    AS BIGINT) AS caption_overlap
+      |FROM d a JOIN d b
+      |  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+      |ORDER BY media_a, media_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
     Q("m02_decode_features", m02DecodeFeatures, Some(m02Oracle)),
     Q("m03_frame_sample", m03FrameSample, Some(m03Oracle)),
     Q("m04_resize", m04Resize, Some(m04Oracle)),
     Q("m05_frame_dedup", m05FrameDedup, Some(m05Oracle)),
-    Q("m06_ahash_pairs", m06AHashPairsGate, Some(m06Oracle)))
+    Q("m06_ahash_pairs", m06AHashPairsGate, Some(m06Oracle)),
+    Q("m07_crossmodal_consistency", m07CrossModalConsistency,
+      Some(m07Oracle)))
 }

@@ -123,4 +123,28 @@ class MultimodalSpec extends AnyFunSuite {
       .join(r.filter(col("overlap_r") === 1.0), Seq("a", "b"), "left_anti")
     assert(missing.count() == 0)
   }
+
+  test("m07 cross-modal consistency: overlap equals a direct distinct-token intersection") {
+    val r = ext.MultimodalOps.m07CrossModalConsistency(spark, sf).collect()
+    assert(r.nonEmpty)
+    val caps = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 240)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" ").toSet)).toMap
+    // every within-class pair present, overlap recomputed independently
+    val expectedPairs = for {
+      a <- caps.keys.toSeq; b <- caps.keys.toSeq
+      if a < b && a % 8 == b % 8
+    } yield (a, b)
+    assert(r.length == expectedPairs.length)
+    r.foreach { x =>
+      val (a, b) = (x.getLong(0), x.getLong(1))
+      assert(a % 8 == b % 8 && a < b)
+      assert(x.getLong(3) == (caps(a) & caps(b)).size.toLong,
+        s"pair ($a,$b) overlap mismatch")
+    }
+    // the graded signal must actually vary — a constant column gates
+    // nothing a curation threshold could cut on
+    assert(r.map(_.getLong(3)).distinct.length > 1)
+  }
 }
