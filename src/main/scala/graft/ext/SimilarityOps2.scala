@@ -779,6 +779,60 @@ object SimilarityOps2 {
        |WHERE samp_rank <= ceil(sqrt(cell_n))
        |ORDER BY cid, samp_rank""".stripMargin
 
+  // --- e27: retrieval-eval MRR ----------------------------------------
+
+  /** e27: retrieval evaluation — mean-reciprocal-rank inputs for the
+    * binary-hamming retriever (e22) judged against the exact cosine
+    * top-1 (e02), the eval-harness primitive behind every ANN quality
+    * dashboard (e07 measures set recall; this measures where in the
+    * list the right answer lands). Integer-exact: rr_ppm = 1e6 div rank,
+    * 0 when the truth misses the shortlist, so both engines compare
+    * without float division.
+    *
+    * Scale shape: both retrievers are existing gates (broadcast-query
+    * plans); the judgment is one left equi-join of Q truth rows against
+    * Q×k retrieved rows — eval cost is retrieval cost, the join is
+    * noise. */
+  def e27RetrievalMrr(s: SparkSession, dir: String): DataFrame = {
+    val truth = SimilarityOps.e02CosineTopK(s, dir)
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("cid").as("truth_cid"))
+    val ham = e22BinaryHammingTopK(s, dir)
+      .select(col("qid").as("hqid"), col("cid").as("hcid"),
+        col("rnk").as("hrnk"))
+    truth
+      .join(ham,
+        col("qid") === col("hqid") && col("truth_cid") === col("hcid"),
+        "left")
+      .select(col("qid"), col("truth_cid"),
+        coalesce(col("hrnk"), lit(0L)).as("found_rank"),
+        coalesce(expr("1000000 div hrnk"), lit(0L)).as("rr_ppm"))
+      .sortedSmall("qid")
+  }
+
+  /** Nests the e02 and e22 oracles verbatim as derived tables, so the
+    * judged lists are bit-identical to their own gates'. */
+  val e27Oracle: String = {
+    val exactTop1 =
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |      FROM embeddings),
+        |p AS (SELECT qid, cid,
+        |        round(list_cosine_similarity(qe, ce), 4) AS cos_r
+        |      FROM q, c WHERE cid <> qid)
+        |SELECT qid, cid AS truth_cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_r DESC, cid) AS rnk FROM p) WHERE rnk = 1""".stripMargin
+    s"""SELECT e.qid, e.truth_cid,
+       |  CAST(coalesce(h.rnk, 0) AS BIGINT) AS found_rank,
+       |  CAST(coalesce(1000000 // h.rnk, 0) AS BIGINT) AS rr_ppm
+       |FROM ($exactTop1) e
+       |LEFT JOIN ($e22Oracle) h
+       |  ON h.qid = e.qid AND h.cid = e.truth_cid
+       |ORDER BY e.qid""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -788,5 +842,6 @@ object SimilarityOps2 {
     Q("e23_matryoshka_topk", e23MatryoshkaTopK, Some(e23Oracle)),
     Q("e24_rrf_fusion", e24RrfFusion, Some(e24Oracle)),
     Q("e25_kcenter_coreset", e25KCenterCoreset, Some(e25Oracle)),
-    Q("e26_cluster_sample", e26ClusterSample, Some(e26Oracle)))
+    Q("e26_cluster_sample", e26ClusterSample, Some(e26Oracle)),
+    Q("e27_retrieval_mrr", e27RetrievalMrr, Some(e27Oracle)))
 }

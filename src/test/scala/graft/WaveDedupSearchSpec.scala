@@ -113,4 +113,21 @@ class WaveDedupSearchSpec extends AnyFunSuite {
     assert(r.map(_.getLong(2)).sum == distinctKeys,
       "keepers must be exactly one per (user, type, bucket)")
   }
+
+  test("e27 MRR: judgment agrees with the two retrievers' own outputs") {
+    val r = SimilarityOps2.e27RetrievalMrr(spark, sf).collect()
+    val truth = SimilarityOps.e02CosineTopK(spark, sf)
+      .filter(col("rnk") === 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val ham = SimilarityOps2.e22BinaryHammingTopK(spark, sf).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(4))).toMap
+    assert(r.length == truth.size)
+    r.foreach { x =>
+      val (qid, tc, fr, rr) =
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(tc == truth(qid))
+      assert(fr == ham.getOrElse((qid, tc), 0L))
+      assert(rr == (if (fr > 0) 1000000L / fr else 0L))
+    }
+  }
 }
