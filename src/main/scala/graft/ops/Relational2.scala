@@ -647,6 +647,50 @@ object Relational2 {
       |  MAX(o_orderdate) AS last_order
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q58: time-travel version diff — "what did commit N actually do",
+    * answered from RETAINED SNAPSHOTS instead of replaying the transform
+    * (the audit query every versioned lakehouse ships). The gate runs a
+    * real three-commit history through the store (load → reprice open
+    * orders → surcharge every fifth order) and diffs the last two
+    * retained versions with [[graft.psn.TableStore.diffVersions]]: one
+    * full outer join on the key, each side's non-key columns compared as
+    * one null-safe struct, unchanged rows dropped. The oracle recomputes
+    * the second merge's effect declaratively from `orders`, so the hash
+    * gate proves commit → retention → snapshot read → diff equals the
+    * transform it audits.
+    *
+    * Scale shape: two immutable snapshot scans + one key shuffle,
+    * regardless of schema width (the struct compare) — and the diff
+    * OUTPUT is bounded by what the commit touched, not the table. */
+  def q58TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_tt_wh").toString
+    val store = new graft.psn.TableStore(s, wh)
+    store.overwrite("orders_v", orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    store.mergeWith("orders_v")(cur => cur.withColumn("o_totalprice",
+      when(col("o_orderstatus") === "O", col("o_totalprice") * 1.1)
+        .otherwise(col("o_totalprice"))))
+    store.mergeWith("orders_v")(cur => cur.withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 5.0)
+        .otherwise(col("o_totalprice"))))
+    val vs = store.versions("orders_v")
+    store.diffVersions("orders_v", vs(vs.length - 2), vs.last, "o_orderkey")
+      .select(col("o_orderkey"), col("change"),
+        col("before.o_totalprice").as("price_before"),
+        col("after.o_totalprice").as("price_after"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q58Oracle: String =
+    """SELECT o_orderkey, 'changed' AS change,
+      |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+      |       ELSE o_totalprice END AS price_before,
+      |  (CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+      |        ELSE o_totalprice END) + 5.0 AS price_after
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -671,5 +715,6 @@ object Relational2 {
     Q("q46_lateral_topk", q46LateralTopk, Some(q46Oracle)),
     Q("q47_median", q47Median, Some(q47Oracle)),
     Q("q48_scd2", q48Scd2, Some(q48Oracle)),
-    Q("q49_view_maintenance", q49ViewMaintenance, Some(q49Oracle)))
+    Q("q49_view_maintenance", q49ViewMaintenance, Some(q49Oracle)),
+    Q("q58_time_travel", q58TimeTravel, Some(q58Oracle)))
 }
