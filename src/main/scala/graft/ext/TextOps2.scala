@@ -186,7 +186,12 @@ object TextOps2 {
     * tiny shuffle for df (vocabulary-sized), then a broadcast join back —
     * the fact table is touched once. */
   def t22Tfidf(s: SparkSession, dir: String): DataFrame = {
-    val tf = bigramTf(s, dir)
+    // tf feeds three consumers (df broadcast, N probe, the weight join);
+    // without the persist each broadcast materialization re-runs the
+    // corpus-sized explode+shuffle lineage (JobProbe: two ~0.7 s builds
+    // before the join). Lazy persist, released by the per-query
+    // clearCache isolation.
+    val tf = bigramTf(s, dir).persist()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(broadcast(df), "term")
