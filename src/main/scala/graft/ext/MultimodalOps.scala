@@ -617,6 +617,194 @@ object MultimodalOps {
       |  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
       |ORDER BY media_a, media_b""".stripMargin
 
+  // --- m08: audio frame energy / voice-activity detection --------------
+
+  final case class AudioActivity(
+      media_id: Long, n_frames: Int, active_frames: Int, speech_pct: Long,
+      first_active: Int, last_active: Int)
+
+  /** Samples per analysis frame (a production VAD frames PCM at 10–30 ms;
+    * the stand-in payload is byte-per-sample). */
+  private val AudioFrameBytes = 16
+
+  /** Per-sample activity threshold: a frame is "speech" when its mean
+    * sample value exceeds this (integer cross-multiplied — no division). */
+  private val AudioActiveAvg = 90L
+
+  /** m08: voice-activity detection over the audio rows of the media table —
+    * the silence-trim / speech-ratio pass an audio training pipeline runs
+    * before transcription. Frames each payload (16-sample frames, final
+    * partial frame included), computes per-frame energy, flags frames
+    * whose mean sample exceeds the threshold, and reports per clip the
+    * frame count, active count, speech percentage, and the first/last
+    * active frame (the trim points). −1 sentinels mark all-silence clips.
+    *
+    * Same executor-batch shape as m02: one mapPartitions kernel over the
+    * binary column — a production deployment swaps the byte loop for a
+    * real PCM decode + energy/zero-crossing VAD with identical plumbing
+    * (narrow map, no shuffle, pipelines with the scan at 100 TB). The
+    * stand-in arithmetic is integer-exact so the DuckDB oracle replays
+    * it from the documents bytes. */
+  def m08AudioActivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val n = m.content.length
+          val nFrames = (n + AudioFrameBytes - 1) / AudioFrameBytes
+          var f = 0
+          var active = 0
+          var first = -1
+          var last = -1
+          while (f < nFrames) {
+            val lo = f * AudioFrameBytes
+            val hi = math.min(lo + AudioFrameBytes, n)
+            var e = 0L
+            var i = lo
+            while (i < hi) { e += (m.content(i) & 0xff); i += 1 }
+            if (e > AudioActiveAvg * (hi - lo)) {
+              active += 1
+              if (first < 0) first = f
+              last = f
+            }
+            f += 1
+          }
+          val pct = if (nFrames == 0) 0L else 100L * active / nFrames
+          AudioActivity(m.media_id, nFrames, active, pct, first, last)
+        }
+      }
+      .toDF()
+      .sortedWide("media_id")
+  }
+
+  /** Replays the frame/energy arithmetic from the documents bytes via the
+    * m02 hex-slice recipe (constant generate_series; 1024 ≥ corpus max). */
+  val m08Oracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |idx AS (SELECT unnest(generate_series(1, 1024)) AS i),
+       |b AS (
+       |  SELECT media_id, (i - 1) // $AudioFrameBytes AS f,
+       |    CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS bv
+       |  FROM m JOIN idx ON i <= n),
+       |fr AS (
+       |  SELECT media_id, f, SUM(bv) AS e, COUNT(*) AS fn
+       |  FROM b GROUP BY media_id, f),
+       |fl AS (SELECT media_id, f, e > $AudioActiveAvg * fn AS act FROM fr)
+       |SELECT media_id,
+       |  CAST(COUNT(*) AS INTEGER) AS n_frames,
+       |  CAST(SUM(CAST(act AS INTEGER)) AS INTEGER) AS active_frames,
+       |  CAST(100 * SUM(CAST(act AS BIGINT)) // COUNT(*) AS BIGINT)
+       |    AS speech_pct,
+       |  CAST(coalesce(MIN(CASE WHEN act THEN f END), -1) AS INTEGER)
+       |    AS first_active,
+       |  CAST(coalesce(MAX(CASE WHEN act THEN f END), -1) AS INTEGER)
+       |    AS last_active
+       |FROM fl GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  // --- m09: video scene-change detection -------------------------------
+
+  final case class SceneStats(
+      media_id: Long, n_frames: Int, n_cuts: Int, n_scenes: Int,
+      longest_scene: Int, first_cut: Int)
+
+  /** Mean-intensity jump (per sample, integer) that counts as a hard cut. */
+  private val SceneCutDelta = 8L
+
+  /** m09: scene-change detection over the video rows — the shot-boundary
+    * pass a video training pipeline runs before sampling frames per scene
+    * (so a 2-hour single-shot clip and a 200-cut trailer don't yield the
+    * same frame budget). Frames each payload (16-sample frames), computes
+    * per-frame mean intensity, declares a cut wherever the mean jumps by
+    * ≥ [[SceneCutDelta]] between consecutive frames, and reports per clip
+    * the cut count, scene count, longest scene run, and first cut point
+    * (−1 when single-scene). A production deployment replaces the byte
+    * loop with a real frame decode + histogram distance inside the same
+    * kernel; everything downstream is unchanged.
+    *
+    * Same executor-batch shape as m02/m08: one mapPartitions kernel, no
+    * shuffle, pipelines with the scan — at 100 TB the cost is the scan
+    * itself. The scene segmentation (gaps-and-islands over cut flags) is
+    * computed inside the kernel per clip: payloads are row-local, so no
+    * window exchange is needed — the oracle replays the same segmentation
+    * relationally with a cumulative-sum window. */
+  def m09SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val n = m.content.length
+          val nFrames = (n + AudioFrameBytes - 1) / AudioFrameBytes
+          val means = Array.tabulate(nFrames) { f =>
+            val lo = f * AudioFrameBytes
+            val hi = math.min(lo + AudioFrameBytes, n)
+            var e = 0L
+            var i = lo
+            while (i < hi) { e += (m.content(i) & 0xff); i += 1 }
+            e / (hi - lo)
+          }
+          var cuts = 0
+          var firstCut = -1
+          var run = 1
+          var longest = if (nFrames > 0) 1 else 0
+          var f = 1
+          while (f < nFrames) {
+            if (math.abs(means(f) - means(f - 1)) >= SceneCutDelta) {
+              cuts += 1
+              if (firstCut < 0) firstCut = f
+              run = 1
+            } else run += 1
+            if (run > longest) longest = run
+            f += 1
+          }
+          SceneStats(m.media_id, nFrames, cuts, cuts + 1, longest, firstCut)
+        }
+      }
+      .toDF()
+      .sortedWide("media_id")
+  }
+
+  /** Replays frame means from the documents bytes (m02 hex-slice recipe),
+    * the cut flags via a lag window, and the scene runs via a
+    * cumulative-sum gaps-and-islands segmentation. */
+  val m09Oracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |idx AS (SELECT unnest(generate_series(1, 1024)) AS i),
+       |b AS (
+       |  SELECT media_id, (i - 1) // $AudioFrameBytes AS f,
+       |    CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS bv
+       |  FROM m JOIN idx ON i <= n),
+       |fr AS (
+       |  SELECT media_id, f, SUM(bv) // COUNT(*) AS mn
+       |  FROM b GROUP BY media_id, f),
+       |cf AS (
+       |  SELECT media_id, f,
+       |    CASE WHEN lag(mn) OVER w IS NOT NULL
+       |           AND abs(mn - lag(mn) OVER w) >= $SceneCutDelta
+       |         THEN 1 ELSE 0 END AS cut
+       |  FROM fr WINDOW w AS (PARTITION BY media_id ORDER BY f)),
+       |sc AS (
+       |  SELECT media_id, f, cut,
+       |    SUM(cut) OVER (PARTITION BY media_id ORDER BY f) AS scene
+       |  FROM cf),
+       |runs AS (
+       |  SELECT media_id, scene, COUNT(*) AS run_len
+       |  FROM sc GROUP BY media_id, scene)
+       |SELECT sc.media_id,
+       |  CAST(COUNT(*) AS INTEGER) AS n_frames,
+       |  CAST(SUM(cut) AS INTEGER) AS n_cuts,
+       |  CAST(SUM(cut) + 1 AS INTEGER) AS n_scenes,
+       |  CAST((SELECT MAX(run_len) FROM runs r
+       |        WHERE r.media_id = sc.media_id) AS INTEGER) AS longest_scene,
+       |  CAST(coalesce(MIN(CASE WHEN cut = 1 THEN f END), -1) AS INTEGER)
+       |    AS first_cut
+       |FROM sc GROUP BY sc.media_id ORDER BY sc.media_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
     Q("m02_decode_features", m02DecodeFeatures, Some(m02Oracle)),
@@ -625,5 +813,7 @@ object MultimodalOps {
     Q("m05_frame_dedup", m05FrameDedup, Some(m05Oracle)),
     Q("m06_ahash_pairs", m06AHashPairsGate, Some(m06Oracle)),
     Q("m07_crossmodal_consistency", m07CrossModalConsistency,
-      Some(m07Oracle)))
+      Some(m07Oracle)),
+    Q("m08_audio_activity", m08AudioActivity, Some(m08Oracle)),
+    Q("m09_scene_cuts", m09SceneCuts, Some(m09Oracle)))
 }

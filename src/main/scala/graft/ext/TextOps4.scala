@@ -84,6 +84,125 @@ object TextOps4 {
        |          % $FeatDim) * 2654435761 % 1001 - 500)), 0) > 0 AS kept
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- t51: Gopher-style rule-based quality gate -----------------------
+
+  /** The stopword panel for the "contains at least two distinct common
+    * words" rule (Gopher's stopword heuristic, shrunk to the panel that
+    * exists in this corpus's vocabulary). */
+  private val StopPanel = Seq("the", "a", "of", "to", "and")
+
+  /** t51: rule-based document quality gate in the style of the Gopher
+    * heuristics (Rae et al. 2021, "Scaling Language Models", App. A):
+    * word-count bounds, mean-word-length bounds, a distinct-stopword
+    * floor, and a max-word-length cap; a document is kept only if every
+    * rule passes. All arithmetic is integer-exact (mean bounds are
+    * expressed as cross-multiplied inequalities) so the DuckDB oracle
+    * replays it bit-for-bit.
+    *
+    * Plan shape: ONE narrow projection per document — word count and
+    * word-chars come from `size`/`n_chars` (no explode), the stopword
+    * panel is a fixed set of `array_contains` probes, and the only HOF
+    * is the max-word-length fold (interpreted lambda, the documented t50
+    * trade). No shuffle before the output sort; at 100 TB this is a pure
+    * corpus scan — the cheapest possible filter pass, which is exactly
+    * why production pipelines run rule gates before any model scoring. */
+  def t51GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("long")
+    // words are space-separated, so total word chars = n_chars − spaces
+    val wordChars = col("n_chars") - nWords + lit(1L)
+    val distinctStop = StopPanel
+      .map(w => array_contains(toks, w).cast("long"))
+      .reduce(_ + _)
+    val maxWordLen = array_max(transform(toks, t => length(t))).cast("long")
+    documents(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"),
+        wordChars.as("word_chars"), distinctStop.as("distinct_stop"),
+        maxWordLen.as("max_word_len"))
+      .withColumn("r_count", col("n_words").between(30L, 80L))
+      .withColumn("r_wordlen",
+        (lit(4L) * col("n_words") <= col("word_chars")) &&
+          (col("word_chars") <= lit(10L) * col("n_words")))
+      .withColumn("r_stop", col("distinct_stop") >= 2L)
+      .withColumn("r_maxword", col("max_word_len") <= 12L)
+      .withColumn("kept",
+        col("r_count") && col("r_wordlen") && col("r_stop") && col("r_maxword"))
+      .sortedWide("doc_id")
+  }
+
+  val t51Oracle: String = {
+    val nw = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    val stop = StopPanel
+      .map(w => s"CAST(list_contains(string_split(text, ' '), '$w') AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH g AS (SELECT doc_id, $nw AS n_words,
+       |  n_chars - $nw + 1 AS word_chars,
+       |  $stop AS distinct_stop,
+       |  CAST(list_max(list_transform(string_split(text, ' '), t -> len(t)))
+       |    AS BIGINT) AS max_word_len
+       |FROM documents)
+       |SELECT doc_id, n_words, word_chars, distinct_stop, max_word_len,
+       |  n_words BETWEEN 30 AND 80 AS r_count,
+       |  4 * n_words <= word_chars AND word_chars <= 10 * n_words AS r_wordlen,
+       |  distinct_stop >= 2 AS r_stop,
+       |  max_word_len <= 12 AS r_maxword,
+       |  n_words BETWEEN 30 AND 80
+       |    AND 4 * n_words <= word_chars AND word_chars <= 10 * n_words
+       |    AND distinct_stop >= 2 AND max_word_len <= 12 AS kept
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  // --- t52: CCNet-style per-language perplexity buckets ----------------
+
+  /** t52: CCNet-style quality bucketing (Wenzek et al. 2020) — score every
+    * document with the t50 linear model and split each language into
+    * head / middle / tail terciles by score (NTILE(3) over the language
+    * partition, score-desc). CCNet does exactly this with KenLM
+    * perplexity; the scorer here is the hashed linear model whose
+    * integer arithmetic both engines replay exactly ([[scoreOf]] — the
+    * identical expression tree, so t50 and t52 cannot drift).
+    *
+    * Plan shape: one narrow scoring projection, then ONE lang-keyed
+    * exchange shared by the tercile window. At 100 TB an exact NTILE is
+    * a per-language distributed sort; the production variant derives the
+    * two cutoffs from approx percentiles in a first pass and buckets
+    * with a broadcast map in a second — same two-scan budget CCNet
+    * spends. Exactness wins here because the bucket IS the contract. */
+  def t52PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("score_raw").desc, col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + weight(bucket(t))).as("score_raw"))
+      .withColumn("bucket3", ntile(3).over(w).cast("long"))
+      .withColumn("ppl_bucket",
+        when(col("bucket3") === 1L, "head")
+          .when(col("bucket3") === 2L, "middle")
+          .otherwise("tail"))
+      .sortedWide("doc_id")
+  }
+
+  val t52Oracle: String =
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+       |    t -> (CAST(('0x' || substr(md5('feat:' || t), 1, 8)) AS BIGINT)
+       |          % $FeatDim) * 2654435761 % 1001 - 500)), 0)
+       |    AS BIGINT) AS score_raw
+       |FROM documents)
+       |SELECT doc_id, lang, score_raw,
+       |  CAST(ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY score_raw DESC, doc_id) AS BIGINT) AS bucket3,
+       |  CASE ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY score_raw DESC, doc_id)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       |    AS ppl_bucket
+       |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("t50_quality_classifier", t50QualityClassifier, Some(t50Oracle)))
+    Q("t50_quality_classifier", t50QualityClassifier, Some(t50Oracle)),
+    Q("t51_gopher_rules", t51GopherRules, Some(t51Oracle)),
+    Q("t52_perplexity_buckets", t52PerplexityBuckets, Some(t52Oracle)))
 }

@@ -147,4 +147,55 @@ class MultimodalSpec extends AnyFunSuite {
     // nothing a curation threshold could cut on
     assert(r.map(_.getLong(3)).distinct.length > 1)
   }
+
+  test("m08 audio activity: frame stats match a direct reimplementation; VAD signal varies") {
+    val r = ext.MultimodalOps.m08AudioActivity(spark, sf).collect()
+    val audio = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1).getBytes("UTF-8"))).toMap
+    assert(r.length == audio.size, "one row per audio clip")
+    r.foreach { x =>
+      val bytes = audio(x.getLong(0))
+      val frames = bytes.grouped(16).toArray
+      val act = frames.map(f => f.map(_ & 0xff).sum > 90L * f.length)
+      assert(x.getInt(1) == frames.length)
+      assert(x.getInt(2) == act.count(identity))
+      assert(x.getLong(3) == 100L * act.count(identity) / frames.length)
+      assert(x.getInt(4) == act.indexOf(true))
+      assert(x.getInt(5) == act.lastIndexOf(true))
+      assert(x.getInt(4) <= x.getInt(5))
+      assert(x.getInt(2) <= x.getInt(1))
+    }
+    // the speech ratio must discriminate for a VAD gate to mean anything
+    assert(r.map(_.getLong(3)).distinct.length > 1)
+  }
+
+  test("m09 scene cuts: segmentation matches a direct reimplementation; cut counts vary") {
+    val r = ext.MultimodalOps.m09SceneCuts(spark, sf).collect()
+    val videos = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1).getBytes("UTF-8"))).toMap
+    assert(r.length == videos.size, "one row per video clip")
+    r.foreach { x =>
+      val bytes = videos(x.getLong(0))
+      val means = bytes.grouped(16).toArray
+        .map(f => f.map(_ & 0xff).sum.toLong / f.length)
+      val cutAt = (1 until means.length)
+        .filter(f => math.abs(means(f) - means(f - 1)) >= 8)
+      // scene runs: split frame indices at the cut points
+      val runs = means.indices.foldLeft(List(0)) { (acc, f) =>
+        if (f > 0 && cutAt.contains(f)) 1 :: acc
+        else (acc.head + 1) :: acc.tail
+      }
+      assert(x.getInt(1) == means.length)
+      assert(x.getInt(2) == cutAt.size)
+      assert(x.getInt(3) == cutAt.size + 1)
+      assert(x.getInt(4) == runs.max, s"clip ${x.getLong(0)} longest run")
+      assert(x.getInt(5) == cutAt.headOption.getOrElse(-1))
+    }
+    assert(r.map(_.getInt(2)).distinct.length > 1,
+      "cut counts must discriminate between clips")
+  }
 }

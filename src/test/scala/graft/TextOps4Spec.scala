@@ -43,4 +43,58 @@ class TextOps4Spec extends AnyFunSuite {
     val nk = r.count(_.getBoolean(3))
     assert(nk > 0 && nk < r.length, s"degenerate split: $nk of ${r.length}")
   }
+
+  test("t51 gopher rules: flags match a direct reimplementation; gate splits the corpus") {
+    val stop = Seq("the", "a", "of", "to", "and")
+    val r = TextOps4.t51GopherRules(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(x => (x.getLong(0), (x.getString(1), x.getLong(2)))).toMap
+    assert(r.length == docs.size)
+    r.foreach { x =>
+      val (text, nChars) = docs(x.getLong(0))
+      val words = text.split(" ", -1)
+      val nWords = words.length.toLong
+      val wordChars = nChars - nWords + 1
+      val nStop = stop.count(words.contains)
+      val maxW = words.map(_.length).max
+      assert(x.getLong(1) == nWords && x.getLong(2) == wordChars)
+      assert(x.getLong(3) == nStop && x.getLong(4) == maxW)
+      assert(x.getBoolean(5) == (nWords >= 30 && nWords <= 80))
+      assert(x.getBoolean(6) ==
+        (4 * nWords <= wordChars && wordChars <= 10 * nWords))
+      assert(x.getBoolean(7) == (nStop >= 2))
+      assert(x.getBoolean(8) == (maxW <= 12))
+      assert(x.getBoolean(9) ==
+        (x.getBoolean(5) && x.getBoolean(6) && x.getBoolean(7) &&
+          x.getBoolean(8)))
+    }
+    val nk = r.count(_.getBoolean(9))
+    assert(nk > 0 && nk < r.length, s"degenerate gate: $nk of ${r.length}")
+  }
+
+  test("t52 perplexity buckets: terciles are balanced per language and ordered by score") {
+    val r = TextOps4.t52PerplexityBuckets(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getString(4)))
+    r.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._4).map { case (b, g) => b -> g.length }
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)))
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang terciles unbalanced: $sizes")
+      // bucket boundaries respect the (score desc, doc_id) order
+      val sorted = rows.sortBy(t => (-t._3, t._1)).map(_._4)
+      assert(sorted.sameElements(sorted.sorted), s"$lang buckets out of order")
+      rows.foreach { case (_, _, _, b, nm) =>
+        val expect = b match {
+          case 1L => "head"; case 2L => "middle"; case _ => "tail"
+        }
+        assert(nm == expect)
+      }
+    }
+    // every doc scored with the t50 model
+    val t50 = TextOps4.t50QualityClassifier(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    r.foreach { case (id, _, s0, _, _) => assert(s0 == t50(id)) }
+  }
 }
