@@ -1219,7 +1219,10 @@ object TextOps3 {
   }
 
   def t48SubstringDedup(s: SparkSession, dir: String): DataFrame =
-    spansOf(repsOf(s, dir))
+    // Same per-corpus artifact t49 applies (the winnow_pairs discipline):
+    // the span pipeline is a pure function of the corpus, so the report
+    // and the scrub must share one build instead of paying it twice.
+    Artifacts.materialized(s, "substring_spans", dir)(spansOf(repsOf(s, dir)))
       .sortedWide("doc_a", "doc_b", "a_pos", "b_pos")
 
   /** Shared CTE chain replaying [[spansOf]] — the prefix of both the
