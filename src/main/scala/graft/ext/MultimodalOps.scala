@@ -560,8 +560,17 @@ object MultimodalOps {
     * oracle replays the expected pair set — every within-class pair at
     * hamming 0 — from `documents` alone, gating the full decode pipeline
     * through the DuckDB hash compare without DuckDB decoding a pixel. */
+  /** The decoded-aHash candidate pairs over the pinned corpus as a
+    * per-corpus artifact: a pure function of the corpus shared by the
+    * m06 report and the m07 cross-modal join (the substring_spans
+    * discipline — decode the 240 PNGs once per JVM, not once per
+    * consumer). */
+  private def aHashPairsArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, "ahash_pairs", dir)(
+      m06AHashPairs(syntheticImages(s, dir)))
+
   def m06AHashPairsGate(s: SparkSession, dir: String): DataFrame =
-    m06AHashPairs(syntheticImages(s, dir))
+    aHashPairsArtifact(s, dir)
       .sortedWide("media_a", "media_b")
 
   val m06Oracle: String =
@@ -592,7 +601,7 @@ object MultimodalOps {
   def m07CrossModalConsistency(s: SparkSession, dir: String): DataFrame = {
     val caps = documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    m06AHashPairs(syntheticImages(s, dir))
+    aHashPairsArtifact(s, dir)
       .join(caps.select(col("doc_id").as("media_a"), col("toks").as("ta")),
         "media_a")
       .join(caps.select(col("doc_id").as("media_b"), col("toks").as("tb")),
