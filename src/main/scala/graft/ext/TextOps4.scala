@@ -201,8 +201,77 @@ object TextOps4 {
        |    AS ppl_bucket
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // --- t53: Kneser-Ney-smoothed bigram LM score -------------------------
+
+  /** t53: interpolated Kneser-Ney bigram score (Kneser & Ney 1995; Chen &
+    * Goodman 1999) — the smoothing every production n-gram LM (KenLM,
+    * the CCNet filter's scorer) actually uses, where t37 is the
+    * unsmoothed MLE. Per observed bigram, with discount D = 3/4:
+    *
+    *   P(w2|w1) = (c12 − D)/c1  +  D·N1+(w1·)/c1 · Ncont(w2)/Ntot
+    *
+    * integerized per term in ppm (floor division — the operator contract
+    * is the integer recipe, replayed exactly by the oracle):
+    *
+    *   term1 = 250000·(4·c12 − 3) div c1
+    *   term2 = 750000·N1+(w1·)·Ncont(w2) div (c1·Ntot)
+    *
+    * N1+(w1·) (distinct continuations of w1), Ncont(w2) (distinct
+    * histories of w2) and Ntot (distinct bigrams) are all marginals of
+    * the [[graft.ext.TextOps3.bigramCounts]] artifact — the trained
+    * model is one vocabulary-sized parquet table shared with t37.
+    *
+    * Plan shape: one corpus scan (the bigram stream) joined against four
+    * broadcast vocabulary-sized tables plus a 1-row broadcast scalar,
+    * then the per-doc aggregation — at 100 TB the scan dominates and the
+    * model stays executor-resident, exactly how a KenLM filter deploys. */
+  def t53KnScore(s: SparkSession, dir: String): DataFrame = {
+    val c2 = TextOps3.bigramCounts(s, dir)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val n1p = c2.groupBy(col("w1")).agg(count(lit(1)).as("n1p"))
+    val ncont = c2.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val ntot = c2.agg(count(lit(1)).as("ntot"))
+    TextOps3.bigramStream(
+        graft.ops.Par.fanOut(documents(s, dir), "doc_id"))
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(n1p), Seq("w1"))
+      .join(broadcast(ncont), Seq("w2"))
+      .crossJoin(broadcast(ntot))
+      .select(col("doc_id"),
+        (expr("250000 * (4 * c2 - 3) div c1") +
+          expr("750000 * n1p * ncont div (c1 * ntot)")).as("p_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("score_ppm"))
+      .sortedWide("doc_id")
+  }
+
+  val t53Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+      |           FROM documents),
+      |g AS (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+      |      FROM d WHERE len(t) >= 2),
+      |b AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2 FROM g),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |n1p AS (SELECT w1, COUNT(*) AS n1p FROM c2 GROUP BY 1),
+      |nc AS (SELECT w2, COUNT(*) AS ncont FROM c2 GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS ntot FROM c2),
+      |p AS (SELECT b.doc_id,
+      |        (250000 * (4 * c2.c2 - 3)) // c1.c1
+      |          + (750000 * n1p.n1p * nc.ncont) // (c1.c1 * nt.ntot)
+      |          AS p_ppm
+      |      FROM b, c2, c1, n1p, nc, nt
+      |      WHERE b.w1 = c2.w1 AND b.w2 = c2.w2 AND b.w1 = c1.w1
+      |        AND b.w1 = n1p.w1 AND b.w2 = nc.w2)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t50_quality_classifier", t50QualityClassifier, Some(t50Oracle)),
     Q("t51_gopher_rules", t51GopherRules, Some(t51Oracle)),
-    Q("t52_perplexity_buckets", t52PerplexityBuckets, Some(t52Oracle)))
+    Q("t52_perplexity_buckets", t52PerplexityBuckets, Some(t52Oracle)),
+    Q("t53_kn_lm_score", t53KnScore, Some(t53Oracle)))
 }

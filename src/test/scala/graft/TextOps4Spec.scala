@@ -97,4 +97,34 @@ class TextOps4Spec extends AnyFunSuite {
       .map(x => x.getLong(0) -> x.getLong(2)).toMap
     r.foreach { case (id, _, s0, _, _) => assert(s0 == t50(id)) }
   }
+
+  test("t53 KN score: matches a direct reimplementation; smoothing shifts scores vs t37 MLE") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" ", -1))).toMap
+    // train the KN tables from the definition, not the code
+    val bigrams = docs.values.toSeq.flatMap(w => w.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1p = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val nc = c2.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val ntot = c2.size.toLong
+    def pppm(w1: String, w2: String): Long =
+      250000L * (4L * c2((w1, w2)) - 3L) / c1(w1) +
+        750000L * n1p(w1) * nc(w2) / (c1(w1) * ntot)
+    val r = TextOps4.t53KnScore(spark, sf).collect()
+    assert(r.length == docs.count(_._2.length >= 2))
+    r.foreach { x =>
+      val w = docs(x.getLong(0))
+      val ps = w.sliding(2).filter(_.length == 2).map(p => pppm(p(0), p(1))).toSeq
+      assert(x.getLong(1) == ps.size)
+      assert(x.getLong(2) == ps.sum / ps.size, s"doc ${x.getLong(0)} KN mean")
+    }
+    // smoothing must actually move mass: KN != MLE on a real corpus
+    val mle = graft.ext.TextOps3.t37LmScore(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r.count(x => mle(x.getLong(0)) != x.getLong(2)) > 0,
+      "KN collapsed to the unsmoothed MLE")
+  }
 }
