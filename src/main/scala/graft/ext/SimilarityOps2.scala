@@ -833,6 +833,79 @@ object SimilarityOps2 {
        |ORDER BY e.qid""".stripMargin
   }
 
+  // --- e28: retrieval-eval nDCG@4 --------------------------------------
+
+  /** Rank-position DCG weights, pinned as the operator's integer
+    * constants: w(i) = floor(1e6 / log2(i + 1)) for positions 1..4 —
+    * both engines use the same literals, so no float log enters either
+    * plan. */
+  private val DcgW = Seq(1000000L, 630929L, 500000L, 430676L)
+
+  /** Ideal DCG: the graded truth (rel 4..1) in perfect order. */
+  private val IdealDcg =
+    DcgW.zip(Seq(4L, 3L, 2L, 1L)).map { case (w, r) => w * r }.sum
+
+  /** e28: retrieval evaluation — nDCG@4 of the binary-hamming retriever
+    * (e22) against graded relevance from the exact cosine ranking (e02):
+    * the exact top-4 carry relevance 4..1, anything else 0, and the
+    * retrieved list is scored with the pinned log-discount weights. e07
+    * measures set recall and e27 top-1 rank; nDCG is the list-quality
+    * metric an ANN dashboard actually tracks when near-misses matter.
+    * Integer-exact end to end: dcg = Σ rel·w(pos), ndcg_ppm =
+    * 1e6·dcg div [[IdealDcg]].
+    *
+    * Scale shape: both retrievers are existing gates (broadcast-query
+    * plans); the judgment is one left equi-join of Q×4 retrieved rows
+    * against Q×4 truth rows and a Q-row aggregate — eval cost is
+    * retrieval cost. */
+  def e28RetrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val truth = SimilarityOps.e02CosineTopK(s, dir)
+      .filter(col("rnk") <= 4)
+      .select(col("qid"), col("cid"), (lit(5L) - col("rnk")).as("rel"))
+    val wcol = DcgW.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (w, i)) =>
+        when(col("rnk") === (i + 1).toLong, lit(w)).otherwise(acc)
+    }
+    e22BinaryHammingTopK(s, dir)
+      .filter(col("rnk") <= 4)
+      .select(col("qid"), col("cid"), wcol.as("w"))
+      .join(truth, Seq("qid", "cid"), "left")
+      .select(col("qid"),
+        (coalesce(col("rel"), lit(0L)) * col("w")).as("g"))
+      .groupBy(col("qid"))
+      .agg(sum(col("g")).as("dcg"))
+      .select(col("qid"), col("dcg"),
+        expr(s"dcg * 1000000 div $IdealDcg").as("ndcg_ppm"))
+      .sortedSmall("qid")
+  }
+
+  /** Truth = the e27-style exact cosine ranking, graded (rel 4..1);
+    * retrieved = the e22 oracle verbatim as a derived table. */
+  val e28Oracle: String = {
+    val exactTop4 =
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |      FROM embeddings),
+        |p AS (SELECT qid, cid,
+        |        round(list_cosine_similarity(qe, ce), 4) AS cos_r
+        |      FROM q, c WHERE cid <> qid)
+        |SELECT qid, cid, 5 - rnk AS rel FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos_r DESC, cid) AS rnk FROM p) WHERE rnk <= 4""".stripMargin
+    val wCase = DcgW.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
+      .mkString("CASE rnk ", " ", " END")
+    s"""SELECT g.qid,
+       |  CAST(SUM(coalesce(t.rel, 0) * g.w) AS BIGINT) AS dcg,
+       |  CAST(SUM(coalesce(t.rel, 0) * g.w) * 1000000 // $IdealDcg
+       |    AS BIGINT) AS ndcg_ppm
+       |FROM (SELECT qid, cid, $wCase AS w
+       |      FROM ($e22Oracle) WHERE rnk <= 4) g
+       |LEFT JOIN ($exactTop4) t ON t.qid = g.qid AND t.cid = g.cid
+       |GROUP BY g.qid ORDER BY g.qid""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -843,5 +916,6 @@ object SimilarityOps2 {
     Q("e24_rrf_fusion", e24RrfFusion, Some(e24Oracle)),
     Q("e25_kcenter_coreset", e25KCenterCoreset, Some(e25Oracle)),
     Q("e26_cluster_sample", e26ClusterSample, Some(e26Oracle)),
-    Q("e27_retrieval_mrr", e27RetrievalMrr, Some(e27Oracle)))
+    Q("e27_retrieval_mrr", e27RetrievalMrr, Some(e27Oracle)),
+    Q("e28_retrieval_ndcg", e28RetrievalNdcg, Some(e28Oracle)))
 }

@@ -130,4 +130,37 @@ class WaveDedupSearchSpec extends AnyFunSuite {
       assert(rr == (if (fr > 0) 1000000L / fr else 0L))
     }
   }
+
+  test("e28 nDCG: recomputed from the two retrievers' own outputs; bounded and discriminating") {
+    val w = Seq(1000000L, 630929L, 500000L, 430676L)
+    val ideal = w.zip(Seq(4L, 3L, 2L, 1L)).map { case (a, b) => a * b }.sum
+    val rel = SimilarityOps.e02CosineTopK(spark, sf)
+      .filter(col("rnk") <= 4).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), 5L - x.getLong(3))).toMap
+    val got = SimilarityOps2.e22BinaryHammingTopK(spark, sf)
+      .filter(col("rnk") <= 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(4)))
+    val dcg = got.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.map { case (_, cid, rnk) =>
+        rel.getOrElse((qid, cid), 0L) * w(rnk.toInt - 1)
+      }.sum
+    }
+    val r = SimilarityOps2.e28RetrievalNdcg(spark, sf).collect()
+    assert(r.length == dcg.size)
+    r.foreach { x =>
+      val (qid, d, n) = (x.getLong(0), x.getLong(1), x.getLong(2))
+      assert(d == dcg(qid), s"query $qid DCG")
+      assert(n == d * 1000000L / ideal)
+      assert(n >= 0L && n <= 1000000L)
+      // a perfect score means the retrieved top-4 IS the exact top-4
+      if (n == 1000000L) {
+        val top = got.filter(_._1 == qid).map(t => t._2 -> t._3).toMap
+        assert(top.forall { case (cid, rnk) =>
+          rel.get((qid, cid)).contains(5L - rnk)
+        })
+      }
+    }
+    assert(r.map(_.getLong(2)).distinct.length > 1,
+      "nDCG must discriminate between queries")
+  }
 }
