@@ -121,14 +121,21 @@ object MultimodalOps {
     }
   }
 
-  /** Synthesize the media table from `documents` (UTF-8 bytes as payload) —
-    * deterministic, schema-faithful stand-in for an ingested binary table. */
-  def media(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir).select(
+  /** The media projection over any (doc_id, text) relation — shared by
+    * the batch table below and the streaming twin
+    * ([[graft.streaming.Streams.audioActivityStream]]), so both paths
+    * derive identical binary rows. */
+  def mediaOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("media_id"),
       element_at(lit(Array("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("content"))
+
+  /** Synthesize the media table from `documents` (UTF-8 bytes as payload) —
+    * deterministic, schema-faithful stand-in for an ingested binary table. */
+  def media(s: SparkSession, dir: String): DataFrame =
+    mediaOf(documents(s, dir))
 
   /** m01: metadata projection over the binary column (no decode) — the
     * cheap-scan path: byte length without touching content semantics. */
@@ -656,8 +663,18 @@ object MultimodalOps {
     * it from the documents bytes. */
   def m08AudioActivity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    media(s, dir).filter(col("kind") === "audio").as[MediaRow]
-      .mapPartitions { rows =>
+    audioActivityOf(
+        media(s, dir).filter(col("kind") === "audio").as[MediaRow])
+      .sortedWide("media_id")
+  }
+
+  /** The VAD kernel alone over any MediaRow dataset — stateless
+    * mapPartitions, so the streaming twin runs it unchanged over a file
+    * stream ([[graft.streaming.Streams.audioActivityStream]]). */
+  private[graft] def audioActivityOf(
+      ds: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
         rows.map { m =>
           val n = m.content.length
           val nFrames = (n + AudioFrameBytes - 1) / AudioFrameBytes
@@ -683,7 +700,6 @@ object MultimodalOps {
         }
       }
       .toDF()
-      .sortedWide("media_id")
   }
 
   /** Replays the frame/energy arithmetic from the documents bytes via the

@@ -292,4 +292,22 @@ object Streams {
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir))
   }
+
+  /** Streaming twin of MultimodalOps.m08 — voice-activity-detect audio
+    * clips IN FLIGHT (the trim/filter stage of a streaming media ingest).
+    * The binary projection and the mapPartitions VAD kernel are shared
+    * verbatim with the batch gate ([[graft.ext.MultimodalOps.mediaOf]] /
+    * `audioActivityOf`): stateless, no watermark, append mode — the
+    * executor-batch decode shape runs unchanged over arriving files. */
+  def audioActivityStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    graft.ext.MultimodalOps.audioActivityOf(
+      graft.ext.MultimodalOps.mediaOf(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(dir))
+        .filter(org.apache.spark.sql.functions.col("kind") === "audio")
+        .as[graft.ext.MultimodalOps.MediaRow])
+  }
 }

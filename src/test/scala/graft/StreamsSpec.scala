@@ -412,6 +412,20 @@ class StreamsSpec extends AnyFunSuite {
     assert(tS.exceptAll(tB).count() == 0 && tB.exceptAll(tS).count() == 0)
   }
 
+  test("streaming audio VAD matches the m08 batch twin row-for-row") {
+    val q = Streams.audioActivityStream(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vad_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vad_out")
+    val batch = ext.MultimodalOps.m08AudioActivity(spark, sf)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming document quality scores match the t50 batch twin row-for-row") {
     val q = Streams.scoredDocuments(spark, sf)
       .writeStream.outputMode("append")
