@@ -558,6 +558,52 @@ object EventOps {
       |  CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau
       |FROM dau d JOIN wau w USING (day) ORDER BY day_start""".stripMargin
 
+  /** s15: behavioral sequence mining — the top event-type trigrams across
+    * user timelines (the sequence-pattern flavor of market-basket
+    * analysis: which 3-step paths dominate, and how many distinct users
+    * walk them). Each user's events order by (ts, event_id); consecutive
+    * type triples count occurrences and distinct-user support, and the
+    * report is the top 20 patterns by frequency (deterministic
+    * lexicographic tiebreak).
+    *
+    * Plan shape: ONE user-keyed exchange feeds both lead() windows (same
+    * partition/order spec → one sort), the pattern rollup is a hash
+    * aggregate over a key domain bounded by |event_type|³ (125 here —
+    * constant in corpus size, so the aggregate is map-side-combined into
+    * a bounded table), and the top-20 sorts that bounded table. At
+    * 100 TB the only corpus-sized stages are the scan and the per-user
+    * sort — the s02 sessionize budget exactly. */
+  def s15BehaviorNgrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_walks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .sortedSmall(col("n_walks").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  val s15Oracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS t1,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |pat AS (
+      |  SELECT t1, t2, t3, COUNT(*) AS n_walks,
+      |    COUNT(DISTINCT user_id) AS n_users
+      |  FROM seq WHERE t3 IS NOT NULL
+      |  GROUP BY t1, t2, t3)
+      |SELECT t1, t2, t3, n_walks, n_users FROM pat
+      |ORDER BY n_walks DESC, t1, t2, t3 LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -572,5 +618,6 @@ object EventOps {
     Q("s11_gap_fill", s11GapFill, Some(s11Oracle)),
     Q("s12_event_dedup", s12EventDedup, Some(s12Oracle)),
     Q("s13_rate_anomaly", s13RateAnomaly, Some(s13Oracle)),
-    Q("s14_rolling_active", s14RollingActive, Some(s14Oracle)))
+    Q("s14_rolling_active", s14RollingActive, Some(s14Oracle)),
+    Q("s15_behavior_ngrams", s15BehaviorNgrams, Some(s15Oracle)))
 }

@@ -830,6 +830,92 @@ object MultimodalOps {
        |    AS first_cut
        |FROM sc GROUP BY sc.media_id ORDER BY sc.media_id""".stripMargin
 
+  // --- m10: video content dedup ----------------------------------------
+
+  final case class VideoSig(media_id: Long, n_frames: Int, sig: String)
+
+  /** m10: video-level content deduplication — the "same clip uploaded
+    * twice" collapse a video training pipeline runs before any frame
+    * sampling (frame-level near-dup inside one clip is m05's job; scene
+    * segmentation is m09's). Each clip reduces to a perceptual signature
+    * in the kernel — here the per-frame mean-intensity sequence, the
+    * integer stand-in for a real per-frame pHash sequence — and clips
+    * group on the md5 of that signature: only the 32-hex digest ever
+    * rides the shuffle, never the signature (or the payload), the m05/t30
+    * digest discipline. Keeper election is min(media_id); the report
+    * lists each duplicate group once (n_copies ≥ 2).
+    *
+    * Same executor-batch shape as m08/m09: one mapPartitions kernel
+    * pipelining with the scan, then ONE digest-keyed exchange whose
+    * volume is a digest+id pair per clip — at 100 TB the scan dominates
+    * and the shuffle is metadata-sized. A production deployment swaps the
+    * byte loop for a real decode + per-frame pHash inside the same
+    * kernel; grouping, election, and report are unchanged. The report
+    * lists EVERY fingerprint group (singletons included — n_copies = 1
+    * means "already unique"), so the gate hash-verifies the fingerprint
+    * computation even on a corpus with few exact clips; on the 10×
+    * duplicate replica every group carries its copy count. */
+  def m10VideoDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val n = m.content.length
+          val nFrames = (n + AudioFrameBytes - 1) / AudioFrameBytes
+          val means = new Array[Long](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            val lo = f * AudioFrameBytes
+            val hi = math.min(lo + AudioFrameBytes, n)
+            var e = 0L
+            var i = lo
+            while (i < hi) { e += (m.content(i) & 0xff); i += 1 }
+            means(f) = e / (hi - lo)
+            f += 1
+          }
+          VideoSig(m.media_id, nFrames, nFrames.toString + ":" +
+            means.mkString(","))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("n_frames"),
+        graft_md5(col("sig")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("media_id")).as("keeper"),
+        min(col("n_frames")).cast("long").as("n_frames"))
+      .select(col("fp"), col("n_copies"), col("keeper"), col("n_frames"))
+      .sortedWide("fp")
+  }
+
+  /** Replays frame means from the documents bytes (the m09 CTE), the
+    * signature string, and the group report. */
+  val m10Oracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |idx AS (SELECT unnest(generate_series(1, 1024)) AS i),
+       |b AS (
+       |  SELECT media_id, (i - 1) // $AudioFrameBytes AS f,
+       |    CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS bv
+       |  FROM m JOIN idx ON i <= n),
+       |fr AS (
+       |  SELECT media_id, f, SUM(bv) // COUNT(*) AS mn
+       |  FROM b GROUP BY media_id, f),
+       |sig AS (
+       |  SELECT media_id,
+       |    md5(CAST(COUNT(*) AS VARCHAR) || ':' ||
+       |        string_agg(CAST(mn AS VARCHAR), ',' ORDER BY f)) AS fp
+       |  FROM fr GROUP BY media_id),
+       |g AS (
+       |  SELECT fp, COUNT(*) AS n_copies, MIN(media_id) AS keeper
+       |  FROM sig GROUP BY fp)
+       |SELECT g.fp, g.n_copies, g.keeper,
+       |  CAST((SELECT COUNT(*) FROM fr WHERE fr.media_id = g.keeper)
+       |    AS BIGINT) AS n_frames
+       |FROM g ORDER BY fp""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
     Q("m02_decode_features", m02DecodeFeatures, Some(m02Oracle)),
@@ -840,5 +926,6 @@ object MultimodalOps {
     Q("m07_crossmodal_consistency", m07CrossModalConsistency,
       Some(m07Oracle)),
     Q("m08_audio_activity", m08AudioActivity, Some(m08Oracle)),
-    Q("m09_scene_cuts", m09SceneCuts, Some(m09Oracle)))
+    Q("m09_scene_cuts", m09SceneCuts, Some(m09Oracle)),
+    Q("m10_video_dedup", m10VideoDedup, Some(m10Oracle)))
 }

@@ -1336,26 +1336,35 @@ object SimilarityOps {
     * quadratic in corpus size, the knob holds bucket population
     * constant); recall falls only for pairs straddling one of the 4
     * added hyperplanes — the standard LSH trade, here made explicit. */
-  def e17KnnGraphWide(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        norm2(col("embedding")).as("nrm"), signBucketOf(8).as("bucket"))
-    val a = e.select(col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("a"))
-      .orderBy(col("cos_r").desc, col("b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
-          .as("cos_r"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .sortedWide("a", "rnk")
-  }
+  def e17KnnGraphWide(s: SparkSession, dir: String): DataFrame =
+    knnWideArtifact(s, dir).sortedWide("a", "rnk")
+
+  /** The production-width kNN graph as a shared per-corpus artifact
+    * ([[Artifacts.materialized]] — built once per JVM, read by the e17
+    * gate and every graph consumer: e29's label propagation). A
+    * production pipeline computes the kNN graph once and keeps it next
+    * to the corpus; rebuilding it per downstream query was exactly the
+    * double-build the round-8 artifact sweep hunted. */
+  private[ext] def knnWideArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.materialized(s, "knn_wide", dir) {
+      import org.apache.spark.sql.expressions.Window
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          norm2(col("embedding")).as("nrm"), signBucketOf(8).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("cos_r").desc, col("b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+            .as("cos_r"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+    }
 
   val e17Oracle: String = {
     val bucket = (0 until 8).map { j =>

@@ -779,6 +779,63 @@ object SimilarityOps2 {
        |WHERE samp_rank <= ceil(sqrt(cell_n))
        |ORDER BY cid, samp_rank""".stripMargin
 
+  // --- e30: per-cluster embedding outliers -----------------------------
+
+  /** e30: cluster-based out-of-distribution scoring — for every vector,
+    * the exact L2² distance to its trained IVF centroid, and per cell
+    * the top-3 farthest members: the "flag what the index can't
+    * represent" pass a curation pipeline runs to surface OOD, mislabeled
+    * or junk embeddings (the centroid-distance outlier detector, the
+    * k-means flavor of Chandola et al. 2009's cluster-based anomaly
+    * family). Distances round to 4 decimals BEFORE ranking so both
+    * engines rank identical values (the e06 discipline), ties break to
+    * the smaller vec_id.
+    *
+    * Plan shape: the model is the shared [[SimilarityOps.ivfModel]]
+    * (driver-memoized codebook, K×64 floats); the probe is ONE broadcast
+    * of the codebook against the partitioned vector scan (argmin
+    * aggregates in place — zero exchanges), the distance re-derives from
+    * the same broadcast join, and the only new exchange is the cid-keyed
+    * top-3 window over K cells. At 100 TB: scan + broadcast + one
+    * bounded window — the e26 budget exactly. */
+  def e30ClusterOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, assigned) = SimilarityOps.ivfModel(s, dir)
+    val d2 = (col("na") * col("na") + col("cn") * col("cn")
+      - dot(col("embedding"), col("cvec")) * 2)
+    val byCell = Window.partitionBy(col("cid"))
+      .orderBy(col("d2_r").desc, col("vec_id"))
+    assigned
+      .withColumn("na",
+        graft.functions.VecOps.graft_vec_norm(col("embedding")))
+      .join(broadcast(cents), "cid")
+      .select(col("cid"), col("vec_id"), round(d2, 4).as("d2_r"))
+      .withColumn("rnk", row_number().over(byCell).cast("long"))
+      .filter(col("rnk") <= 3)
+      .sortedSmall("cid", "rnk")
+  }
+
+  /** Replays e06's shared training/assignment CTEs, the sqrt-then-square
+    * distance recipe (its lost bits are part of the contract), and the
+    * per-cell top-3. */
+  val e30Oracle: String = {
+    def n2(x: String) =
+      s"sqrt(list_inner_product($x, $x)) * sqrt(list_inner_product($x, $x))"
+    s"""WITH ${SimilarityOps.ivfAssignCtes},
+       |d AS (
+       |  SELECT a3.cid, a3.vec_id,
+       |    round(${n2("a3.v")} + ${n2("c2.cv")}
+       |      - list_inner_product(a3.v, c2.cv) * 2, 4) AS d2_r
+       |  FROM a3 JOIN c2 ON a3.cid = c2.cid),
+       |r AS (
+       |  SELECT cid, vec_id, d2_r,
+       |    CAST(row_number() OVER (PARTITION BY cid
+       |      ORDER BY d2_r DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM d)
+       |SELECT cid, vec_id, d2_r, rnk FROM r WHERE rnk <= 3
+       |ORDER BY cid, rnk""".stripMargin
+  }
+
   // --- e27: retrieval-eval MRR ----------------------------------------
 
   /** e27: retrieval evaluation — mean-reciprocal-rank inputs for the
@@ -906,6 +963,87 @@ object SimilarityOps2 {
        |GROUP BY g.qid ORDER BY g.qid""".stripMargin
   }
 
+  // --- e29: kNN label propagation --------------------------------------
+
+  /** e29: one round of majority-vote label propagation over the
+    * production-width kNN graph — the semi-supervised labeling pass a
+    * curation pipeline runs to spread scarce human quality labels across
+    * an unlabeled corpus (Zhu & Ghahramani 2002's label propagation, one
+    * synchronous step, hard votes). Every vector with neighbors takes
+    * the most frequent label among its ≤5 nearest; ties break to the
+    * smallest label (deterministic in both engines), and the report
+    * carries the node's own label, the vote, the neighbor count, and
+    * whether propagation would flip it — the disagreement signal that
+    * flags mislabeled or boundary examples.
+    *
+    * Plan shape: the graph is the shared [[SimilarityOps.knnWideArtifact]]
+    * (built once per corpus per JVM — e17's gate verifies its content);
+    * one equi-join hangs each neighbor's label on the edge, one
+    * (node, label) hash aggregate counts votes map-side, and the argmax
+    * is a WindowGroupLimit over node-keyed partitions — every exchange
+    * equi-keyed on vector ids, nothing all-pairs, no driver state. At
+    * 100 TB the edge list is 5n rows and the pass is join + agg +
+    * window, all on the same key family. Iterated propagation is t43's
+    * round discipline (localCheckpoint per round) on this same plan. */
+  def e29LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val lbl = embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = SimilarityOps.knnWideArtifact(s, dir)
+      .join(lbl.select(col("vec_id").as("b"),
+        col("label").as("nb_label")), "b")
+      .groupBy(col("a"), col("nb_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cnt").desc, col("nb_label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a"), col("nb_label").as("prop_label"),
+        col("cnt").as("prop_votes"))
+      .join(lbl.select(col("vec_id").as("a"), col("label")), "a")
+      .select(col("a").as("vec_id"), col("label"),
+        col("prop_label"), col("prop_votes"),
+        (col("label") =!= col("prop_label")).as("flipped"))
+      .sortedWide("vec_id")
+  }
+
+  /** Replays e17's chain (same CTE text) plus the vote. */
+  val e29Oracle: String = {
+    val bucket = (0 until 8).map { j =>
+      s"CASE WHEN embedding[${8 * j + 1}] > 0 THEN ${1 << (7 - j)} ELSE 0 END"
+    }.mkString(" +\n   ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  ($bucket) AS bucket
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
+       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |r AS (
+       |  SELECT a, b, cos_r,
+       |    CAST(row_number() OVER (PARTITION BY a
+       |      ORDER BY cos_r DESC, b) AS BIGINT) AS rnk
+       |  FROM p),
+       |g AS (SELECT a, b FROM r WHERE rnk <= 5),
+       |v AS (
+       |  SELECT g.a, CAST(l.label AS BIGINT) AS nb_label,
+       |    COUNT(*) AS cnt
+       |  FROM g JOIN embeddings l ON g.b = l.vec_id
+       |  GROUP BY g.a, CAST(l.label AS BIGINT)),
+       |top AS (
+       |  SELECT a, nb_label AS prop_label, cnt AS prop_votes
+       |  FROM (SELECT a, nb_label, cnt,
+       |          row_number() OVER (PARTITION BY a
+       |            ORDER BY cnt DESC, nb_label) AS rn
+       |        FROM v)
+       |  WHERE rn = 1)
+       |SELECT top.a AS vec_id, CAST(l.label AS BIGINT) AS label,
+       |  top.prop_label, top.prop_votes,
+       |  CAST(l.label AS BIGINT) <> top.prop_label AS flipped
+       |FROM top JOIN embeddings l ON top.a = l.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -917,5 +1055,7 @@ object SimilarityOps2 {
     Q("e25_kcenter_coreset", e25KCenterCoreset, Some(e25Oracle)),
     Q("e26_cluster_sample", e26ClusterSample, Some(e26Oracle)),
     Q("e27_retrieval_mrr", e27RetrievalMrr, Some(e27Oracle)),
-    Q("e28_retrieval_ndcg", e28RetrievalNdcg, Some(e28Oracle)))
+    Q("e28_retrieval_ndcg", e28RetrievalNdcg, Some(e28Oracle)),
+    Q("e29_label_prop", e29LabelProp, Some(e29Oracle)),
+    Q("e30_cluster_outliers", e30ClusterOutliers, Some(e30Oracle)))
 }

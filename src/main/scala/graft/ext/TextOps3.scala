@@ -1050,7 +1050,7 @@ object TextOps3 {
 
   // --- t47: iterated BPE training -------------------------------------
 
-  private val BpeRounds = 6
+  private[ext] val BpeRounds = 6
 
   /** Adjacent-symbol pair statistics of a segmentation table
     * (f, seg=" sym sym … ") — the t46 shape generalized from characters
@@ -1083,6 +1083,18 @@ object TextOps3 {
     * 100 TB the corpus is touched ONCE (the word-frequency pass);
     * every round after that is vocabulary-sized. */
   def t47BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainBpeMerges(s, dir)
+      .toDF("merge_round", "left_sym", "right_sym", "total")
+      .sortedSmall("merge_round")
+  }
+
+  /** The t47 training loop as a driver-side function: the learned merge
+    * table IS the model artifact (KB-sized by design — [[BpeRounds]]
+    * rows), so it comes back as a plain Seq for both the t47 gate (which
+    * outputs it) and the t54 apply ([[bpeMerges]]). */
+  private def trainBpeMerges(
+      s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
     val wf = fanOut(documents(s, dir))
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
@@ -1109,11 +1121,22 @@ object TextOps3 {
       prev.unpersist()
     }
     seg.unpersist()
-    import s.implicits._
     merges.result()
-      .toDF("merge_round", "left_sym", "right_sym", "total")
-      .sortedSmall("merge_round")
   }
+
+  /** Per-corpus driver memo of the trained merge list for the APPLY side
+    * (t54) — the wpModel discipline: keyed by corpus dir under the
+    * identical-rebuild assumption documented on [[wpModel]]. t47 itself
+    * always trains live (training is its subject; the apply queries'
+    * subject is the corpus-wide tokenization, so they load the model
+    * once per JVM like any deployed tokenizer). */
+  private val bpeModel = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+
+  private[ext] def bpeMerges(
+      s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeModel.computeIfAbsent(dir,
+      _ => trainBpeMerges(s, dir).map(m => (m._2, m._3)))
 
   /** N chained (non-recursive) CTE stages replaying the exact loop —
     * each stage re-pairs, argmaxes with the same (total DESC, a, b)

@@ -269,9 +269,208 @@ object TextOps4 {
       |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- t54: BPE tokenizer apply (fertility report) ----------------------
+
+  /** t54: apply the t47-trained BPE merge table to the whole corpus — the
+    * inference half of tokenizer training (Sennrich et al. 2016), and the
+    * pass a data pipeline runs to budget token counts per slice: every
+    * word char-splits and replays the merges IN TRAINING ORDER, and the
+    * report is per-language token mass and fertility (tokens per word,
+    * ppm) — the metric that decides whether a tokenizer fits a corpus
+    * slice.
+    *
+    * Plan shape (the t45 canon discipline): the merge chain runs on
+    * DISTINCT words only — one narrow projection whose 6 chained
+    * `replace` calls stay inside whole-stage codegen — and word
+    * instances join the per-word token count back by word (equi-shuffle
+    * on the word key), then roll up per language map-side. The model
+    * itself is a driver memo ([[graft.ext.TextOps3.bpeMerges]] — KB-sized
+    * like any deployed tokenizer's merge file). At 100 TB the distinct
+    * vocabulary is millions of rows against trillions of instances: the
+    * corpus pays one scan for (lang, word) counts and one vocabulary-
+    * sized tokenization, never a per-instance merge replay. */
+  def t54BpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextOps3.bpeMerges(s, dir)
+    val wf = graft.ops.Par.fanOut(documents(s, dir), "doc_id")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    val seg0 = concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 "))
+    val segN = merges.foldLeft(seg0) { case (seg, (a, b)) =>
+      org.apache.spark.sql.functions.replace(
+        seg, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val tok = wf.select(col("word")).distinct()
+      .select(col("word"),
+        size(split(trim(segN), " ")).cast("long").as("k"))
+    wf.join(tok, "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_distinct_words"),
+        sum(col("n")).as("n_words"),
+        sum(col("n") * col("k")).as("n_tokens"))
+      .select(col("lang"), col("n_distinct_words"), col("n_words"),
+        col("n_tokens"),
+        expr("1000000 * n_tokens div n_words").as("fertility_ppm"))
+      .sortedSmall("lang")
+  }
+
+  /** Replays t47's training chain (same stage text: corpus word
+    * frequencies → char split → [[graft.ext.TextOps3.BpeRounds]]
+    * argmax-merge stages) and then the apply over distinct words joined
+    * back to per-language instance counts. */
+  val t54Oracle: String = {
+    val rounds = TextOps3.BpeRounds
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b, f FROM (
+         |    SELECT f, string_split(trim(seg), ' ') AS t,
+         |      unnest(range(1, len(string_split(trim(seg), ' ')))) AS i
+         |    FROM s${r - 1})),
+         |b$r AS (
+         |  SELECT a, b, CAST(SUM(f) AS BIGINT) AS total
+         |  FROM p$r GROUP BY a, b
+         |  ORDER BY total DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT f, replace(seg, ' ' || b$r.a || ' ' || b$r.b || ' ',
+         |    ' ' || b$r.a || b$r.b || ' ') AS seg
+         |  FROM s${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val applyStages = (1 to rounds).map { r =>
+      s"""a$r AS (
+         |  SELECT word, replace(seg, ' ' || b$r.a || ' ' || b$r.b || ' ',
+         |    ' ' || b$r.a || b$r.b || ' ') AS seg
+         |  FROM a${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wfl AS (
+       |  SELECT lang, word, COUNT(*) AS n FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  GROUP BY lang, word),
+       |wf AS (
+       |  SELECT word, CAST(SUM(n) AS BIGINT) AS f FROM wfl GROUP BY word),
+       |s0 AS (
+       |  SELECT f, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg
+       |  FROM wf),
+       |$stages,
+       |a0 AS (
+       |  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg
+       |  FROM (SELECT DISTINCT word FROM wfl)),
+       |$applyStages,
+       |tok AS (
+       |  SELECT word, CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS k
+       |  FROM a$rounds)
+       |SELECT lang, COUNT(*) AS n_distinct_words,
+       |  CAST(SUM(n) AS BIGINT) AS n_words,
+       |  CAST(SUM(n * k) AS BIGINT) AS n_tokens,
+       |  (1000000 * CAST(SUM(n * k) AS BIGINT)) // CAST(SUM(n) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM wfl JOIN tok USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // --- t55: DSIR-style importance selection -----------------------------
+
+  /** Hashed-bucket dimension for the two n-gram distributions. */
+  private val DsirDim = 128
+
+  private def dsirBucket(tok: Column): Column =
+    conv(substring(graft_md5(concat(lit("dsir:"), tok)), 1, 8), 16, 10)
+      .cast("long") % DsirDim
+
+  /** Per-corpus driver memo of the trained DSIR model: the 128 bucket
+    * weights plus the corpus target-share threshold — KB-sized by
+    * construction (the wpModel/codebook discipline; same identical-
+    * rebuild assumption, documented there). */
+  private val dsirModel = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Long], Long)]()
+
+  /** t55: importance-resampling data selection in the style of DSIR (Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): estimate target-domain and raw-corpus unigram
+    * distributions over hashed feature buckets, weight each bucket by
+    * the smoothed target/raw ratio (ppm, integer floor division), score
+    * every document by its mean token-bucket weight, and keep documents
+    * scoring above the corpus target share — "more target-like than the
+    * corpus average". The target domain here is the English slice
+    * (lang = 'en'), standing in for DSIR's Wikipedia target.
+    *
+    * Plan shape: training is ONE corpus scan (explode → 128-row
+    * conditional aggregate — map-side combinable into a bounded result),
+    * memoized per corpus as a driver artifact like every other KB-sized
+    * model; the apply is ONE narrow projection — the bucket weights ride
+    * into the plan as a literal array and `aggregate` folds the token
+    * array per document (the t50 shape: no explode, no shuffle before
+    * the output sort). At 100 TB both passes are pure scans. */
+  def t55DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val (weights, sharePpm) = dsirModel.computeIfAbsent(dir, _ => {
+      val counts = documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .select(dsirBucket(col("tok")).as("b"),
+          (col("lang") === "en").cast("long").as("is_t"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("r"), sum(col("is_t")).as("t"))
+        .collect()
+      val w = new Array[Long](DsirDim)
+      var rTot = 0L
+      var tTot = 0L
+      counts.foreach { row =>
+        val b = row.getLong(0).toInt
+        val r = row.getLong(1)
+        val t = row.getLong(2)
+        w(b) = 1000000L * (t + 1L) / (r + 1L)
+        rTot += r
+        tTot += t
+      }
+      // Empty buckets score the smoothed prior, same as the oracle.
+      (0 until DsirDim).foreach { b => if (w(b) == 0L) w(b) = 1000000L }
+      (w, 1000000L * tTot / rTot)
+    })
+    val wArr = array(weights.toSeq.map(lit(_)): _*)
+    val toks = split(col("text"), " ")
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + element_at(wArr, (dsirBucket(t) + 1).cast("int")))
+          .as("w_tot"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("w_tot div n_tokens").as("score_ppm"))
+      .withColumn("kept", col("score_ppm") > lit(sharePpm))
+      .sortedWide("doc_id")
+  }
+
+  val t55Oracle: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5('dsir:' || tok), 1, 8)) AS BIGINT)
+       |      % $DsirDim AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |m AS (
+       |  SELECT b, (1000000 * (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+       |      + 1)) // (COUNT(*) + 1) AS w
+       |  FROM tk GROUP BY b),
+       |share AS (
+       |  SELECT (1000000 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+       |      // COUNT(*) AS s
+       |  FROM tk),
+       |ds AS (
+       |  SELECT tk.doc_id, CAST(SUM(m.w) AS BIGINT) AS tot,
+       |    COUNT(*) AS n_tokens
+       |  FROM tk JOIN m USING (b) GROUP BY tk.doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  ds.tot // ds.n_tokens AS score_ppm,
+       |  ds.tot // ds.n_tokens > share.s AS kept
+       |FROM documents d, ds, share
+       |WHERE d.doc_id = ds.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t50_quality_classifier", t50QualityClassifier, Some(t50Oracle)),
     Q("t51_gopher_rules", t51GopherRules, Some(t51Oracle)),
     Q("t52_perplexity_buckets", t52PerplexityBuckets, Some(t52Oracle)),
-    Q("t53_kn_lm_score", t53KnScore, Some(t53Oracle)))
+    Q("t53_kn_lm_score", t53KnScore, Some(t53Oracle)),
+    Q("t54_bpe_apply", t54BpeApply, Some(t54Oracle)),
+    Q("t55_dsir_select", t55DsirSelect, Some(t55Oracle)))
 }

@@ -314,7 +314,157 @@ object Sql {
       |       ELSE o_totalprice END AS merged_price
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** The tombstone-driven delete statement (BigQuery shape):
+    * {{{
+    * DELETE FROM `proj.ds.target` t
+    * WHERE t.k IN (SELECT k FROM `proj.ds.tombstones`)
+    * }}} */
+  final case class DeleteIn(target: String, targetKey: String,
+      source: String, sourceKey: String)
+
+  private val DeleteStmt = (
+    """(?is)\s*DELETE\s+FROM\s+`?([\w.-]+)`?(?:\s+(?:AS\s+)?(\w+))?\s+""" +
+    """WHERE\s+(?:(\w+)\.)?(\w+)\s+IN\s*""" +
+    """\(\s*SELECT\s+(\w+)\s+FROM\s+`?([\w.-]+)`?\s*\)\s*;?\s*""").r
+
+  /** Parse DELETE … WHERE k IN (SELECT k FROM s); loud on anything
+    * outside the key-subquery shape (arbitrary predicates, correlated
+    * subqueries) — like [[parseUpdateFrom]], this covers the statement
+    * surface a reference user ships, not general SQL DML. */
+  def parseDeleteIn(sql: String): DeleteIn = sql match {
+    case DeleteStmt(target, alias, wAlias, wCol, sCol, source) =>
+      require(wAlias == null || alias == null || wAlias.equalsIgnoreCase(alias),
+        s"WHERE column '$wAlias.$wCol' must belong to target alias '$alias'")
+      DeleteIn(baseName(target), wCol, baseName(source), sCol)
+    case _ => throw new IllegalArgumentException(
+      "unsupported DML: expected DELETE FROM <t> [a] " +
+        "WHERE [a.]k IN (SELECT k FROM <s>)")
+  }
+
+  /** Execute the tombstone delete against a [[TableStore]] table — same
+    * transactional route as [[runDml]]/[[runMerge]] (snapshot-pinned scan,
+    * CAS commit, optimistic retry). The rewrite is ONE left-anti equi-join
+    * against the (distinct) tombstone keys: survivors stream through, the
+    * condemned rows simply never ride the new version. NULL tombstone keys
+    * are dropped loudly-by-contract (SQL IN never matches NULL, and an
+    * anti-join key of NULL would instead keep the row on both engines —
+    * same semantics, so no guard is needed). At 100 TB this is the GDPR /
+    * right-to-be-forgotten pass: the tombstone side is tiny and broadcast,
+    * the target pays one scan + rewrite, and the store's partition-pruned
+    * merge path limits the rewrite to partitions that actually lost rows. */
+  def runDelete(s: SparkSession, store: TableStore, sql: String): Unit = {
+    val d = parseDeleteIn(sql)
+    val src =
+      if (store.exists(d.source)) store.read(d.source) else s.table(d.source)
+    val keys = src.select(col(d.sourceKey).as("__d_key"))
+      .filter(col("__d_key").isNotNull).distinct()
+    store.mergeWith(d.target) { cur =>
+      cur.join(broadcast(keys), cur(d.targetKey) === col("__d_key"),
+        "left_anti")
+    }
+  }
+
+  /** q59: the DELETE statement end-to-end through the versioned store —
+    * stage a tombstone table (every order key divisible by 7: the
+    * erasure-request batch), run the literal DELETE text through
+    * [[runDelete]], drop the tombstones, read the committed survivor set
+    * back. The oracle recomputes the survivors declaratively, so the hash
+    * gate proves parse → anti-join rewrite → transactional commit →
+    * read-back equals the declarative answer. With q56 (UPDATE-FROM) and
+    * q57 (MERGE INTO) this completes the statement-level DML surface.
+    *
+    * Scale shape: one broadcast anti-join over the store scan —
+    * [[graft.psn.TableStore.mergeWith]]'s rewrite discipline unchanged. */
+  def q59SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_d", orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    store.overwrite("orders_tomb", orders(s, dir)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey")))
+    runDelete(s, store,
+      """DELETE FROM `graft-project.store.orders_d` t
+        |WHERE t.o_orderkey IN (
+        |  SELECT o_orderkey FROM `graft-project.store.orders_tomb`)
+        |""".stripMargin)
+    store.drop("orders_tomb")
+    store.read("orders_d")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q59Oracle: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val CtasStmt =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+`?([\w.-]+)`?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+
+  /** Execute CREATE TABLE … AS SELECT against a [[TableStore]]: the
+    * SELECT body is arbitrary Catalyst SQL over the registered corpus
+    * views plus any store tables (registered as temp views first, so a
+    * CTAS can derive from managed tables), and the result lands as a new
+    * versioned table via the store's truncate-load commit. Returns the
+    * created table's name. Loud on non-CTAS text — DML goes through
+    * [[runDml]]/[[runMerge]]/[[runDelete]].
+    *
+    * Scale shape: the SELECT plans/executes like any registry query; the
+    * write is the store's parquet append of the result — one pass, no
+    * driver materialization. */
+  def runCtas(s: SparkSession, store: TableStore, dir: String,
+      sql: String): String = sql match {
+    case CtasStmt(target, select) =>
+      registerViews(s, dir)
+      store.tables().foreach { t =>
+        store.read(t).createOrReplaceTempView(t)
+      }
+      val name = baseName(target)
+      store.overwrite(name, s.sql(select))
+      name
+    case _ => throw new IllegalArgumentException(
+      "unsupported DDL: expected CREATE [OR REPLACE] TABLE <t> AS SELECT …")
+  }
+
+  /** q60: CREATE TABLE AS SELECT end-to-end through the versioned store —
+    * the statement-level DDL that loads a derived table next to the
+    * corpus (the reference's load-then-query staging shape as one
+    * statement). The CTAS body aggregates per-status order totals; the
+    * gate reads the created table back, so the hash proves parse →
+    * Catalyst SELECT → truncate-load commit → read-back equals the
+    * declarative answer. With q56/q57/q59 this completes the statement
+    * surface: DDL + all three DML verbs. */
+  def q60SqlCtas(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    runCtas(s, store, dir,
+      """CREATE TABLE `graft-project.store.status_rollup` AS
+        |SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |    AS total_price
+        |FROM orders GROUP BY o_orderstatus
+        |""".stripMargin)
+    store.read("status_rollup")
+      .select(col("status"), col("n_orders"),
+        col("total_price").cast("double").as("total_price"))
+      .sortedSmall("status")
+  }
+
+  val q60Oracle: String =
+    """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
-    graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)))
+    graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
+    graft.Q("q59_sql_delete", q59SqlDelete, Some(q59Oracle)),
+    graft.Q("q60_sql_ctas", q60SqlCtas, Some(q60Oracle)))
 }

@@ -144,6 +144,25 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def exists(table: String): Boolean =
     currentVersion(table) > 0 || legacyData(table)
 
+  /** Names of every table with readable data in this store (committed
+    * versions or legacy flat files) — the namespace listing (the K6
+    * counterpart of BigQuery's dataset.list_tables). Driver-side
+    * directory walk: bounded by the table COUNT, never data-sized. */
+  def tables(): Seq[String] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .filter(exists)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
   def read(table: String): DataFrame =
     spark.read.parquet(resolve(table).toString)
 

@@ -93,4 +93,29 @@ class CoresetSpec extends AnyFunSuite {
     assert(cellSum == total, s"cells cover $cellSum of $total vectors")
     assert(r.length < total, "sampling must actually prune")
   }
+
+  test("e30 cluster outliers: ≤3 contiguous ranks per cell, distances descend, signal varies") {
+    val r = SimilarityOps2.e30ClusterOutliers(spark, sf).collect()
+    val ids = r.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length,
+      "a vector is an outlier of exactly one cell (its own)")
+    r.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq ==
+        (1L to byRank.length).toSeq, "ranks contiguous from 1")
+      assert(byRank.length <= 3)
+      val ds = byRank.map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+        "distance must not increase with rank")
+      // L2² can only dip below zero by the documented rounding slack
+      assert(ds.forall(_ >= -0.0001))
+    }
+    // every trained cell that holds vectors must surface outliers, and
+    // the distance signal must discriminate
+    val cells = SimilarityOps2.e26ClusterSample(spark, sf).collect()
+      .map(_.getLong(0)).distinct.sorted.toSeq
+    assert(r.map(_.getLong(0)).distinct.sorted.toSeq == cells,
+      "e30 must report exactly the populated cells e26 sees")
+    assert(r.map(_.getDouble(2)).distinct.length > 1)
+  }
 }

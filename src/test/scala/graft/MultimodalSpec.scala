@@ -198,4 +198,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.map(_.getInt(2)).distinct.length > 1,
       "cut counts must discriminate between clips")
   }
+
+  test("m10 video dedup: groups partition the clips; fingerprints match a direct reimplementation; identical payloads collapse") {
+    val r = ext.MultimodalOps.m10VideoDedup(spark, sf).collect()
+    val videos = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1).getBytes("UTF-8"))).toMap
+    def sig(bytes: Array[Byte]): String = {
+      val means = bytes.grouped(16).toArray
+        .map(f => f.map(_ & 0xff).sum.toLong / f.length)
+      s"${means.length}:${means.mkString(",")}"
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = videos.toSeq
+      .map { case (id, b) => (md5hex(sig(b)), id, b) }
+      .groupBy(_._1)
+    // groups partition the clip set; keeper is the min id of its group
+    assert(r.map(_.getLong(1)).sum == videos.size.toLong)
+    assert(r.length == expect.size)
+    r.foreach { x =>
+      val members = expect(x.getString(0))
+      assert(x.getLong(1) == members.size.toLong, s"group ${x.getString(0)}")
+      assert(x.getLong(2) == members.map(_._2).min)
+      assert(x.getLong(3) ==
+        ((members.head._3.length + 15) / 16).toLong)
+    }
+    // end-to-end on a crafted corpus: byte-identical clips collapse to one
+    // group with the right copy count and min-id keeper
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("m10corpus").toString
+    Seq((2L, "the same clip three times, long enough for several frames"),
+      (5L, "the same clip three times, long enough for several frames"),
+      (8L, "ZZZZ a very different payload ZZZZZZZZZZZZZZZZZZZZZZZZZZZZ"),
+      (11L, "the same clip three times, long enough for several frames"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val crafted = ext.MultimodalOps.m10VideoDedup(spark, tmp).collect()
+    assert(crafted.length == 2)
+    val trio = crafted.find(_.getLong(1) == 3L).get
+    assert(trio.getLong(2) == 2L, "keeper must be the smallest media id")
+  }
 }

@@ -168,4 +168,80 @@ class SqlDmlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("null or non-unique"))
   }
+
+  private val deleteText =
+    """
+    DELETE FROM `my-project.playstation.game` t
+    WHERE t.id IN (SELECT id FROM `my-project.playstation.game_gone`)
+    """
+
+  test("parses DELETE … IN (subquery); other predicate shapes are loud") {
+    val d = Sql.parseDeleteIn(deleteText)
+    assert(d.target == "game" && d.source == "game_gone")
+    assert(d.targetKey == "id" && d.sourceKey == "id")
+    // alias-free target and bare WHERE column also parse
+    val d2 = Sql.parseDeleteIn(
+      "DELETE FROM t1 WHERE k IN (SELECT k2 FROM t2)")
+    assert(d2.target == "t1" && d2.targetKey == "k" &&
+      d2.source == "t2" && d2.sourceKey == "k2")
+    intercept[IllegalArgumentException] { // literal predicate
+      Sql.parseDeleteIn("DELETE FROM t WHERE x = 1")
+    }
+    intercept[IllegalArgumentException] { // correlated subquery filter
+      Sql.parseDeleteIn(
+        "DELETE FROM t a WHERE a.k IN (SELECT k FROM s WHERE s.v > 1)")
+    }
+    intercept[IllegalArgumentException] { // WHERE names a third alias
+      Sql.parseDeleteIn(
+        "DELETE FROM t a WHERE b.k IN (SELECT k FROM s)")
+    }
+  }
+
+  test("runDelete: tombstoned rows gone, others untouched, commit versioned; null/duplicate tombstones are no-ops") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game",
+      Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("id", "title"))
+    // duplicate and NULL tombstone keys must not over- or under-delete
+    store.overwrite("game_gone",
+      Seq(Some(2L), Some(2L), None).toDF("id"))
+    Sql.runDelete(spark, store, deleteText)
+    assert(store.read("game").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "t1"), (3L, "t3")))
+    assert(store.versions("game").nonEmpty)
+  }
+
+  test("runDelete: tombstones fall back to a session temp view") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game", Seq((1L, 5L), (2L, 6L)).toDF("id", "play_count"))
+    Seq(1L).toDF("id").createOrReplaceTempView("dml_tombstones_view")
+    Sql.runDelete(spark, store,
+      "DELETE FROM game t WHERE t.id IN (SELECT id FROM dml_tombstones_view)")
+    assert(store.read("game").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("runCtas: SELECT may derive from corpus views AND store tables; OR REPLACE overwrites; junk is loud") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("seed", Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    val name = Sql.runCtas(spark, store, sf,
+      """CREATE TABLE `p.d.derived` AS
+        |SELECT s.k, s.v, (SELECT COUNT(*) FROM region) AS n_regions
+        |FROM seed s WHERE s.k = 2""".stripMargin)
+    assert(name == "derived" && store.exists("derived"))
+    val got = store.read("derived").collect()
+    assert(got.length == 1 && got.head.getString(1) == "y")
+    assert(got.head.getLong(2) ==
+      graft.tables.Tables.region(spark, sf).count())
+    // OR REPLACE re-creates with new content through the versioned commit
+    Sql.runCtas(spark, store, sf,
+      "CREATE OR REPLACE TABLE derived AS SELECT k FROM seed")
+    assert(store.read("derived").collect().length == 2)
+    assert(store.tables().contains("derived"))
+    intercept[IllegalArgumentException] {
+      Sql.runCtas(spark, store, sf, "CREATE VIEW v AS SELECT 1")
+    }
+  }
 }

@@ -127,4 +127,87 @@ class TextOps4Spec extends AnyFunSuite {
     assert(r.count(x => mle(x.getLong(0)) != x.getLong(2)) > 0,
       "KN collapsed to the unsmoothed MLE")
   }
+
+  /** BPE train + apply, reimplemented from the contract (Sennrich et al.
+    * 2016, with the operator's documented delimited-string merge
+    * semantics — left-to-right non-overlapping literal replacement, the
+    * behavior `replace` has in BOTH engines): 6 rounds of argmax pair
+    * merge over corpus-weighted distinct-word segmentations,
+    * (total DESC, a, b) tiebreak. */
+  private def bpeReimpl(texts: Seq[String]): Map[String, Long] = {
+    val wf = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    var seg: Map[String, String] =
+      wf.keys.map(w => w -> (" " + w.map(c => s"$c ").mkString)).toMap
+    (1 to 6).foreach { _ =>
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      seg.foreach { case (w, s) =>
+        s.trim.split(" ").sliding(2).filter(_.length == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + wf(w)
+        }
+      }
+      val ((a, b), _) = pairs.toSeq
+        .sortBy { case ((x, y), tot) => (-tot, x, y) }.head
+      seg = seg.map { case (w, s) =>
+        w -> s.replace(s" $a $b ", s" $a$b ")
+      }
+    }
+    seg.map { case (w, s) => w -> s.trim.split(" ").length.toLong }
+  }
+
+  test("t54 BPE apply: per-lang token mass matches a from-scratch BPE train+apply; merges compress") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val tokensPerWord = bpeReimpl(docs.map(_._2))
+    val expect = docs.groupBy(_._1).map { case (lang, rows) =>
+      val words = rows.flatMap(_._2.split(" ", -1))
+      lang -> (words.distinct.size.toLong,
+        words.size.toLong, words.map(tokensPerWord).sum)
+    }
+    val r = TextOps4.t54BpeApply(spark, sf).collect()
+    assert(r.length == expect.size)
+    r.foreach { x =>
+      val (nd, nw, nt) = expect(x.getString(0))
+      assert(x.getLong(1) == nd, s"${x.getString(0)} distinct words")
+      assert(x.getLong(2) == nw, s"${x.getString(0)} word instances")
+      assert(x.getLong(3) == nt, s"${x.getString(0)} token mass")
+      assert(x.getLong(4) == 1000000L * nt / nw)
+      // merges must compress: fewer tokens than characters, more than words
+      assert(x.getLong(3) > x.getLong(2), "tokens >= words only at full merge")
+    }
+  }
+
+  test("t55 DSIR select: weights/scores match a direct reimplementation; selection splits and leans target") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    def bucket(t: String): Int =
+      (java.lang.Long.parseLong(md5hex("dsir:" + t).take(8), 16) % 128).toInt
+    val toks = docs.flatMap { case (_, lang, text) =>
+      text.split(" ", -1).map(t => (bucket(t), lang == "en")) }
+    val w = toks.groupBy(_._1).map { case (b, v) =>
+      b -> (1000000L * (v.count(_._2) + 1) / (v.size + 1)) }
+    val share = 1000000L * toks.count(_._2) / toks.size
+    val r = TextOps4.t55DsirSelect(spark, sf).collect()
+    assert(r.length == docs.length)
+    val byId = docs.map(d => d._1 -> d).toMap
+    r.foreach { x =>
+      val (_, lang, text) = byId(x.getLong(0))
+      val words = text.split(" ", -1)
+      val score = words.map(t => w(bucket(t))).sum / words.length
+      assert(x.getString(1) == lang)
+      assert(x.getLong(2) == words.length.toLong)
+      assert(x.getLong(3) == score, s"doc ${x.getLong(0)} score")
+      assert(x.getBoolean(4) == (score > share))
+    }
+    // the selector must split the corpus, and the kept slice must be
+    // more English-leaning than the dropped one (it IS the target)
+    val kept = r.filter(_.getBoolean(4))
+    assert(kept.nonEmpty && kept.length < r.length)
+    val keptEn = kept.count(_.getString(1) == "en").toDouble / kept.length
+    val dropped = r.filterNot(_.getBoolean(4))
+    val dropEn = dropped.count(_.getString(1) == "en").toDouble / dropped.length
+    assert(keptEn > dropEn, f"kept en-share $keptEn%.2f <= dropped $dropEn%.2f")
+  }
 }
