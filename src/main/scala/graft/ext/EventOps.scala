@@ -604,6 +604,165 @@ object EventOps {
       |SELECT t1, t2, t3, n_walks, n_users FROM pat
       |ORDER BY n_walks DESC, t1, t2, t3 LIMIT 20""".stripMargin
 
+  /** s16: multi-touch LINEAR attribution — every purchase's credit splits
+    * equally across all of the same user's click/view touches in the hour
+    * before it, and the report rolls the fractional credit up per touch
+    * type (the marketing-attribution model family's third member: s05
+    * covers last-touch, first-touch is its mirror; linear is the one that
+    * needs the full touch set per conversion, not just an as-of pick).
+    * Credit is integer ppm (1e6 div n_touches) and value credit integer
+    * cents, so both engines split bit-identically.
+    *
+    * Plan shape: the s06 bucketed range join (touches explode into two
+    * 1-hour buckets, the join is EQUI on (user, bucket) + exact residual
+    * — never a per-user cross product), then ONE purchase-keyed window
+    * counts each conversion's touch set (no self-join back), and the
+    * rollup is a 2-row hash aggregate. At 100 TB every stage is keyed on
+    * user/purchase ids; the bucket trick keeps candidate volume
+    * proportional to true matches, the s06 budget exactly. */
+  def s16LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = 3600L
+    val ev = events(s, dir).withColumn("sec", tsSec)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("sec").as("t_sec"),
+        explode(array(expr(s"sec div $win"),
+          expr(s"sec div $win") + 1)).as("jb"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("p_sec"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_cents"),
+        expr(s"sec div $win").as("jb"))
+    val perConv = Window.partitionBy(col("purchase_id"))
+    touches.join(purchases, Seq("user_id", "jb"))
+      .filter(col("t_sec") < col("p_sec") &&
+        col("p_sec") <= col("t_sec") + win)
+      .withColumn("pn", count(lit(1)).over(perConv))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_conversions"),
+        sum(expr("1000000 div pn")).as("credit_ppm"),
+        sum(expr("value_cents div pn")).as("credit_cents"))
+      .sortedSmall("touch_type")
+  }
+
+  val s16Oracle: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |           FROM events),
+      |t AS (SELECT user_id, event_type AS touch_type, sec AS t_sec
+      |      FROM e WHERE event_type IN ('click', 'view')),
+      |p AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      |      FROM e WHERE event_type = 'purchase'),
+      |a AS (SELECT t.touch_type, p.purchase_id, p.value_cents,
+      |        COUNT(*) OVER (PARTITION BY p.purchase_id) AS pn
+      |      FROM t JOIN p ON t.user_id = p.user_id
+      |        AND t.t_sec < p.p_sec AND p.p_sec <= t.t_sec + 3600)
+      |SELECT touch_type, COUNT(*) AS n_touches,
+      |  COUNT(DISTINCT purchase_id) AS n_conversions,
+      |  CAST(SUM(1000000 // pn) AS BIGINT) AS credit_ppm,
+      |  CAST(SUM(value_cents // pn) AS BIGINT) AS credit_cents
+      |FROM a GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
+  /** s17: Markov-chain stationary distribution of the event-type process
+    * — the transition matrix from each user's consecutive event pairs,
+    * power-iterated 8 rounds from uniform in integer ppm arithmetic, next
+    * to the empirically observed type share. The drift column (stationary
+    * − observed) is the behavioral-model health check: a chain whose
+    * long-run mix diverges from the observed mix flags non-stationary
+    * traffic (bot bursts, instrumentation drift).
+    *
+    * Plan shape: the corpus-sized work is ONE user-keyed window (the s15
+    * sort, reused) plus a |types|² hash aggregate — the transition matrix
+    * is then a bounded model artifact (25 cells here; at any corpus it is
+    * |event_type|², constant in row count), collected under the codebook
+    * discipline and iterated on the driver in exact integer math: p(s,t)
+    * = 1e6·c(s,t) div c(s,·); pi' (t) = Σ_s pi(s)·p(s,t) div 1e6. Mass
+    * lost to states without outgoing transitions stays lost on both
+    * engines (documented contract; every type here has out-edges). At
+    * 100 TB the scan dominates; the iteration cost is K²·rounds driver
+    * flops — the same place a production pipeline computes it. */
+  def s17MarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events(s, dir)
+      .select(col("user_id"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n"))
+      .collect() // bounded: |event_type|^2 cells, the codebook discipline
+    val obs = events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val states = obs.select(col("event_type")).collect()
+      .map(_.getString(0)).sorted // bounded: |event_type| rows
+    val k = states.length
+    val idx = states.zipWithIndex.toMap
+    val c = Array.ofDim[Long](k, k)
+    trans.foreach(r => c(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+    val rowTot = c.map(_.sum)
+    val p = Array.tabulate(k, k)((i, j) =>
+      if (rowTot(i) == 0L) 0L else 1000000L * c(i)(j) / rowTot(i))
+    var pi = Array.fill(k)(1000000L / k)
+    (1 to MarkovRounds).foreach { _ =>
+      pi = Array.tabulate(k)(j =>
+        (0 until k).map(i => pi(i) * p(i)(j)).sum / 1000000L)
+    }
+    import s.implicits._
+    val piDf = states.zip(pi).toSeq.toDF("event_type", "stationary_ppm")
+    val wAll = Window.partitionBy() // 5-row input: single partition is fine
+    obs
+      .withColumn("tot", sum(col("n_events")).over(wAll))
+      .withColumn("observed_ppm", expr("1000000 * n_events div tot"))
+      .join(broadcast(piDf), "event_type")
+      .select(col("event_type"), col("n_events"), col("observed_ppm"),
+        col("stationary_ppm"),
+        (col("stationary_ppm") - col("observed_ppm")).as("drift_ppm"))
+      .sortedSmall("event_type")
+  }
+
+  private val MarkovRounds = 8
+
+  /** Replays the 8 unrolled power-iteration rounds in the same integer
+    * arithmetic (floor once per target state per round, after the sum). */
+  val s17Oracle: String = {
+    val rounds = (1 to MarkovRounds).map { r =>
+      s"""pi$r AS (
+         |  SELECT st.state,
+         |    coalesce((SELECT SUM(pi.ppm * m.p) // 1000000
+         |              FROM pi${r - 1} pi JOIN m ON pi.state = m.t1
+         |              WHERE m.t2 = st.state), 0) AS ppm
+         |  FROM st)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS t2
+       |  FROM events),
+       |c AS (SELECT t1, t2, COUNT(*) AS n FROM seq
+       |      WHERE t2 IS NOT NULL GROUP BY t1, t2),
+       |st AS (SELECT DISTINCT event_type AS state FROM events),
+       |ns AS (SELECT COUNT(*) AS k FROM st),
+       |m AS (SELECT t1, t2,
+       |        (1000000 * n) // (SUM(n) OVER (PARTITION BY t1)) AS p
+       |      FROM c),
+       |pi0 AS (SELECT state, 1000000 // ns.k AS ppm FROM st, ns),
+       |$rounds,
+       |obs AS (SELECT event_type, COUNT(*) AS n_events FROM events
+       |        GROUP BY event_type),
+       |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM obs)
+       |SELECT obs.event_type, obs.n_events,
+       |  (1000000 * obs.n_events) // tot.t AS observed_ppm,
+       |  CAST(pi$MarkovRounds.ppm AS BIGINT) AS stationary_ppm,
+       |  CAST(pi$MarkovRounds.ppm AS BIGINT)
+       |    - (1000000 * obs.n_events) // tot.t AS drift_ppm
+       |FROM obs
+       |JOIN pi$MarkovRounds ON obs.event_type = pi$MarkovRounds.state
+       |CROSS JOIN tot
+       |ORDER BY obs.event_type""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_tumbling_window", s01Tumbling, Some(s01Oracle)),
     Q("s02_sessionize", s02Sessionize, Some(s02Oracle)),
@@ -619,5 +778,7 @@ object EventOps {
     Q("s12_event_dedup", s12EventDedup, Some(s12Oracle)),
     Q("s13_rate_anomaly", s13RateAnomaly, Some(s13Oracle)),
     Q("s14_rolling_active", s14RollingActive, Some(s14Oracle)),
-    Q("s15_behavior_ngrams", s15BehaviorNgrams, Some(s15Oracle)))
+    Q("s15_behavior_ngrams", s15BehaviorNgrams, Some(s15Oracle)),
+    Q("s16_linear_attribution", s16LinearAttribution, Some(s16Oracle)),
+    Q("s17_markov_stationary", s17MarkovStationary, Some(s17Oracle)))
 }

@@ -81,8 +81,16 @@ object MultimodalOps {
   object ImageIoCodec extends MediaCodec {
     private def decode(content: Array[Byte], what: String)
         : java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(content))
+      // A corrupt-but-recognized payload can THROW inside the codec (not
+      // just return null); rethrow with the row's identity attached so one
+      // bad image in a large executor batch is attributable.
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"$what: image codec failed: ${e.getMessage}", e)
+        }
       require(img != null, s"$what: payload is not a decodable image")
       img
     }
@@ -916,6 +924,93 @@ object MultimodalOps {
        |    AS BIGINT) AS n_frames
        |FROM g ORDER BY fp""".stripMargin
 
+  // --- m11: content-addressed chunk dedup --------------------------------
+
+  /** m11: chunk-level storage deduplication across ALL media payloads —
+    * the content-addressable-store manifest a 100 TB blob pipeline builds
+    * at ingest: every payload splits into fixed 64-byte chunks, each
+    * chunk is addressed by digest, and the report is one row per distinct
+    * chunk with its reference count, the media fan-in, and the keeper
+    * reference (lexicographic (media, offset) election — the t01 keeper
+    * discipline at chunk granularity). `n_refs > 1` rows are exactly the
+    * bytes a content-addressed store would NOT store twice.
+    *
+    * Plan shape: chunking is pure projection — `substring` on the binary
+    * column + the md5 digest, all inside whole-stage codegen, no kernel
+    * needed — and the ONE exchange is keyed by digest carrying
+    * (32-hex, media_id, offset) per chunk: shuffle volume is metadata-
+    * sized relative to payload bytes (the m05/m10 digest discipline). At
+    * 100 TB a real deployment uses CDC boundaries (t42's rolling-hash
+    * kernel) instead of fixed offsets; grouping, election, and manifest
+    * are unchanged. */
+  private val OffBase = 1L << 24 // chunk slots per payload (1 GiB at 64 B)
+  private val MediaIdCap = 1L << 38 // packed alongside OffBase in one long
+
+  def m11ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val cb = 64
+    media(s, dir)
+      .filter(length(col("content")) > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((length(content) - 1) div $cb AS BIGINT)"))).as("ci"),
+        col("content"))
+      .select(col("media_id"), col("ci"),
+        lower(hex(expr(
+          s"substring(content, CAST(ci * $cb + 1 AS INT), $cb)")))
+          .as("chunk_hex"))
+      .select(col("media_id"), col("ci"),
+        graft_md5(col("chunk_hex")).as("fp"),
+        expr("CAST(length(chunk_hex) div 2 AS BIGINT)").as("chunk_bytes"))
+      // Keeper election packs (media_id, offset) into ONE long so the
+      // lexicographic min stays a plain hash-aggregable MIN — min over a
+      // STRUCT forces SortAggregate (a per-partition sort the 100 TB plan
+      // doesn't need). 2^24 chunk slots = 1 GiB payloads at 64 B; the
+      // winnowing PosBase guard discipline: overflow throws mid-scan
+      // instead of silently mis-electing.
+      .filter(assert_true(
+        col("ci") < lit(OffBase) && col("media_id") < lit(MediaIdCap),
+        lit(s"m11: chunk offset >= $OffBase or media_id >= $MediaIdCap; " +
+          "widen OffBase/MediaIdCap")).isNull)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("media_id")).as("n_media"),
+        min(col("chunk_bytes")).as("chunk_bytes"),
+        min(col("media_id") * OffBase + col("ci")).as("kp"))
+      .select(col("fp"), col("n_refs"), col("n_media"), col("chunk_bytes"),
+        expr(s"kp div $OffBase").as("keeper_media"),
+        (col("kp") % OffBase).as("keeper_off"))
+      .sortedWide("fp")
+  }
+
+  /** Chunks the hex string (2 chars per byte) where the engine slices the
+    * blob — DuckDB has no BLOB substring. The chunk-index table is a
+    * constant 0..31 joined on `ci*64 < n` (payloads here are ≤ 2 KiB by
+    * testdata contract; a longer payload makes the engine emit chunks the
+    * oracle misses and the hash gate goes loud, not stale). */
+  val m11Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |idx AS (SELECT unnest(range(0, 32)) AS ci),
+      |c AS (
+      |  SELECT media_id, CAST(ci AS BIGINT) AS ci,
+      |    md5(substr(hx, CAST(ci * 128 + 1 AS INT), 128)) AS fp,
+      |    CAST(length(substr(hx, CAST(ci * 128 + 1 AS INT), 128)) // 2
+      |      AS BIGINT) AS chunk_bytes
+      |  FROM m JOIN idx ON ci * 64 < n),
+      |g AS (
+      |  SELECT fp, COUNT(*) AS n_refs, COUNT(DISTINCT media_id) AS n_media,
+      |    CAST(MIN(chunk_bytes) AS BIGINT) AS chunk_bytes
+      |  FROM c GROUP BY fp),
+      |k AS (
+      |  SELECT fp, media_id AS keeper_media, ci AS keeper_off,
+      |    row_number() OVER (PARTITION BY fp ORDER BY media_id, ci) AS rn
+      |  FROM c)
+      |SELECT g.fp, g.n_refs, g.n_media, g.chunk_bytes,
+      |  k.keeper_media, k.keeper_off
+      |FROM g JOIN k ON g.fp = k.fp AND k.rn = 1 ORDER BY g.fp""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_media_meta", m01MediaMeta, Some(m01Oracle)),
     Q("m02_decode_features", m02DecodeFeatures, Some(m02Oracle)),
@@ -927,5 +1022,6 @@ object MultimodalOps {
       Some(m07Oracle)),
     Q("m08_audio_activity", m08AudioActivity, Some(m08Oracle)),
     Q("m09_scene_cuts", m09SceneCuts, Some(m09Oracle)),
-    Q("m10_video_dedup", m10VideoDedup, Some(m10Oracle)))
+    Q("m10_video_dedup", m10VideoDedup, Some(m10Oracle)),
+    Q("m11_chunk_dedup", m11ChunkDedup, Some(m11Oracle)))
 }

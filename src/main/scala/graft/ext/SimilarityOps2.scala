@@ -1044,6 +1044,110 @@ object SimilarityOps2 {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --- e31: per-dimension embedding health stats -------------------------
+
+  /** e31: per-dimension feature-space health report — count, integerized
+    * (ppm) mean, exact integer variance, min/max, and the dead-dimension
+    * signal (share of exact zeros) for each of the 64 embedding
+    * coordinates. This is the check an embedding pipeline runs before
+    * trusting an index: collapsed or dead dimensions break PQ codebooks
+    * and distance contrast (Aggarwal et al. 2001), and per-dim drift vs a
+    * previous snapshot flags encoder regressions. Every value integerizes
+    * ONCE (half-up at ppm) before any aggregation, so both engines
+    * aggregate identical integers — variance is the exact integer
+    * n·Σv² − (Σv)² over n², no IEEE accumulation anywhere.
+    *
+    * Plan shape: one scan, posexplode to (dim, value) — 64× the rows but
+    * map-side combinable straight back down to a 64-key hash aggregate;
+    * sums ride as decimal(38,0) so a 100 TB corpus cannot overflow the
+    * merge buffers. No join, no window, one exchange of 64 keys. */
+  def e31DimStats(s: SparkSession, dir: String): DataFrame = {
+    val v = embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("d0", "vf")))
+      .select((col("d0") + 1).cast("long").as("dim"),
+        floor(col("vf").cast("double") * 1000000 + 0.5).cast("long")
+          .as("vi"))
+    v.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vi").cast("decimal(38,0)")).as("sv"),
+        sum((col("vi") * col("vi")).cast("decimal(38,0)")).as("svv"),
+        min(col("vi")).as("min_ppm"),
+        max(col("vi")).as("max_ppm"),
+        sum(when(col("vi") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n"),
+        expr("CAST(sv div n AS BIGINT)").as("mean_ppm"),
+        expr("CAST((svv * n - sv * sv) div (n * n) AS BIGINT)")
+          .as("var_ppm2"),
+        col("min_ppm"), col("max_ppm"),
+        expr("1000000 * n_zero div n").as("zero_ppm"))
+      .sortedSmall("dim")
+  }
+
+  val e31Oracle: String =
+    """WITH v AS (
+      |  SELECT CAST(u.i AS BIGINT) AS dim,
+      |    CAST(floor(CAST(u.v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi
+      |  FROM (SELECT unnest(embedding) AS v,
+      |               unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings) u)
+      |SELECT dim, COUNT(*) AS n,
+      |  CAST(SUM(vi) // COUNT(*) AS BIGINT) AS mean_ppm,
+      |  CAST((SUM(vi * vi) * COUNT(*) - SUM(vi) * SUM(vi))
+      |    // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_ppm2,
+      |  MIN(vi) AS min_ppm, MAX(vi) AS max_ppm,
+      |  (1000000 * CAST(SUM(CASE WHEN vi = 0 THEN 1 ELSE 0 END) AS BIGINT))
+      |    // COUNT(*) AS zero_ppm
+      |FROM v GROUP BY dim ORDER BY dim""".stripMargin
+
+  // --- e32: IVF centroid separation audit ---------------------------------
+
+  /** e32: centroid-separation audit of the trained IVF index — for every
+    * centroid, its 3 nearest sibling centroids by exact L2² (rounded to
+    * 4 decimals before ranking, the e06/e30 discipline). Near-coincident
+    * centroids mean wasted cells and recall cliffs at probe time (the
+    * k-means degeneracy check FAISS users run as index sanity); the
+    * nearest-sibling margin is what decides nprobe. The matrix is K²
+    * (K = 16 cells) — constant in corpus size, so the whole audit costs
+    * nothing at any scale: the model is the shared driver-memoized
+    * codebook ([[SimilarityOps.ivfModel]]), the pairing is a broadcast
+    * nested-loop over K rows, and the top-3 window partitions K keys. */
+  def e32CentroidSeparation(s: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = SimilarityOps.ivfModel(s, dir)
+    val a = cents.select(col("cid").as("cid_a"), col("cvec").as("va"),
+      col("cn").as("na"))
+    val b = cents.select(col("cid").as("cid_b"), col("cvec").as("vb"),
+      col("cn").as("nb"))
+    val w = Window.partitionBy(col("cid_a"))
+      .orderBy(col("d2_r").asc, col("cid_b"))
+    a.join(b, col("cid_a") =!= col("cid_b"))
+      .select(col("cid_a"), col("cid_b"),
+        round(col("na") * col("na") + col("nb") * col("nb")
+          - dot(col("va"), col("vb")) * 2, 4).as("d2_r"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .sortedSmall("cid_a", "rnk")
+  }
+
+  /** Replays e06's training CTEs and e30's sqrt-then-square norm recipe
+    * (the lost low bits are part of the shared contract). */
+  val e32Oracle: String = {
+    def n2(x: String) =
+      s"sqrt(list_inner_product($x, $x)) * sqrt(list_inner_product($x, $x))"
+    s"""WITH ${SimilarityOps.ivfAssignCtes},
+       |p AS (
+       |  SELECT x.cid AS cid_a, y.cid AS cid_b,
+       |    round(${n2("x.cv")} + ${n2("y.cv")}
+       |      - list_inner_product(x.cv, y.cv) * 2, 4) AS d2_r
+       |  FROM c2 x JOIN c2 y ON x.cid <> y.cid),
+       |r AS (
+       |  SELECT cid_a, cid_b, d2_r,
+       |    CAST(row_number() OVER (PARTITION BY cid_a
+       |      ORDER BY d2_r ASC, cid_b) AS BIGINT) AS rnk
+       |  FROM p)
+       |SELECT cid_a, cid_b, d2_r, rnk FROM r WHERE rnk <= 3
+       |ORDER BY cid_a, rnk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -1057,5 +1161,7 @@ object SimilarityOps2 {
     Q("e27_retrieval_mrr", e27RetrievalMrr, Some(e27Oracle)),
     Q("e28_retrieval_ndcg", e28RetrievalNdcg, Some(e28Oracle)),
     Q("e29_label_prop", e29LabelProp, Some(e29Oracle)),
-    Q("e30_cluster_outliers", e30ClusterOutliers, Some(e30Oracle)))
+    Q("e30_cluster_outliers", e30ClusterOutliers, Some(e30Oracle)),
+    Q("e31_dim_stats", e31DimStats, Some(e31Oracle)),
+    Q("e32_centroid_separation", e32CentroidSeparation, Some(e32Oracle)))
 }

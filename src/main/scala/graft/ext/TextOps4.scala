@@ -466,11 +466,146 @@ object TextOps4 {
        |WHERE d.doc_id = ds.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- t56: intra-document self-repetition spans ------------------------
+
+  /** t56: intra-document repeated n-gram profile — for k ∈ {2, 4, 8}
+    * word-grams, how much of each document is made of n-grams that occur
+    * MORE THAN ONCE in that same document. This is the memorization /
+    * degeneration signal at span granularity (the "repeating itself"
+    * failure mode Holtzman et al. 2020 measure in generations, applied to
+    * training text): t21 scores token-level repetition, t39/t48 find
+    * CROSS-document shared spans; this operator finds the spans a
+    * document shares with itself. Reported per (doc, k): gram positions,
+    * positions covered by a repeated gram, the hottest gram's count, and
+    * the repeated-mass ppm a filter would threshold on.
+    *
+    * Plan shape: one scan explodes each doc into its k-gram stream for
+    * the three k values (map-side — `slice` on the split array inside
+    * codegen), grams ride the shuffle as md5 digests keyed by
+    * (doc, k, digest) — the t30/m05 digest discipline: the 32-hex hash
+    * bounds shuffle width no matter how long the gram — and two hash
+    * aggregates (count per gram, then roll up per doc) both combine
+    * map-side. At 100 TB this is scan + two keyed aggregates, nothing
+    * cross-document. */
+  def t56SelfRepetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(array(lit(2), lit(4), lit(8))).as("k"))
+      .filter(size(col("t")) >= col("k"))
+      .select(col("doc_id"), col("k"),
+        explode(sequence(lit(1), size(col("t")) - col("k") + 1)).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("k"),
+        graft_md5(concat_ws(" ", slice(col("t"), col("i"), col("k"))))
+          .as("g"))
+    grams
+      .groupBy(col("doc_id"), col("k"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(col("n")).as("n_pos"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_rep_pos"),
+        max(col("n")).as("max_gram_n"))
+      .select(col("doc_id"), col("k").cast("long").as("k"), col("n_pos"),
+        col("n_rep_pos"), col("max_gram_n"),
+        expr("1000000 * n_rep_pos div n_pos").as("rep_ppm"))
+      .sortedWide("doc_id", "k")
+  }
+
+  /** Groups on the raw gram text where the engine groups on its md5 —
+    * same multiset (the digest discipline's standing contract). */
+  val t56Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+      |           FROM documents),
+      |ks AS (SELECT unnest([2, 4, 8]) AS k),
+      |g AS (
+      |  SELECT doc_id, k, array_to_string(t[i:i+k-1], ' ') AS gr
+      |  FROM (SELECT doc_id, k, t, unnest(range(1, len(t) - k + 2)) AS i
+      |        FROM d, ks WHERE len(t) >= k)),
+      |c AS (SELECT doc_id, k, gr, COUNT(*) AS n FROM g GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(k AS BIGINT) AS k,
+      |  CAST(SUM(n) AS BIGINT) AS n_pos,
+      |  CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_rep_pos,
+      |  CAST(MAX(n) AS BIGINT) AS max_gram_n,
+      |  (1000000 * CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT))
+      |    // CAST(SUM(n) AS BIGINT) AS rep_ppm
+      |FROM c GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin
+
+  // --- t57: vocabulary concentration report ------------------------------
+
+  /** t57: per-source vocabulary concentration — the Zipf-shape corpus
+    * health report a data pipeline reads before mixing sources: token and
+    * type counts, hapax share (types seen once — high hapax = rich or
+    * noisy), the mass share of the top-10 tokens (high = templated or
+    * degenerate text), and the number of types needed to cover half the
+    * token mass (the rank-frequency curve's half-mass point — the
+    * integer-exact stand-in for a fitted Zipf slope). All ratios integer
+    * ppm; the half-mass rank uses (freq DESC, token ASC) ordering so the
+    * boundary is engine-stable.
+    *
+    * Plan shape: one scan → (source, token) hash aggregate (map-side
+    * combinable), then ONE source-keyed exchange where rank, cumulative
+    * mass, and per-source total share a single sort (three window
+    * functions, one window spec family), and a 20-row rollup. At 100 TB
+    * the (source, token) aggregate bounds everything downstream by
+    * vocabulary size, not corpus size. */
+  def t57VocabConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.ops.Par.fanOut(documents(s, dir), "doc_id")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val bySrc = Window.partitionBy(col("source"))
+    val byFreq = bySrc.orderBy(col("n").desc, col("tok"))
+    counts
+      .withColumn("rnk", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum(col("n"))
+        .over(byFreq.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("n")).over(bySrc))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("rnk") <= 10, col("n")).otherwise(0L)).as("top10"),
+        min(when(col("cum") * 2 >= col("tot"), col("rnk"))).as("p50_types"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("1000000 * n_hapax div n_types").as("hapax_ppm"),
+        expr("1000000 * top10 div n_tokens").as("top10_share_ppm"),
+        col("p50_types"))
+      .sortedSmall("source")
+  }
+
+  val t57Oracle: String =
+    """WITH c AS (
+      |  SELECT source, tok, COUNT(*) AS n
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, n,
+      |    CAST(row_number() OVER w AS BIGINT) AS rnk,
+      |    CAST(SUM(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                      AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tot
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY source ORDER BY n DESC, tok))
+      |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  (1000000 * CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT))
+      |    // COUNT(*) AS hapax_ppm,
+      |  (1000000 * CAST(SUM(CASE WHEN rnk <= 10 THEN n ELSE 0 END)
+      |    AS BIGINT)) // CAST(SUM(n) AS BIGINT) AS top10_share_ppm,
+      |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN rnk END) AS BIGINT)
+      |    AS p50_types
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t50_quality_classifier", t50QualityClassifier, Some(t50Oracle)),
     Q("t51_gopher_rules", t51GopherRules, Some(t51Oracle)),
     Q("t52_perplexity_buckets", t52PerplexityBuckets, Some(t52Oracle)),
     Q("t53_kn_lm_score", t53KnScore, Some(t53Oracle)),
     Q("t54_bpe_apply", t54BpeApply, Some(t54Oracle)),
-    Q("t55_dsir_select", t55DsirSelect, Some(t55Oracle)))
+    Q("t55_dsir_select", t55DsirSelect, Some(t55Oracle)),
+    Q("t56_self_repetition", t56SelfRepetition, Some(t56Oracle)),
+    Q("t57_vocab_concentration", t57VocabConcentration, Some(t57Oracle)))
 }

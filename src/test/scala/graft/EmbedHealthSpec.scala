@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.SimilarityOps2
+
+/** e31 per-dimension stats and e32 centroid separation: the integer
+  * moments must match a driver recompute on the integerized values, and
+  * the separation audit must be symmetric and correctly ranked. */
+class EmbedHealthSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("e31 integer moments match a direct recompute on integerized values") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val r = SimilarityOps2.e31DimStats(spark, sf).collect()
+    assert(r.length == dims)
+    r.foreach { x =>
+      val d = x.getLong(0).toInt - 1
+      val vi = vecs.map(v => math.floor(v(d).toDouble * 1000000 + 0.5).toLong)
+      val n = vi.length.toLong
+      val sv = vi.sum
+      val svv = vi.map(v => v * v).sum
+      assert(x.getLong(1) == n)
+      assert(x.getLong(2) == sv / n, s"dim ${d + 1} mean")
+      assert(x.getLong(3) == (svv * n - sv * sv) / (n * n), s"dim ${d + 1} var")
+      assert(x.getLong(4) == vi.min)
+      assert(x.getLong(5) == vi.max)
+      assert(x.getLong(6) == 1000000L * vi.count(_ == 0L) / n)
+    }
+    // variance of a non-constant column is strictly positive
+    assert(r.forall(_.getLong(3) >= 0))
+    assert(r.exists(_.getLong(3) > 0))
+  }
+
+  test("e32 separation audit: distances symmetric, ranks respect (d2, cid) order") {
+    val r = SimilarityOps2.e32CentroidSeparation(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+    val cids = r.map(_._1).distinct
+    assert(cids.length > 1, "more than one centroid")
+    assert(r.forall(x => x._4 >= 1 && x._4 <= 3))
+    cids.foreach { c =>
+      val mine = r.filter(_._1 == c).sortBy(_._4)
+      assert(mine.map(_._4).toSeq == (1L to mine.length.toLong).toSeq,
+        s"cid $c ranks")
+      // ranked ascending by (d2, cid_b)
+      mine.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._3 < b._3 || (a._3 == b._3 && a._2 < b._2), s"cid $c order")
+      }
+      assert(mine.forall(_._3 >= 0), "L2^2 distances are non-negative")
+    }
+    // symmetry of the underlying metric: if (a,b) and (b,a) both appear
+    // in a top-3 list they carry the same rounded distance
+    val d = r.map(x => (x._1, x._2) -> x._3).toMap
+    d.foreach { case ((a, b), v) =>
+      d.get((b, a)).foreach(v2 => assert(v == v2, s"asym $a-$b"))
+    }
+  }
+}

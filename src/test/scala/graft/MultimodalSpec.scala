@@ -243,4 +243,31 @@ class MultimodalSpec extends AnyFunSuite {
     val trio = crafted.find(_.getLong(1) == 3L).get
     assert(trio.getLong(2) == 2L, "keeper must be the smallest media id")
   }
+
+  test("m11 chunk dedup: manifest conserves every payload byte; keepers are lexicographic minima; shared chunks exist") {
+    val payloads = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      .filter(_._2.nonEmpty)
+    // direct recompute of the chunk map
+    val chunks = payloads.flatMap { case (id, bytes) =>
+      bytes.grouped(64).zipWithIndex.map { case (c, i) =>
+        (c.map(b => f"${b & 0xff}%02x").mkString, id, i.toLong,
+          c.length.toLong)
+      }
+    }
+    val expect = chunks.groupBy(_._1).map { case (_, refs) =>
+      val keeper = refs.minBy(r => (r._2, r._3))
+      (refs.length.toLong, refs.map(_._2).distinct.length.toLong,
+        refs.map(_._4).min, keeper._2, keeper._3)
+    }.toSeq.sorted
+    val r = ext.MultimodalOps.m11ChunkDedup(spark, sf).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5))).toSeq.sorted
+    assert(r == expect, "manifest rows match the direct recompute")
+    // conservation: every payload byte is accounted for exactly once
+    assert(r.map(x => x._1 * x._3).sum == payloads.map(_._2.length.toLong).sum)
+    // dedup must actually fire on this corpus
+    assert(r.exists(_._1 > 1), "no shared chunk: dedup inert")
+  }
 }
