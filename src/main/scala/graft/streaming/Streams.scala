@@ -279,6 +279,42 @@ object Streams {
       }
   }
 
+  final case class TransEv(
+      user_id: Long, sec: Long, event_id: Long, event_type: String)
+  final case class LastEv(sec: Long, event_id: Long, event_type: String)
+  final case class TransPair(user_id: Long, t1: String, t2: String)
+
+  /** Streaming twin of the s17 Markov transition-count stage: per-user
+    * consecutive event-type pairs emitted IN FLIGHT via managed keyed
+    * state — the state is ONE row per user (the last event seen), so the
+    * batch twin's full per-user sort is replaced by O(users) state and
+    * each arrival emits its pair immediately. Downstream, a streaming
+    * (t1, t2) count aggregation maintains the live transition matrix the
+    * s17 power iteration reads.
+    *
+    * Ordering contract: within a micro-batch the group's rows sort by
+    * (sec, event_id) before pairing; ACROSS batches the source must
+    * deliver each user's events in event-time order (true for replayed
+    * logs and for any source already partitioned+ordered by time). A
+    * deployment on out-of-order input buffers behind a watermark before
+    * this stage — the pairing itself is unchanged. */
+  def transitionPairs(spark: SparkSession,
+      events: Dataset[TransEv]): Dataset[TransPair] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEv], state: GroupState[LastEv]) =>
+          val batch = rows.toSeq.sortBy(e => (e.sec, e.event_id))
+          val carried = state.getOption
+            .map(l => TransEv(uid, l.sec, l.event_id, l.event_type)).toSeq
+          batch.lastOption.foreach(l =>
+            state.update(LastEv(l.sec, l.event_id, l.event_type)))
+          (carried ++ batch).sliding(2).filter(_.length == 2)
+            .map(p => TransPair(uid, p.head.event_type, p(1).event_type))
+      }
+  }
+
   /** Streaming twin of TextOps4.t50 — quality-score documents IN FLIGHT
     * (the filter stage of a streaming ingest pipeline). Stateless
     * per-row projection shared verbatim with the batch gate

@@ -471,3 +471,51 @@ class StreamingChunkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** The s17 streaming twin: per-user transition pairs from managed keyed
+  * state must converge, over multiple polls, to the batch lead-window
+  * pair counts — including pairs that straddle a micro-batch boundary
+  * (the carried-state path). */
+class TransitionStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming transition pairs converge to the batch transition counts across 2 polls") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000000000 AS sec", "event_id",
+        "event_type").collect()
+      .map(r => graft.streaming.Streams.TransEv(
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.sec, e.event_id))
+    val source = MemoryStream[graft.streaming.Streams.TransEv]
+    val q = graft.streaming.Streams
+      .transitionPairs(spark, source.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out")
+      .start()
+    try {
+      // split at the time median so thousands of users straddle the
+      // poll boundary and exercise the carried-state pairing
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      source.addData(b1: _*)
+      q.processAllAvailable()
+      source.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("trans_out")
+        .groupBy("t1", "t2").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expect = rows.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e.sec, e.event_id)).map(_.event_type).sliding(2)
+          .filter(_.length == 2).map(p => (p(0), p(1)))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == expect)
+      // the boundary path must actually fire: strictly more pairs than
+      // batch-1 alone can produce
+      val b1Pairs = b1.groupBy(_.user_id).values
+        .map(es => math.max(0, es.size - 1)).sum
+      assert(got.values.sum > b1Pairs.toLong)
+    } finally q.stop()
+  }
+}
