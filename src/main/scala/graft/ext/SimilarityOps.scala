@@ -759,7 +759,7 @@ object SimilarityOps {
 
   /** (final assignment (vec_id, m, sv, cid), trained codebook
     * (m, cid, cvec, cn)). */
-  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ext] def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // argmin by (dist, cid) as a partial-aggregable min(struct) — same
     // tie-break as a row_number window (dist asc, cid asc; cid is unique
     // per (m, candidate) so sv is never reached in the comparison), but
@@ -866,7 +866,7 @@ object SimilarityOps {
     * Lloyd rounds → final assignment a3 + codebook c2), mirroring
     * [[pqAssignments]] exactly — same seeds, same sqrt-then-square
     * distance, same decimal-exact means. */
-  private val pqSqlChain: String = {
+  private[ext] val pqSqlChain: String = {
     def dist(v: String, c: String): String =
       s"sqrt(list_inner_product($c, $c)) * sqrt(list_inner_product($c, $c))" +
         s" - list_inner_product($v, $c) * 2"

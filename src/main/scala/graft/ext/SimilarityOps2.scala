@@ -1148,6 +1148,62 @@ object SimilarityOps2 {
        |ORDER BY cid_a, rnk""".stripMargin
   }
 
+  // --- e33: PQ quantization-distortion audit ------------------------------
+
+  /** e33: per-codeword reconstruction-error audit of the trained PQ
+    * index — for every (subspace, codeword): how many subvectors it
+    * covers and the total / mean / max L2² distance between them and the
+    * codeword (the distortion PQ's ADC distances inherit as error). This
+    * completes the index-health trio (e30 flags outlier members, e32
+    * audits centroid separation, e33 measures what the compression
+    * actually loses) — the report FAISS users read as imbalance (dead or
+    * overloaded codewords) and distortion before shipping an index.
+    * Distances round to 4 decimals per row, then integerize to 1e-4
+    * units THROUGH A DECIMAL CAST, so sums are exact integers on both
+    * engines — no IEEE accumulation order anywhere.
+    *
+    * Plan shape: the model is the shared memoized codebook
+    * ([[SimilarityOps.pqModel]] — M×K rows); the audit is ONE broadcast
+    * join of codewords onto the assignment stream and a (m, cid) hash
+    * aggregate over M·K = 128 keys, map-side combinable. At 100 TB:
+    * scan + broadcast + bounded aggregate, the e30 budget exactly. */
+  def e33PqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val (asg, cents) = SimilarityOps.pqModel(s, dir)
+    val nsv = graft.functions.VecOps.graft_vec_norm(col("sv"))
+    val d2 = nsv * nsv + col("cn") * col("cn") - dot(col("sv"), col("cvec")) * 2
+    asg.join(broadcast(cents), Seq("m", "cid"))
+      .select(col("m"), col("cid"),
+        (round(d2, 4).cast("decimal(18,4)") * 10000).cast("long").as("q4"))
+      .groupBy(col("m"), col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q4")).as("total_d2_q4"),
+        max(col("q4")).as("max_d2_q4"))
+      .select(col("m").cast("long").as("m"), col("cid"), col("n_vecs"),
+        col("total_d2_q4"),
+        expr("total_d2_q4 div n_vecs").as("mean_d2_q4"),
+        col("max_d2_q4"))
+      .sortedSmall("m", "cid")
+  }
+
+  /** Replays e12's training chain and the sqrt-then-square norm recipe,
+    * then the same decimal integerization. */
+  val e33Oracle: String = {
+    def n2(x: String) =
+      s"sqrt(list_inner_product($x, $x)) * sqrt(list_inner_product($x, $x))"
+    s"""WITH ${SimilarityOps.pqSqlChain},
+       |d AS (
+       |  SELECT a3.m, a3.cid,
+       |    CAST(CAST(round(${n2("a3.sv")} + ${n2("c2.cv")}
+       |      - list_inner_product(a3.sv, c2.cv) * 2, 4) AS DECIMAL(18,4))
+       |      * 10000 AS BIGINT) AS q4
+       |  FROM a3 JOIN c2 ON a3.m = c2.m AND a3.cid = c2.cid)
+       |SELECT m, cid, COUNT(*) AS n_vecs,
+       |  CAST(SUM(q4) AS BIGINT) AS total_d2_q4,
+       |  CAST(SUM(q4) AS BIGINT) // COUNT(*) AS mean_d2_q4,
+       |  MAX(q4) AS max_d2_q4
+       |FROM d GROUP BY m, cid ORDER BY m, cid""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -1163,5 +1219,6 @@ object SimilarityOps2 {
     Q("e29_label_prop", e29LabelProp, Some(e29Oracle)),
     Q("e30_cluster_outliers", e30ClusterOutliers, Some(e30Oracle)),
     Q("e31_dim_stats", e31DimStats, Some(e31Oracle)),
-    Q("e32_centroid_separation", e32CentroidSeparation, Some(e32Oracle)))
+    Q("e32_centroid_separation", e32CentroidSeparation, Some(e32Oracle)),
+    Q("e33_pq_distortion", e33PqDistortion, Some(e33Oracle)))
 }

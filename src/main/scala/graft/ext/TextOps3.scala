@@ -1382,6 +1382,58 @@ object TextOps3 {
        |FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** t58: cross-source contamination matrix — the shared-substring spans
+    * (t48's artifact) rolled up by SOURCE pair: how many span incidents,
+    * distinct document pairs, and shared words connect each pair of
+    * corpus sources. Cross-source rows are the provenance-leakage signal
+    * a pipeline reads before treating sources as independent (a
+    * benchmark split by source is only leakage-safe if this matrix's
+    * off-diagonal is empty — the t41 cluster-split rationale, measured
+    * instead of assumed). Pair keys normalize as (least, greatest) so
+    * each unordered source pair reports once.
+    *
+    * Plan shape: the span table is the shared per-corpus artifact (built
+    * once, span-bounded — NOT corpus-bounded); labeling is two equi-joins
+    * hanging each side's source off the doc dimension (span side is the
+    * small side, broadcast), and the rollup is a hash aggregate over at
+    * most |sources|² keys. At 100 TB the artifact is the only input that
+    * grows, and it grows with true duplication, not corpus size. */
+  def t58CrossSourceLeakage(s: SparkSession, dir: String): DataFrame = {
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    val spans = Artifacts.materialized(s, "substring_spans", dir)(
+      spansOf(repsOf(s, dir)))
+    spans
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("doc_a"), col("doc_b"), col("span_words"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_a"), col("doc_b")).as("n_doc_pairs"),
+        sum(col("span_words")).as("shared_words"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+      .sortedSmall("source_a", "source_b")
+  }
+
+  val t58Oracle: String =
+    s"""$spanOracleCtes,
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    sp.doc_a, sp.doc_b, sp.span_words
+       |  FROM spans sp
+       |  JOIN documents da ON sp.doc_a = da.doc_id
+       |  JOIN documents db ON sp.doc_b = db.doc_id)
+       |SELECT source_a, source_b, COUNT(*) AS n_spans,
+       |  COUNT(DISTINCT (doc_a, doc_b)) AS n_doc_pairs,
+       |  CAST(SUM(span_words) AS BIGINT) AS shared_words,
+       |  source_a <> source_b AS cross_source
+       |FROM lab GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t36_cms_frequency", t36CmsFrequency, Some(t36Oracle)),
     Q("t37_lm_score", t37LmScore, Some(t37Oracle)),
@@ -1396,5 +1448,6 @@ object TextOps3 {
     Q("t46_bpe_pair_stats", t46BpePairStats, Some(t46Oracle)),
     Q("t47_bpe_train", t47BpeTrain, Some(t47Oracle)),
     Q("t48_substring_dedup", t48SubstringDedup, Some(t48Oracle)),
-    Q("t49_substring_scrub", t49SubstringScrub, Some(t49Oracle)))
+    Q("t49_substring_scrub", t49SubstringScrub, Some(t49Oracle)),
+    Q("t58_cross_source_leakage", t58CrossSourceLeakage, Some(t58Oracle)))
 }

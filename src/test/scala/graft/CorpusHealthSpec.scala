@@ -68,4 +68,29 @@ class CorpusHealthSpec extends AnyFunSuite {
     assert(r.forall(x => x.getLong(5) >= 1 && x.getLong(5) <= x.getLong(2)))
     assert(r.exists(x => x.getLong(5) > 1))
   }
+
+  test("t58 leakage matrix equals the t48 span report rolled up by source pair") {
+    val srcOf = docs().map(d => d._1 -> d._2).toMap
+    val spans = graft.ext.TextOps3.t48SubstringDedup(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(4)))
+    val expect = spans.map { case (a, b, w) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) (sa, sb) else (sb, sa), (a, b), w)
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_._2).distinct.length.toLong,
+        v.map(_._3).sum)
+    }
+    val r = graft.ext.TextOps3.t58CrossSourceLeakage(spark, sf).collect()
+    assert(r.length == expect.size)
+    r.foreach { x =>
+      val key = (x.getString(0), x.getString(1))
+      val (nSpans, nPairs, words) = expect(key)
+      assert(x.getLong(2) == nSpans, s"$key spans")
+      assert(x.getLong(3) == nPairs, s"$key pairs")
+      assert(x.getLong(4) == words, s"$key words")
+      assert(x.getBoolean(5) == (key._1 != key._2), s"$key flag")
+    }
+    // the leakage signal must actually fire across sources here
+    assert(r.exists(_.getBoolean(5)), "no cross-source spans: audit inert")
+  }
 }

@@ -58,4 +58,21 @@ class EmbedHealthSpec extends AnyFunSuite {
       d.get((b, a)).foreach(v2 => assert(v == v2, s"asym $a-$b"))
     }
   }
+
+  test("e33 distortion audit: covers every assignment exactly once, internally consistent, discriminates") {
+    val r = SimilarityOps2.e33PqDistortion(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    val nVecs = graft.tables.Tables.embeddings(spark, sf).count()
+    // every (vector, subspace) assignment lands in exactly one codeword row
+    val m = r.map(_._1).distinct.length
+    assert(r.map(_._3).sum == nVecs * m, "assignments conserved")
+    r.foreach { case (sub, cid, n, tot, mean, mx) =>
+      assert(n > 0 && tot >= 0, s"($sub,$cid)")
+      assert(mean == tot / n, s"($sub,$cid) mean")
+      assert(mx * n >= tot, s"($sub,$cid) max bounds total")
+    }
+    // distortion must discriminate across codewords, or the audit is inert
+    assert(r.map(_._5).distinct.length > 1)
+  }
 }
