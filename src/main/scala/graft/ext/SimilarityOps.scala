@@ -858,7 +858,7 @@ object SimilarityOps {
     * per corpus and shared by every recall gate (e07/e13/e14). At scale
     * ground truth IS a precomputed eval table — an inline brute-force
     * pass per ANN query would dwarf the query being evaluated. */
-  private def groundTruthTopK(s: SparkSession, dir: String): DataFrame =
+  private[ext] def groundTruthTopK(s: SparkSession, dir: String): DataFrame =
     localizedCached(s, s"gt:$dir",
       e02CosineTopK(s, dir).select(col("qid"), col("cid")))
 

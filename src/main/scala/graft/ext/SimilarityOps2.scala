@@ -1204,6 +1204,116 @@ object SimilarityOps2 {
        |FROM d GROUP BY m, cid ORDER BY m, cid""".stripMargin
   }
 
+  // --- e34: IVF nprobe tuning curve ---------------------------------------
+
+  /** e34: the recall-vs-cost tuning curve of the IVF index — the same
+    * probe at nprobe ∈ {1, 2, 4} cells, each setting reporting its
+    * candidate volume (the cost axis: candidates scanned is what nprobe
+    * buys/costs) and its MEASURED recall@10 against the exact
+    * brute-force ground truth (the shared eval artifact). This is the
+    * knob-setting run every ANN deployment does before fixing nprobe
+    * (e06 ships nprobe=2; this measures why). Recall is integer ppm;
+    * the spec asserts the curve is monotone in nprobe.
+    *
+    * Plan shape: ONE probe pass ranks all K cells per query (broadcast
+    * codebook, K·|queries| rows), the three settings explode from the
+    * rn ≤ 4 prefix (no re-probe per setting), candidates come from the
+    * same cell-keyed join as e06, and the report aggregates over
+    * |settings| keys. At 100 TB each setting touches nprobe/K of the
+    * corpus — the curve's cost axis is real, not simulated. */
+  def e34NprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    val nrm = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VecOps.graft_vec_norm(c)
+    val (cents, asg) = SimilarityOps.ivfModel(s, dir)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cid"))
+    val probes = embeddings(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"),
+        (col("cn") * col("cn") - dot(col("qe"), col("cvec")) * 2)
+          .as("dist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 4)
+      .withColumn("qnorm", nrm(col("qe")))
+      .withColumn("np", explode(array(lit(1), lit(2), lit(4))))
+      .filter(col("rn") <= col("np"))
+      .select(col("np"), col("qid"), col("qe"), col("qnorm"), col("cid"))
+    val cand = asg
+      .withColumn("cnorm", nrm(col("embedding")))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("np"), col("qid"), col("vec_id").as("cid2"),
+        round(dot(col("qe"), col("embedding")) /
+          (col("qnorm") * col("cnorm")), 4).as("cos_r"))
+    val vol = cand.groupBy(col("np"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val gtR = SimilarityOps.groundTruthTopK(s, dir)
+      .select(col("qid"), col("cid").as("cid2"), lit(1L).as("hit"))
+    val wr = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("cos_r").desc, col("cid2"))
+    cand
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 10)
+      .join(broadcast(gtR), Seq("qid", "cid2"), "left")
+      .groupBy(col("np"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(vol, "np")
+      .select(col("np").cast("long").as("nprobe"), col("n_queries"),
+        col("n_candidates"), col("n_hits"),
+        expr("1000000 * n_hits div (10 * n_queries)").as("recall_ppm"))
+      .sortedSmall("nprobe")
+  }
+
+  /** Replays e06's training/probe CTEs at the three widths and e02's
+    * exact brute-force ground truth. */
+  val e34Oracle: String = {
+    val dist = SimilarityOps.ivfDistSql("e.v", "c.cv")
+    s"""WITH ${SimilarityOps.ivfAssignCtes},
+       |nps AS (SELECT unnest([1, 2, 4]) AS np),
+       |pr AS (
+       |  SELECT qid, qv, cid, rn FROM (
+       |    SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $dist ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 5)
+       |  WHERE rn <= 4),
+       |probes AS (SELECT np, qid, qv, cid FROM pr, nps WHERE rn <= np),
+       |cand AS (
+       |  SELECT p.np, p.qid, a.vec_id AS cid2,
+       |    round(list_inner_product(p.qv, a.v) /
+       |      (sqrt(list_inner_product(p.qv, p.qv)) *
+       |       sqrt(list_inner_product(a.v, a.v))), 4) AS cos_r
+       |  FROM probes p JOIN a3 a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |vol AS (SELECT np, COUNT(*) AS n_candidates FROM cand GROUP BY np),
+       |top AS (
+       |  SELECT np, qid, cid2 FROM (
+       |    SELECT np, qid, cid2,
+       |      row_number() OVER (PARTITION BY np, qid
+       |        ORDER BY cos_r DESC, cid2) AS rnk
+       |    FROM cand)
+       |  WHERE rnk <= 10),
+       |gt AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, a.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.v, a.v), 4) DESC,
+       |                 a.vec_id) AS rnk
+       |    FROM e q JOIN e a ON a.vec_id <> q.vec_id WHERE q.vec_id < 5)
+       |  WHERE rnk <= 10),
+       |h AS (
+       |  SELECT t.np, COUNT(DISTINCT t.qid) AS n_queries,
+       |    CAST(SUM(CASE WHEN gt.qid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM top t LEFT JOIN gt ON t.qid = gt.qid AND t.cid2 = gt.cid
+       |  GROUP BY t.np)
+       |SELECT CAST(h.np AS BIGINT) AS nprobe, h.n_queries,
+       |  CAST(vol.n_candidates AS BIGINT) AS n_candidates, h.n_hits,
+       |  (1000000 * h.n_hits) // (10 * h.n_queries) AS recall_ppm
+       |FROM h JOIN vol ON h.np = vol.np ORDER BY nprobe""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -1220,5 +1330,6 @@ object SimilarityOps2 {
     Q("e30_cluster_outliers", e30ClusterOutliers, Some(e30Oracle)),
     Q("e31_dim_stats", e31DimStats, Some(e31Oracle)),
     Q("e32_centroid_separation", e32CentroidSeparation, Some(e32Oracle)),
-    Q("e33_pq_distortion", e33PqDistortion, Some(e33Oracle)))
+    Q("e33_pq_distortion", e33PqDistortion, Some(e33Oracle)),
+    Q("e34_nprobe_curve", e34NprobeCurve, Some(e34Oracle)))
 }

@@ -75,4 +75,20 @@ class EmbedHealthSpec extends AnyFunSuite {
     // distortion must discriminate across codewords, or the audit is inert
     assert(r.map(_._5).distinct.length > 1)
   }
+
+  test("e34 tuning curve: recall and candidate volume are monotone in nprobe; nprobe=2 row equals the shipped e06 recall") {
+    val r = SimilarityOps2.e34NprobeCurve(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    r.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 > lo._3, "candidate volume grows with nprobe")
+      assert(hi._4 >= lo._4, "hits never shrink as cells are added")
+      assert(hi._5 >= lo._5, "recall is monotone in nprobe")
+    }
+    // wider probe must actually buy something on this corpus
+    assert(r.last._5 > r.head._5, "flat curve: tuning signal inert")
+    // recall at every width is far above the random baseline
+    assert(r.forall(_._5 > 100000), "recall below 10%: probe broken")
+  }
 }
