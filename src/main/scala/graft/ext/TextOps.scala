@@ -441,6 +441,25 @@ object TextOps {
     * legitimately surfaces ~1% of all pairs) are exactly verified. Pairs
     * with an empty shingle intersection drop out (inner join) in both
     * engines. */
+  /** The rep-level sketch carrying BOTH the 8 minhash lanes and the exact
+    * shingle set, as a shared per-corpus artifact — pure per-corpus state,
+    * referenced by multiple self-join branches of t09 and reused whole by
+    * t59's banding curve (a parquet scan replaces the persist+count the
+    * sketch needed as a view). */
+  private[ext] def minhashSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Md5Lanes.graft_md5_lanes
+    val cd = canonDocs(documents(s, dir), Some(s -> dir))
+    Artifacts.materialized(s, "minhash_sketch", dir)(
+      shinglesOf(cd.repDocs)
+        .select(col("doc_id"), col("sh"),
+          graft_md5_lanes(col("sh")).as("lv"))
+        .groupBy(col("doc_id"))
+        .agg(laneMinAggs.head,
+          laneMinAggs.tail :+ collect_set(col("sh")).as("sset"): _*)
+        .select(col("doc_id") +: col("sset") +: hexLanes: _*)
+        .transform(withBands(_)))
+  }
+
   def t09JaccardVerify(s: SparkSession, dir: String): DataFrame = {
     // One pass, one shuffle: per-doc sketch carrying BOTH the 8 minhash
     // lanes (candidate generation) and the exact shingle set (verification).
@@ -452,19 +471,8 @@ object TextOps {
     // all pure functions of the two texts, and jaccard is SYMMETRIC in
     // (a, b) — so the whole verify pipeline runs on distinct content and
     // the doc-level pair list falls out of membership expansion.
-    import graft.functions.Md5Lanes.graft_md5_lanes
     val cd = canonDocs(documents(s, dir), Some(s -> dir))
-    def buildSketch: DataFrame = shinglesOf(cd.repDocs)
-      .select(col("doc_id"), col("sh"), graft_md5_lanes(col("sh")).as("lv"))
-      .groupBy(col("doc_id"))
-      .agg(laneMinAggs.head,
-        laneMinAggs.tail :+ collect_set(col("sh")).as("sset"): _*)
-      .select(col("doc_id") +: col("sset") +: hexLanes: _*)
-      .transform(withBands(_))
-    // Pure per-corpus state, referenced by multiple self-join branches —
-    // materialized like the rep signature (parquet scan replaces the
-    // persist+count it needed as a view).
-    val sketch = Artifacts.materialized(s, "minhash_sketch", dir)(buildSketch)
+    val sketch = minhashSketch(s, dir)
     val repJac = bandCandidates(sketch, includeDiagonal = true)
       .join(cd.grpSz.toDF("a", "grp_n"), "a")
       .filter(col("a") =!= col("b") || col("grp_n") >= 2)
@@ -1080,6 +1088,150 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** t59: the MinHash-LSH banding tuning curve — the same 8 signature
+    * lanes banded three ways (1×8, 2×4, 4×2), each config reporting its
+    * candidate volume and its precision MEASURED on a deterministic
+    * sample: the fraction of the first [[VerifyCap]] candidates (by
+    * (a, b)) whose EXACT shingle Jaccard clears 0.8 (compared as
+    * 5·|∩| ≥ 4·|∪| — integer-exact on both engines). This is the text-
+    * side sibling of e34's nprobe curve: the r/b knob-setting run behind
+    * t07's shipped (8, 2) banding, measuring the trade the banding
+    * scaladoc states (narrower bands → more candidates, lower
+    * precision). Rep-level by the Canon discipline: the curve is a
+    * property of distinct content — duplicate copies would inflate every
+    * config's candidate count quadratically and identically. The 8×1
+    * arm is deliberately absent: on this homogeneous corpus single-lane
+    * collisions approach all-pairs (measured: 88% of rep pairs at
+    * sf0.01) — the curve's three points already bracket the knee.
+    *
+    * Plan shape: the sketch is the shared per-corpus artifact (lanes +
+    * exact shingle set in one row); each config is one digest-keyed
+    * equi-self-join carrying IDS ONLY (never all-pairs, never the sets),
+    * the candidate table is itself a per-corpus artifact read by the
+    * volume count and the verify branch, and the exact verify joins the
+    * sets for ≤ VerifyCap pairs per config (pair-local array_intersect —
+    * the t09 budget, capped). At 100 TB the volume column is the real
+    * cost axis and the verify cost is a constant. */
+  /** Exact-verify sample size per config: precision is estimated on the
+    * deterministic first `VerifyCap` candidates by (a, b) — the sampled-
+    * verify discipline every at-scale LSH evaluation uses (verifying ALL
+    * candidates of a narrow banding IS the quadratic blowup the curve
+    * exists to expose; first measured here as 210 s at sf0.1 with the
+    * 8×1 arm fully verified). */
+  private val VerifyCap = 4096
+
+  def t59BandingCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sketch = minhashSketch(s, dir)
+    // Candidate pairs per config carry IDS ONLY — volume counting never
+    // ships the shingle sets through the shuffle. Rep-level pure corpus
+    // state referenced by two branches (volume + sampled verify) → the
+    // standard per-corpus artifact; bounded by DISTINCT content (the
+    // Canon discipline keeps it constant under duplication).
+    val cand = Artifacts.materialized(s, "banding_cand", dir)(
+      Seq(1, 2, 4).map { c =>
+        val w = K / c
+        val bkts = (0 until c).map { j =>
+          graft_md5(concat(lit(s"$j:") +:
+            (j * w until (j + 1) * w).map(i => col(s"h$i")): _*))
+        }
+        val ex = sketch.select(col("doc_id"),
+          explode(array(bkts: _*)).as("bkt"))
+        ex.select(col("bkt"), col("doc_id").as("a"))
+          .join(ex.select(col("bkt"), col("doc_id").as("b")), Seq("bkt"))
+          .filter(col("a") < col("b"))
+          .select(lit(c.toLong).as("bands"), col("a"), col("b"))
+          .distinct()
+      }.reduce(_ unionByName _))
+    val vol = cand.groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val wCfg = Window.partitionBy(col("bands")).orderBy(col("a"), col("b"))
+    val sets = sketch.select(col("doc_id"), col("sset"))
+    val verified = cand
+      .withColumn("rn", row_number().over(wCfg))
+      .filter(col("rn") <= VerifyCap)
+      .join(sets.select(col("doc_id").as("a"), col("sset").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("sset").as("sb")), "b")
+      .select(col("bands"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("ss"))
+      .select(col("bands"), col("i"), (col("ss") - col("i")).as("u"))
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_verified"),
+        sum(when(col("i") * 5 >= col("u") * 4, 1L).otherwise(0L))
+          .as("n_true"))
+    vol.join(verified, "bands")
+      .select(col("bands"), col("n_candidates"), col("n_verified"),
+        col("n_true"),
+        expr("1000000 * n_true div n_verified").as("precision_ppm"))
+      .sortedSmall("bands")
+  }
+
+  /** Replays the rep collapse, the lane mins, the three band digests,
+    * the candidate count, and the top-[[VerifyCap]] sampled exact verify
+    * (LEFT join keeps empty-intersection candidates, matching the
+    * engine's array_intersect = 0). */
+  val t59Oracle: String = {
+    val repsSrc = "(SELECT MIN(doc_id) AS doc_id, text, " +
+      "MIN(n_chars) AS n_chars FROM documents GROUP BY text)"
+    val hs = (0 until K).map(j => s"min(${laneSql(j)}) AS h$j")
+      .mkString(", ")
+    val bucketArms = Seq(1, 2, 4).flatMap { c =>
+      val w = K / c
+      (0 until c).map { j =>
+        val lanes = (j * w until (j + 1) * w).map(i => s"h$i")
+          .mkString(" || ")
+        s"SELECT $c AS bands, doc_id, md5('$j:' || $lanes) AS bkt FROM sig"
+      }
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH shn AS (${shinglesSqlFrom(repsSrc)}),
+       |shd AS (SELECT DISTINCT doc_id, sh FROM shn),
+       |d AS (SELECT doc_id, md5('0' || sh) AS d1, md5('1' || sh) AS d2
+       |      FROM shn),
+       |sig AS (SELECT doc_id, $hs FROM d GROUP BY doc_id),
+       |buckets AS (
+       |  $bucketArms),
+       |cand AS (
+       |  SELECT DISTINCT x.bands, x.doc_id AS a, y.doc_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.bands = y.bands AND x.bkt = y.bkt
+       |    AND x.doc_id < y.doc_id),
+       |vol AS (SELECT bands, COUNT(*) AS n_candidates FROM cand
+       |        GROUP BY bands),
+       |samp AS (
+       |  SELECT bands, a, b FROM (
+       |    SELECT bands, a, b,
+       |      row_number() OVER (PARTITION BY bands ORDER BY a, b) AS rn
+       |    FROM cand)
+       |  WHERE rn <= $VerifyCap),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.bands, c.a, c.b, COUNT(*) AS i
+       |  FROM samp c
+       |  JOIN shd x ON x.doc_id = c.a
+       |  JOIN shd y ON y.doc_id = c.b AND y.sh = x.sh
+       |  GROUP BY 1, 2, 3),
+       |jac AS (
+       |  SELECT c.bands, coalesce(i.i, 0) AS i,
+       |    sa.n + sb.n - coalesce(i.i, 0) AS u
+       |  FROM samp c
+       |  LEFT JOIN inter i
+       |    ON i.bands = c.bands AND i.a = c.a AND i.b = c.b
+       |  JOIN sz sa ON sa.doc_id = c.a
+       |  JOIN sz sb ON sb.doc_id = c.b),
+       |ver AS (
+       |  SELECT bands, COUNT(*) AS n_verified,
+       |    CAST(SUM(CASE WHEN i * 5 >= u * 4 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_true
+       |  FROM jac GROUP BY bands)
+       |SELECT CAST(v.bands AS BIGINT) AS bands,
+       |  CAST(v.n_candidates AS BIGINT) AS n_candidates,
+       |  ver.n_verified, ver.n_true,
+       |  (1000000 * ver.n_true) // ver.n_verified AS precision_ppm
+       |FROM vol v JOIN ver ON v.bands = ver.bands
+       |ORDER BY bands""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t01_dedup_exact", t01DedupExact, Some(t01Oracle)),
     Q("t02_token_stats", t02TokenStats, Some(t02Oracle)),
@@ -1098,5 +1250,6 @@ object TextOps {
     Q("t15_shard_packing", t15ShardPacking, Some(t15Oracle)),
     Q("t16_trigram_profile", t16TrigramProfile, Some(t16Oracle)),
     Q("t17_dedup_apply", t17DedupApply, Some(t17Oracle)),
-    Q("t18_dedup_then_lsh", t18DedupThenLsh, Some(t18Oracle)))
+    Q("t18_dedup_then_lsh", t18DedupThenLsh, Some(t18Oracle)),
+    Q("t59_banding_curve", t59BandingCurve, Some(t59Oracle)))
 }

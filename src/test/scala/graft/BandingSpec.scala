@@ -103,4 +103,25 @@ class BandingSpec extends AnyFunSuite {
         .reduce(_ | _) == 0xFFFFFFFFL)
     }
   }
+
+  test("t59 banding curve: volume grows and precision falls as bands narrow; the wide config nests in the narrow one") {
+    val r = TextOps.t59BandingCurve(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    r.sliding(2).foreach { case Array(wide, narrow) =>
+      // pigeonhole: a full-signature match collides in every banding, so
+      // candidate sets nest and volume is monotone
+      assert(narrow._2 >= wide._2, "candidate volume grows with bands")
+      assert(narrow._5 <= wide._5, "precision falls as bands narrow")
+    }
+    // sample discipline: verified <= min(cap, candidates); true <= verified
+    r.foreach { case (_, cand, ver, tru, _) =>
+      assert(ver <= math.min(4096L, cand))
+      assert(tru <= ver)
+    }
+    // the trade must be non-trivial on this corpus
+    assert(r.last._2 > 10 * r.head._2, "volume axis flat: curve inert")
+    assert(r.head._5 > r.last._5, "precision axis flat: curve inert")
+  }
 }
