@@ -897,13 +897,16 @@ object MultimodalOps {
   }
 
   /** Replays frame means from the documents bytes (the m09 CTE), the
-    * signature string, and the group report. */
+    * signature string, and the group report. The byte-index series is
+    * sized to the SAME ≤ 2 KiB payload contract m11's oracle states
+    * (32 × 64-byte chunks): a payload in (1024, 2048] must make BOTH
+    * gates agree, not pass one and silently truncate the other. */
   val m10Oracle: String =
     s"""WITH m AS (
        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
        |    octet_length(encode(text)) AS n
        |  FROM documents WHERE doc_id % 3 = 2),
-       |idx AS (SELECT unnest(generate_series(1, 1024)) AS i),
+       |idx AS (SELECT unnest(generate_series(1, 2048)) AS i),
        |b AS (
        |  SELECT media_id, (i - 1) // $AudioFrameBytes AS f,
        |    CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS bv

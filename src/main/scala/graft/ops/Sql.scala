@@ -121,33 +121,67 @@ object Sql {
     }
   }
 
-  /** The canonical upsert statement (BigQuery/ANSI shape):
+  /** One WHEN clause of a MERGE statement, in statement order. The
+    * optional predicate is the BigQuery `AND <cond>` search condition,
+    * shape-limited to one comparison between an aliased column and a
+    * literal — the statement surface stays loud-on-anything-else. */
+  sealed trait MergeWhen { def pred: Option[MergePred] }
+  /** `alias.column <op> literal`; `onTarget` resolves the alias side. */
+  final case class MergePred(onTarget: Boolean, column: String,
+      op: String, literal: String)
+  final case class MatchedUpdate(pred: Option[MergePred],
+      sets: Seq[(String, String)]) extends MergeWhen
+  final case class MatchedDelete(pred: Option[MergePred]) extends MergeWhen
+  final case class NotMatchedInsert(pred: Option[MergePred],
+      inserts: Seq[(String, String)]) extends MergeWhen
+
+  /** The canonical upsert/purge statement (BigQuery/ANSI shape):
     * {{{
     * MERGE INTO `proj.ds.target` t USING `proj.ds.src` s
     * ON t.k = s.k
-    * WHEN MATCHED THEN UPDATE SET t.c = s.c, ...
-    * WHEN NOT MATCHED THEN INSERT (k, c, ...) VALUES (s.k, s.c, ...)
-    * }}} */
+    * [WHEN MATCHED [AND <col op literal>] THEN DELETE]
+    * [WHEN MATCHED [AND …] THEN UPDATE SET t.c = s.c, ...]
+    * [WHEN NOT MATCHED [AND …] THEN INSERT (k, …) VALUES (s.k, …)]
+    * }}}
+    * Clauses apply first-match-wins in statement order within their
+    * match group (the ANSI rule). `sets`/`inserts` expose the first
+    * update/insert clause for the common two-clause statement. */
   final case class MergeInto(target: String, source: String,
-      targetKey: String, sourceKey: String, sets: Seq[(String, String)],
-      inserts: Seq[(String, String)])
+      targetKey: String, sourceKey: String, whens: Seq[MergeWhen]) {
+    def sets: Seq[(String, String)] =
+      whens.collectFirst { case MatchedUpdate(_, s) => s }.getOrElse(Nil)
+    def inserts: Seq[(String, String)] =
+      whens.collectFirst { case NotMatchedInsert(_, i) => i }.getOrElse(Nil)
+  }
 
-  private val MergeStmt = (
+  private val MergeHead = (
     """(?is)\s*MERGE\s+INTO\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
     """USING\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
     """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+""" +
-    """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+""" +
-    """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*""" +
-    """VALUES\s*\(([^)]*)\)\s*;?\s*""").r
+    """(WHEN\s.+?)\s*;?\s*""").r
+  private val WhenUpd =
+    """(?is)\s*WHEN\s+MATCHED\s*(AND\s.+?)?\s*THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val WhenDel =
+    """(?is)\s*WHEN\s+MATCHED\s*(AND\s.+?)?\s*THEN\s+DELETE\s*""".r
+  private val WhenIns = (
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s*(AND\s.+?)?\s*THEN\s+INSERT\s*""" +
+    """\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*""").r
+  private val WhenOther = """(?is)\s*WHEN\s+(NOT\s+)?MATCHED\b.*""".r
+  private val PredPat = (
+    """(?is)\s*AND\s+(\w+)\.(\w+)\s*(<=|>=|<>|=|<|>)\s*""" +
+    """('[^']*'|-?\d+(?:\.\d+)?)\s*""").r
   private val SrcRef = """(?is)\s*(\w+)\.(\w+)\s*""".r
 
-  /** Parse MERGE INTO; loud on anything outside the two-clause
-    * update+insert shape (no DELETE clause, no predicated WHENs) — like
-    * [[parseUpdateFrom]], this covers the statement surface a reference
-    * user actually ships, not general SQL DML. */
+  /** Parse MERGE INTO with any combination of DELETE / UPDATE / INSERT
+    * WHEN clauses, each optionally predicated. Loud on anything outside
+    * the shape: a clause verb on the wrong match side, a predicate that
+    * is not one aliased-column-vs-literal comparison, or a non-final
+    * unpredicated clause in a match group (BigQuery's reachability rule
+    * — an unpredicated clause makes every later clause of its group dead
+    * code, which is a user error, not a silent no-op). */
   def parseMergeInto(sql: String): MergeInto = sql match {
-    case MergeStmt(target, tAlias, source, sAlias,
-        oa1, oc1, oa2, oc2, setList, insCols, insVals) =>
+    case MergeHead(target, tAlias, source, sAlias,
+        oa1, oc1, oa2, oc2, whensText) =>
       val (tKey, sKey) =
         if (oa1.equalsIgnoreCase(tAlias) && oa2.equalsIgnoreCase(sAlias))
           (oc1, oc2)
@@ -156,34 +190,77 @@ object Sql {
         else throw new IllegalArgumentException(
           s"ON must equate the two aliases '$tAlias'/'$sAlias', " +
             s"got '$oa1.$oc1 = $oa2.$oc2'")
-      val sets = setList.split(",").toSeq.map {
-        case Assign(lAlias, lCol, rAlias, rCol) =>
-          require(lAlias == null || lAlias.equalsIgnoreCase(tAlias),
-            s"SET column '$lAlias.$lCol' must belong to target '$tAlias'")
-          require(rAlias.equalsIgnoreCase(sAlias),
-            s"SET source '$rAlias.$rCol' must come from '$sAlias'")
-          lCol -> rCol
-        case other => throw new IllegalArgumentException(
-          s"unsupported SET item '$other': expected t.col = s.col")
+      def parsePred(p: String): Option[MergePred] =
+        Option(p).filter(_.trim.nonEmpty).map {
+          case PredPat(a, c, op, l) =>
+            require(a.equalsIgnoreCase(tAlias) || a.equalsIgnoreCase(sAlias),
+              s"predicate column '$a.$c' must use alias " +
+                s"'$tAlias' or '$sAlias'")
+            MergePred(a.equalsIgnoreCase(tAlias), c, op, l)
+          case other => throw new IllegalArgumentException(
+            s"unsupported WHEN predicate '$other': expected " +
+              "AND <alias>.<col> <op> <literal>")
+        }
+      def parseSets(setList: String): Seq[(String, String)] =
+        setList.split(",").toSeq.map {
+          case Assign(lAlias, lCol, rAlias, rCol) =>
+            require(lAlias == null || lAlias.equalsIgnoreCase(tAlias),
+              s"SET column '$lAlias.$lCol' must belong to target '$tAlias'")
+            require(rAlias.equalsIgnoreCase(sAlias),
+              s"SET source '$rAlias.$rCol' must come from '$sAlias'")
+            lCol -> rCol
+          case other => throw new IllegalArgumentException(
+            s"unsupported SET item '$other': expected t.col = s.col")
+        }
+      def parseInserts(insCols: String,
+          insVals: String): Seq[(String, String)] = {
+        val cols = insCols.split(",").toSeq.map(_.trim)
+        val vals = insVals.split(",").toSeq.map {
+          case SrcRef(a, c) =>
+            require(a.equalsIgnoreCase(sAlias),
+              s"INSERT value '$a.$c' must come from '$sAlias'")
+            c
+          case other => throw new IllegalArgumentException(
+            s"unsupported INSERT value '$other': expected s.col")
+        }
+        require(cols.length == vals.length && cols.nonEmpty,
+          s"INSERT column list (${cols.length}) and VALUES " +
+            s"(${vals.length}) must align")
+        cols.zip(vals)
       }
-      val cols = insCols.split(",").toSeq.map(_.trim)
-      val vals = insVals.split(",").toSeq.map {
-        case SrcRef(a, c) =>
-          require(a.equalsIgnoreCase(sAlias),
-            s"INSERT value '$a.$c' must come from '$sAlias'")
-          c
-        case other => throw new IllegalArgumentException(
-          s"unsupported INSERT value '$other': expected s.col")
-      }
-      require(cols.length == vals.length && cols.nonEmpty,
-        s"INSERT column list (${cols.length}) and VALUES " +
-          s"(${vals.length}) must align")
-      MergeInto(baseName(target), baseName(source), tKey, sKey,
-        sets, cols.zip(vals))
+      val clauses = java.util.regex.Pattern
+        .compile("""(?i)(?=WHEN\s+(?:NOT\s+)?MATCHED\b)""")
+        .split(whensText).toSeq.filter(_.trim.nonEmpty)
+        .map {
+          case WhenDel(pred) => MatchedDelete(parsePred(pred))
+          case WhenUpd(pred, setList) =>
+            MatchedUpdate(parsePred(pred), parseSets(setList))
+          case WhenIns(pred, insCols, insVals) =>
+            NotMatchedInsert(parsePred(pred), parseInserts(insCols, insVals))
+          case WhenOther(not) => throw new IllegalArgumentException(
+            if (not == null)
+              "WHEN MATCHED supports THEN UPDATE SET … or THEN DELETE only"
+            else
+              "WHEN NOT MATCHED supports THEN INSERT (…) VALUES (…) only")
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE clause '$other'")
+        }
+      require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+      // reachability: within each match group only the LAST clause may
+      // omit its predicate
+      def checkGroup(group: Seq[MergeWhen], name: String): Unit =
+        group.dropRight(1).foreach(w => require(w.pred.nonEmpty,
+          s"non-final $name clause needs an AND predicate — an " +
+            "unpredicated clause makes later clauses unreachable"))
+      checkGroup(clauses.filter(!_.isInstanceOf[NotMatchedInsert]),
+        "WHEN MATCHED")
+      checkGroup(clauses.collect { case i: NotMatchedInsert => i },
+        "WHEN NOT MATCHED")
+      MergeInto(baseName(target), baseName(source), tKey, sKey, clauses)
     case _ => throw new IllegalArgumentException(
       "unsupported DML: expected MERGE INTO <t> a USING <s> b ON a.k = b.k " +
-        "WHEN MATCHED THEN UPDATE SET ... " +
-        "WHEN NOT MATCHED THEN INSERT (...) VALUES (...)")
+        "followed by WHEN [NOT] MATCHED [AND <pred>] THEN " +
+        "UPDATE SET … | DELETE | INSERT (...) VALUES (...)")
   }
 
   /** Execute MERGE INTO against a [[TableStore]] table — same
@@ -333,8 +410,14 @@ object Sql {
     * surface a reference user ships, not general SQL DML. */
   def parseDeleteIn(sql: String): DeleteIn = sql match {
     case DeleteStmt(target, alias, wAlias, wCol, sCol, source) =>
-      require(wAlias == null || alias == null || wAlias.equalsIgnoreCase(alias),
-        s"WHERE column '$wAlias.$wCol' must belong to target alias '$alias'")
+      // A qualified WHERE column requires a declared alias it matches: on
+      // an alias-free target, 'WHERE x.k IN …' would otherwise silently
+      // bind x.k to the target — the loud-on-anything-outside-the-shape
+      // contract forbids guessing.
+      require(wAlias == null ||
+          (alias != null && wAlias.equalsIgnoreCase(alias)),
+        s"WHERE column '$wAlias.$wCol' must belong to target alias " +
+          s"'${if (alias == null) "<none declared>" else alias}'")
       DeleteIn(baseName(target), wCol, baseName(source), sCol)
     case _ => throw new IllegalArgumentException(
       "unsupported DML: expected DELETE FROM <t> [a] " +
@@ -403,28 +486,43 @@ object Sql {
       |ORDER BY o_orderkey""".stripMargin
 
   private val CtasStmt =
-    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+`?([\w.-]+)`?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+`?([\w.-]+)`?\s+AS\s+(SELECT\b.+?)\s*;?\s*""".r
 
-  /** Execute CREATE TABLE … AS SELECT against a [[TableStore]]: the
-    * SELECT body is arbitrary Catalyst SQL over the registered corpus
-    * views plus any store tables (registered as temp views first, so a
-    * CTAS can derive from managed tables), and the result lands as a new
-    * versioned table via the store's truncate-load commit. Returns the
-    * created table's name. Loud on non-CTAS text — DML goes through
-    * [[runDml]]/[[runMerge]]/[[runDelete]].
+  /** Execute CREATE [OR REPLACE] TABLE … AS SELECT against a
+    * [[TableStore]]: the SELECT body is arbitrary Catalyst SQL over the
+    * registered corpus views plus any store tables (registered as temp
+    * views for the statement, so a CTAS can derive from managed tables),
+    * and the result lands as a new versioned table via the store's
+    * truncate-load commit. Returns the created table's name. Loud on
+    * non-CTAS text — DML goes through [[runDml]]/[[runMerge]]/
+    * [[runDelete]].
+    *
+    * BigQuery semantics, both ways: plain CREATE TABLE over an existing
+    * store table is an ERROR (silently truncate-loading it would destroy
+    * data the user never asked to replace); OR REPLACE is the explicit
+    * opt-in. The store-table views are scoped to the statement — dropped
+    * once the SELECT has executed — so a CTAS can never leave a managed
+    * table shadowing a corpus view for later `spark.sql` users.
     *
     * Scale shape: the SELECT plans/executes like any registry query; the
     * write is the store's parquet append of the result — one pass, no
     * driver materialization. */
   def runCtas(s: SparkSession, store: TableStore, dir: String,
       sql: String): String = sql match {
-    case CtasStmt(target, select) =>
+    case CtasStmt(orReplace, target, select) =>
+      val name = baseName(target)
+      require(orReplace != null || !store.exists(name),
+        s"CREATE TABLE $name: table already exists in the store " +
+          "(use CREATE OR REPLACE TABLE to truncate-load it)")
       registerViews(s, dir)
-      store.tables().foreach { t =>
+      val storeViews = store.tables()
+      storeViews.foreach { t =>
         store.read(t).createOrReplaceTempView(t)
       }
-      val name = baseName(target)
-      store.overwrite(name, s.sql(select))
+      // overwrite executes the SELECT (parquet write) before returning,
+      // so the statement-scoped views can drop in a finally.
+      try store.overwrite(name, s.sql(select))
+      finally storeViews.foreach(t => s.catalog.dropTempView(t))
       name
     case _ => throw new IllegalArgumentException(
       "unsupported DDL: expected CREATE [OR REPLACE] TABLE <t> AS SELECT …")
