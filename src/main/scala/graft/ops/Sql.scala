@@ -265,12 +265,21 @@ object Sql {
 
   /** Execute MERGE INTO against a [[TableStore]] table — same
     * transactional route as [[runDml]] (snapshot-pinned scan, CAS commit,
-    * optimistic retry). Matched target rows take the SET assignments,
-    * unmatched source rows INSERT (columns absent from the list are
-    * NULL), unmatched target rows pass through. Source keys must be
+    * optimistic retry). Every parsed clause executes with ANSI/BigQuery
+    * semantics: within each match group the FIRST clause whose `AND`
+    * predicate holds fires (first-match-wins in statement order), a
+    * fired UPDATE takes its SET assignments, a fired DELETE drops the
+    * row, a fired INSERT materializes the source row (columns absent
+    * from the list are NULL). A matched row no clause fires on passes
+    * through unchanged; a source-only row no INSERT clause fires on is
+    * ignored; target-only rows always pass through. Source keys must be
     * unique AND non-null — a null key can never match, and silently
     * inserting it would manufacture an unreachable row, so both are
-    * loud errors (BigQuery's one-source-row rule, tightened). */
+    * loud errors (BigQuery's one-source-row rule, tightened).
+    *
+    * Scale shape: the whole statement is ONE full-outer equi-join on the
+    * key; clause dispatch is a per-row cascaded `when()` (codegen'd, no
+    * extra shuffle, no per-clause pass over the target). */
   def runMerge(s: SparkSession, store: TableStore, sql: String): Unit = {
     val u = parseMergeInto(sql)
     val src =
@@ -281,24 +290,78 @@ object Sql {
       s"MERGE USING ${u.source}: source key ${u.sourceKey} value " +
         s"'${bad.headOption.map(_.get(0)).orNull}' is null or non-unique")
     val uKey = "__u_" + u.sourceKey
-    val rhsCols =
-      (u.sourceKey +: (u.sets.map(_._2) ++ u.inserts.map(_._2))).distinct
+    val matchedWhens = u.whens.filterNot(_.isInstanceOf[NotMatchedInsert])
+    val insertWhens = u.whens.collect { case i: NotMatchedInsert => i }
+    // every source column the statement touches: SET rhs, INSERT values,
+    // and source-side predicate columns, all renamed out of collision
+    val rhsCols = (u.sourceKey +:
+      (u.whens.collect { case MatchedUpdate(_, ss) => ss.map(_._2) }.flatten
+        ++ insertWhens.flatMap(_.inserts.map(_._2))
+        ++ u.whens.flatMap(_.pred).collect {
+          case MergePred(false, c, _, _) => c
+        })).distinct
     val renamedSrc = src.select(rhsCols.map(c => col(c).as("__u_" + c)): _*)
     store.mergeWith(u.target) { cur =>
+      def predCol(p: Option[MergePred]): Column = p match {
+        case None => lit(true)
+        case Some(MergePred(onTarget, c, op, l)) =>
+          val lhs = if (onTarget) cur(c) else col("__u_" + c)
+          val rhs =
+            if (l.startsWith("'")) lit(l.substring(1, l.length - 1))
+            else if (l.matches("-?\\d+")) lit(l.toLong)
+            else lit(l.toDouble)
+          op match {
+            case "=" => lhs === rhs
+            case "<>" => lhs =!= rhs
+            case "<" => lhs < rhs
+            case ">" => lhs > rhs
+            case "<=" => lhs <= rhs
+            case ">=" => lhs >= rhs
+          }
+      }
       val srcM = col(uKey).isNotNull
       val tgtM = cur(u.targetKey).isNotNull
+      // first-match-wins: index of the first clause whose predicate
+      // holds, -1 when none fires (an unpredicated clause is lit(true),
+      // so the reachability rule guarantees nothing after it evaluates)
+      val mAct = matchedWhens.zipWithIndex.foldRight(lit(-1)) {
+        case ((w, i), acc) => when(predCol(w.pred), lit(i)).otherwise(acc)
+      }
+      val iAct = insertWhens.zipWithIndex.foldRight(lit(-1)) {
+        case ((w, i), acc) => when(predCol(w.pred), lit(i)).otherwise(acc)
+      }
+      val delIdx = matchedWhens.zipWithIndex
+        .collect { case (_: MatchedDelete, i) => i }
+      val keep =
+        when(srcM && tgtM,
+          if (delIdx.isEmpty) lit(true)
+          else !mAct.isin(delIdx: _*))
+        .when(srcM && !tgtM, iAct >= 0)
+        .otherwise(lit(true))
       val outCols: Seq[Column] = cur.columns.toSeq.map { c =>
-        val ins = u.inserts.find(_._1.equalsIgnoreCase(c))
-          .map(p => col("__u_" + p._2))
-          .getOrElse(lit(null))
-        val upd = u.sets.find(_._1.equalsIgnoreCase(c))
-          .map(p => col("__u_" + p._2))
-        when(srcM && !tgtM, ins)
-          .when(srcM && tgtM, upd.getOrElse(cur(c)))
+        val updCase = matchedWhens.zipWithIndex.foldRight(cur(c)) {
+          case ((MatchedUpdate(_, ss), i), acc) =>
+            ss.find(_._1.equalsIgnoreCase(c)) match {
+              case Some((_, sc)) =>
+                when(mAct === i, col("__u_" + sc)).otherwise(acc)
+              case None => acc
+            }
+          case (_, acc) => acc // fired DELETEs never reach the select
+        }
+        val insCase = insertWhens.zipWithIndex
+          .foldRight(lit(null).cast(cur.schema(c).dataType)) {
+            case ((NotMatchedInsert(_, ins), i), acc) =>
+              val v = ins.find(_._1.equalsIgnoreCase(c))
+                .map(p => col("__u_" + p._2))
+                .getOrElse(lit(null).cast(cur.schema(c).dataType))
+              when(iAct === i, v).otherwise(acc)
+          }
+        when(srcM && !tgtM, insCase)
+          .when(srcM && tgtM, updCase)
           .otherwise(cur(c)).as(c)
       }
       cur.join(renamedSrc, cur(u.targetKey) === col(uKey), "full")
-        .select(outCols: _*)
+        .filter(keep).select(outCols: _*)
     }
   }
 
@@ -348,6 +411,58 @@ object Sql {
       |  CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus
       |       ELSE 'N' END AS status
       |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q61: the FULL MERGE clause surface in one statement — a predicated
+    * DELETE, an unpredicated UPDATE behind it (first-match-wins: only
+    * non-'F' matched rows reach it), and a predicated INSERT that ignores
+    * cheap unmatched source rows. The oracle recomputes all three
+    * branches declaratively, so the hash gate proves clause dispatch
+    * order, predicate evaluation on BOTH aliases (target-side status,
+    * source-side price), DELETE-as-filter, and insert gating — the
+    * exact shapes round 10's parser accepted but did not execute.
+    *
+    * Scale shape: still ONE full-outer join on the key; the clause
+    * cascade is per-row codegen'd `when()`, no extra pass or shuffle. */
+  def q61SqlMergeFull(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_f", orders(s, dir)
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    store.overwrite("orders_fs", orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 1.05).as("o_totalprice"),
+        lit("N").as("o_orderstatus")))
+    runMerge(s, store,
+      """MERGE INTO `graft-project.store.orders_f` t
+        |USING `graft-project.store.orders_fs` s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+        |WHEN NOT MATCHED AND s.o_totalprice > 1000 THEN INSERT
+        |  (o_orderkey, o_totalprice, o_orderstatus)
+        |  VALUES (s.o_orderkey, s.o_totalprice, s.o_orderstatus)
+        |""".stripMargin)
+    store.drop("orders_fs")
+    store.read("orders_f")
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("merged_price"),
+        col("o_orderstatus").as("status"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q61Oracle: String =
+    """SELECT o_orderkey, o_totalprice * 1.05 AS merged_price,
+      |  o_orderstatus AS status
+      |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderstatus <> 'F'
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice * 1.05 AS merged_price,
+      |  'N' AS status
+      |FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice * 1.05 > 1000
+      |ORDER BY o_orderkey""".stripMargin
 
   /** q56: the reference's own DML statement end-to-end — stage an updates
     * table next to the target (main.py:256-273's temp-table load), run the
@@ -507,6 +622,27 @@ object Sql {
     * Scale shape: the SELECT plans/executes like any registry query; the
     * write is the store's parquet append of the result — one pass, no
     * driver materialization. */
+  /** Register corpus views plus statement-scoped store-table views, run
+    * `body`, then drop the store-table views. A store table whose name
+    * collides with a corpus view is a LOUD error before anything
+    * executes: registering it would shadow the corpus view for the
+    * statement, and dropping it afterwards would remove the name
+    * entirely, leaving later `spark.sql` users with neither. */
+  private def withStatementViews[T](s: SparkSession, store: TableStore,
+      dir: String)(body: => T): T = {
+    registerViews(s, dir)
+    val storeViews = store.tables()
+    val clash = storeViews.toSet.intersect(Tables.corpus.toSet)
+    require(clash.isEmpty,
+      s"store table(s) ${clash.mkString(", ")} shadow corpus views of the " +
+        "same name — rename the store table")
+    storeViews.foreach(t => store.read(t).createOrReplaceTempView(t))
+    // body must EXECUTE its statement (not just plan it) before the
+    // statement-scoped views drop in the finally.
+    try body
+    finally storeViews.foreach(t => s.catalog.dropTempView(t))
+  }
+
   def runCtas(s: SparkSession, store: TableStore, dir: String,
       sql: String): String = sql match {
     case CtasStmt(orReplace, target, select) =>
@@ -514,15 +650,7 @@ object Sql {
       require(orReplace != null || !store.exists(name),
         s"CREATE TABLE $name: table already exists in the store " +
           "(use CREATE OR REPLACE TABLE to truncate-load it)")
-      registerViews(s, dir)
-      val storeViews = store.tables()
-      storeViews.foreach { t =>
-        store.read(t).createOrReplaceTempView(t)
-      }
-      // overwrite executes the SELECT (parquet write) before returning,
-      // so the statement-scoped views can drop in a finally.
-      try store.overwrite(name, s.sql(select))
-      finally storeViews.foreach(t => s.catalog.dropTempView(t))
+      withStatementViews(s, store, dir)(store.overwrite(name, s.sql(select)))
       name
     case _ => throw new IllegalArgumentException(
       "unsupported DDL: expected CREATE [OR REPLACE] TABLE <t> AS SELECT …")
@@ -560,9 +688,128 @@ object Sql {
       |    AS total_price
       |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
 
+  /** The statement-level append (BigQuery shape; the reference appends on
+    * every run — main.py:62,185's `to_gbq(..., if_exists='append')`):
+    * {{{
+    * INSERT INTO `proj.ds.target` [(c1, c2, …)] SELECT …
+    * }}} */
+  final case class InsertInto(target: String, cols: Option[Seq[String]],
+      select: String)
+
+  private val InsertStmt = (
+    """(?is)\s*INSERT\s+INTO\s+`?([\w.-]+)`?\s*""" +
+    """(?:\(([^)]*)\)\s*)?(SELECT\b.+?)\s*;?\s*""").r
+
+  /** Parse INSERT INTO … SELECT; the optional column list must be plain
+    * column names (loud otherwise). The SELECT body stays opaque here —
+    * it is arbitrary Catalyst SQL, validated by the planner at run. */
+  def parseInsertInto(sql: String): InsertInto = sql match {
+    case InsertStmt(target, colList, select) =>
+      val cols = Option(colList)
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      cols.foreach { cs =>
+        require(cs.nonEmpty && cs.forall(_.matches("\\w+")),
+          s"INSERT column list '${colList}' must be plain column names")
+        require(cs.map(_.toLowerCase).distinct.length == cs.length,
+          s"INSERT column list '${colList}' names a column twice")
+      }
+      InsertInto(baseName(target), cols, select)
+    case _ => throw new IllegalArgumentException(
+      "unsupported DML: expected INSERT INTO <t> [(c1, …)] SELECT …")
+  }
+
+  /** Execute the statement-level append against a [[TableStore]] table.
+    * The SELECT executes over corpus views + statement-scoped store
+    * views (same discipline as [[runCtas]]); the result lands via
+    * [[TableStore.append]], which asserts schema identity LOUDLY —
+    * BigQuery's append contract, not spark's silent schema merge. With a
+    * column list, the SELECT binds positionally to the named target
+    * columns and every absent target column rides as a typed NULL; the
+    * named columns' types must still match the table exactly (no silent
+    * cast — a string SELECT item into an int column is schema drift, and
+    * the append assert fires). The target must already exist: creating
+    * tables is [[runCtas]]'s job, and an INSERT that silently creates
+    * would hide a typo'd table name.
+    *
+    * Scale shape: the SELECT plans like any registry query; the write is
+    * one parquet append of the result — no read-modify-write of existing
+    * data, no version rewrite, no driver materialization. */
+  def runInsert(s: SparkSession, store: TableStore, dir: String,
+      sql: String): Unit = {
+    val ins = parseInsertInto(sql)
+    require(store.exists(ins.target),
+      s"INSERT INTO ${ins.target}: table does not exist in the store " +
+        "(CREATE TABLE … AS SELECT creates it)")
+    val tgtSchema = store.read(ins.target).schema
+    withStatementViews(s, store, dir) {
+      val sel = s.sql(ins.select)
+      val aligned = ins.cols match {
+        case Some(cs) =>
+          require(cs.length == sel.columns.length,
+            s"INSERT column list (${cs.length}) and SELECT arity " +
+              s"(${sel.columns.length}) must align")
+          val unknown = cs.filterNot(c =>
+            tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(unknown.isEmpty,
+            s"INSERT column(s) ${unknown.mkString(", ")} not in " +
+              s"${ins.target}")
+          val named = sel.toDF(cs: _*)
+          named.select(tgtSchema.fields.toSeq.map { f =>
+            if (cs.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+        case None => sel
+      }
+      store.append(ins.target, aligned)
+    }
+  }
+
+  /** q62: statement-level INSERT INTO … SELECT end-to-end through the
+    * store — CTAS seeds the open orders, the INSERT appends the
+    * fulfilled ones (with the column-list path exercised: `note` is
+    * absent from the list and must ride as a typed NULL). The oracle
+    * replays both loads declaratively over `orders`, so the hash gate
+    * proves parse → Catalyst SELECT → schema-asserted append →
+    * read-back. Completes the statement surface: DDL + all four DML
+    * verbs (UPDATE q56, MERGE q57/q61, DELETE q59, INSERT q62).
+    *
+    * Scale shape: append-only — the existing table is never rewritten,
+    * the new rows are one SELECT + one parquet write. */
+  def q62SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    runCtas(s, store, dir,
+      """CREATE TABLE `graft-project.store.order_log` AS
+        |SELECT o_orderkey, o_totalprice, CAST('open' AS STRING) AS note
+        |FROM orders WHERE o_orderstatus = 'O'
+        |""".stripMargin)
+    runInsert(s, store, dir,
+      """INSERT INTO `graft-project.store.order_log`
+        |  (o_orderkey, o_totalprice)
+        |SELECT o_orderkey, o_totalprice * 0.9
+        |FROM orders WHERE o_orderstatus = 'F'
+        |""".stripMargin)
+    store.read("order_log")
+      .select(col("o_orderkey"), col("o_totalprice").as("logged_price"),
+        col("note"))
+      .sortedWide("o_orderkey", "note")
+  }
+
+  val q62Oracle: String =
+    """SELECT o_orderkey, o_totalprice AS logged_price, 'open' AS note
+      |FROM orders WHERE o_orderstatus = 'O'
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice * 0.9 AS logged_price, NULL AS note
+      |FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey, note""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
     graft.Q("q59_sql_delete", q59SqlDelete, Some(q59Oracle)),
-    graft.Q("q60_sql_ctas", q60SqlCtas, Some(q60Oracle)))
+    graft.Q("q60_sql_ctas", q60SqlCtas, Some(q60Oracle)),
+    graft.Q("q61_sql_merge_full", q61SqlMergeFull, Some(q61Oracle)),
+    graft.Q("q62_sql_insert", q62SqlInsert, Some(q62Oracle)))
 }

@@ -122,20 +122,91 @@ class SqlDmlSpec extends AnyFunSuite {
       VALUES (s.id, s.play_count)
     """
 
-  test("parses MERGE INTO; DELETE clauses and predicated WHENs are loud") {
+  test("parses MERGE INTO: DELETE clauses, predicated WHENs, reachability; junk is loud") {
     val m = Sql.parseMergeInto(mergeText)
     assert(m.target == "game" && m.source == "game_src")
     assert(m.targetKey == "id" && m.sourceKey == "id")
     assert(m.sets == Seq("play_count" -> "play_count"))
     assert(m.inserts == Seq("id" -> "id", "play_count" -> "play_count"))
+    // the full clause surface parses: predicated DELETE (target-side
+    // pred), unpredicated UPDATE behind it, predicated INSERT
+    // (source-side pred) — in statement order
+    val m2 = Sql.parseMergeInto(
+      "MERGE INTO a t USING b s ON t.id = s.id " +
+        "WHEN MATCHED AND t.status = 'F' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v " +
+        "WHEN NOT MATCHED AND s.v > 10 THEN INSERT (id, v) " +
+        "VALUES (s.id, s.v)")
+    assert(m2.whens == Seq(
+      Sql.MatchedDelete(Some(Sql.MergePred(true, "status", "=", "'F'"))),
+      Sql.MatchedUpdate(None, Seq("v" -> "v")),
+      Sql.NotMatchedInsert(Some(Sql.MergePred(false, "v", ">", "10")),
+        Seq("id" -> "id", "v" -> "v"))))
+    // a bare DELETE-only statement is legal ANSI MERGE
+    assert(Sql.parseMergeInto(
+      "MERGE INTO a t USING b s ON t.id = s.id WHEN MATCHED THEN DELETE")
+      .whens == Seq(Sql.MatchedDelete(None)))
+    // reachability rule: a non-final unpredicated clause in a match
+    // group makes later clauses dead code — loud, not silent
     intercept[IllegalArgumentException] {
-      Sql.parseMergeInto(
-        "MERGE INTO a t USING b s ON t.id = s.id " +
-          "WHEN MATCHED THEN DELETE")
+      Sql.parseMergeInto("MERGE INTO a t USING b s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v")
     }
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { // pred on a third alias
+      Sql.parseMergeInto("MERGE INTO a t USING b s ON t.id = s.id " +
+        "WHEN MATCHED AND x.v = 1 THEN DELETE")
+    }
+    intercept[IllegalArgumentException] { // misaligned INSERT list
       Sql.parseMergeInto(mergeText.replace("(id, play_count)", "(id)"))
     }
+  }
+
+  test("runMerge executes DELETE + predicated clauses, first-match-wins in statement order") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game",
+      Seq((1L, "F", 10L), (2L, "O", 20L), (3L, "F", 30L))
+        .toDF("id", "status", "v"))
+    store.overwrite("game_src",
+      Seq((1L, 11L), (2L, 22L), (4L, 5L), (5L, 50L)).toDF("id", "v"))
+    Sql.runMerge(spark, store,
+      """MERGE INTO game t USING game_src s ON t.id = s.id
+        |WHEN MATCHED AND t.status = 'F' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED AND s.v > 10 THEN INSERT (id, v)
+        |  VALUES (s.id, s.v)
+        |""".stripMargin)
+    val got = store.read("game").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    assert(got == Seq(
+      // id=1 matched, status F → DELETE fires first
+      (2L, Some("O"), 22L), // matched, not F → falls through to UPDATE
+      (3L, Some("F"), 30L), // target-only → untouched (F pred needs a match)
+      // id=4 source-only, v=5 ≤ 10 → insert pred fails → NOT inserted
+      (5L, None, 50L))) // source-only, v>10 → inserted, status NULL
+    assert(store.versions("game").nonEmpty)
+  }
+
+  test("runMerge: two predicated UPDATEs dispatch per-row; unmatched-by-clause rows pass through") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("game",
+      Seq((1L, "A", 0L), (2L, "B", 0L), (3L, "C", 0L))
+        .toDF("id", "grp", "v"))
+    store.overwrite("game_src",
+      Seq((1L, 100L, 200L), (2L, 100L, 200L), (9L, 100L, 200L))
+        .toDF("id", "va", "vb"))
+    Sql.runMerge(spark, store,
+      """MERGE INTO game t USING game_src s ON t.id = s.id
+        |WHEN MATCHED AND t.grp = 'A' THEN UPDATE SET t.v = s.va
+        |WHEN MATCHED AND t.grp = 'B' THEN UPDATE SET t.v = s.vb
+        |""".stripMargin)
+    val got = store.read("game").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // no NOT MATCHED clause: source-only rows are ignored, not
+    // null-inserted; a matched row neither pred hits keeps its value
+    assert(got == Seq((1L, "A", 100L), (2L, "B", 200L), (3L, "C", 0L)))
   }
 
   test("runMerge: matched updated, unmatched source inserted (absent cols NULL), unmatched target kept") {
@@ -243,5 +314,64 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sql.runCtas(spark, store, sf, "CREATE VIEW v AS SELECT 1")
     }
+  }
+
+  test("parses INSERT INTO … SELECT; junk column lists are loud") {
+    val i = Sql.parseInsertInto(
+      "INSERT INTO `p.d.game` (id, v) SELECT k, n FROM src")
+    assert(i.target == "game" && i.cols.contains(Seq("id", "v")))
+    assert(i.select.startsWith("SELECT"))
+    val bare = Sql.parseInsertInto("INSERT INTO game SELECT * FROM src")
+    assert(bare.target == "game" && bare.cols.isEmpty)
+    intercept[IllegalArgumentException] { // VALUES is not the surface
+      Sql.parseInsertInto("INSERT INTO game VALUES (1, 2)")
+    }
+    intercept[IllegalArgumentException] { // expression in the column list
+      Sql.parseInsertInto("INSERT INTO game (id + 1) SELECT k FROM src")
+    }
+    intercept[IllegalArgumentException] { // duplicate column
+      Sql.parseInsertInto("INSERT INTO game (id, id) SELECT k, n FROM src")
+    }
+  }
+
+  test("runInsert appends through the store; absent listed columns ride as typed NULLs") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("log",
+      Seq((1L, 10L, "a")).toDF("id", "v", "tag"))
+    Seq((2L, 20L)).toDF("k", "n").createOrReplaceTempView("ins_src_view")
+    Sql.runInsert(spark, store, sf,
+      "INSERT INTO `p.d.log` (id, v) SELECT k, n FROM ins_src_view")
+    val got = store.read("log").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, 10L, Some("a")), (2L, 20L, None)))
+  }
+
+  test("runInsert is loud on schema drift, arity mismatch, unknown columns, missing target") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("log", Seq((1L, 10L)).toDF("id", "v"))
+    Seq(("x", 20L)).toDF("k", "n").createOrReplaceTempView("ins_bad_view")
+    // bare INSERT with a mismatched SELECT schema: the append assert
+    // fires (string k into long id is schema drift, not a silent cast)
+    val e = intercept[IllegalArgumentException] {
+      Sql.runInsert(spark, store, sf,
+        "INSERT INTO log SELECT k AS id, n AS v FROM ins_bad_view")
+    }
+    assert(e.getMessage.contains("schema drift"))
+    intercept[IllegalArgumentException] { // column list vs SELECT arity
+      Sql.runInsert(spark, store, sf,
+        "INSERT INTO log (id) SELECT k, n FROM ins_bad_view")
+    }
+    intercept[IllegalArgumentException] { // column not in the target
+      Sql.runInsert(spark, store, sf,
+        "INSERT INTO log (nope, v) SELECT k, n FROM ins_bad_view")
+    }
+    intercept[IllegalArgumentException] { // target must already exist
+      Sql.runInsert(spark, store, sf,
+        "INSERT INTO ghost SELECT k FROM ins_bad_view")
+    }
+    // nothing was appended by any of the loud paths
+    assert(store.read("log").count() == 1)
   }
 }
