@@ -1279,20 +1279,38 @@ object SimilarityOps {
       |FROM embeddings v LEFT JOIN reach r ON v.vec_id = r.vec
       |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin
 
+  /** The adaptive sign-LSH width: the smallest b in [4, 16] with
+    * n ≤ 32·2^b, i.e. the narrowest bucket id that holds MEAN OCCUPANCY
+    * in (16, 32]. Candidate volume is Σ bucket² ≈ 32·n — linear in the
+    * corpus, at every scale, because the width grows a bit per corpus
+    * doubling (the fixed-width demo knob was measured quadratic: 22.9×
+    * pair volume at 10×). Integer ladder, not floating log2, so the
+    * DuckDB oracle's replay (a CASE ladder over the same constants) is
+    * bit-identical. The refinement property (BucketBitsSpec: buckets at
+    * b+1 bits partition buckets at b bits) is what makes the width safe
+    * to turn per-corpus: widening only ever SHRINKS candidate sets. */
+  private[graft] def adaptiveBits(n: Long): Int =
+    (4 to 16).find(b => n <= (32L << b)).getOrElse(16)
+
   /** e16: kNN-graph construction — top-5 neighbors for EVERY vector
     * (not just the query set), candidates blocked by the e03/e10 sign-LSH
-    * bucket: the substrate of graph-based dedup, diversity sampling, and
-    * label propagation. Per-source top-k is a row_number window over the
-    * bucket-join pair stream — Spark plans it as WindowGroupLimit, so
-    * each partition prunes to k rows per source BEFORE the exchange.
-    * Pair volume is Σ bucket² (the LSH recall trade, same as e10), never
-    * n². Singleton-bucket vectors have no candidates and are absent on
-    * both engines. */
+    * bucket at the [[adaptiveBits]] occupancy-held width (n ≤ 512 rides
+    * the original 4-bit layout, so the small-SF gates are unchanged):
+    * the substrate of graph-based dedup, diversity sampling, and label
+    * propagation. The corpus count is a parquet metadata read — a
+    * driver-side scalar (codebook discipline), not a data-path collect.
+    * Per-source top-k is a row_number window over the bucket-join pair
+    * stream — Spark plans it as WindowGroupLimit, so each partition
+    * prunes to k rows per source BEFORE the exchange. Pair volume is
+    * Σ bucket² ≈ 32·n (the LSH recall trade, same as e10), never n².
+    * Singleton-bucket vectors have no candidates and are absent on both
+    * engines. */
   def e16KnnGraph(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bits = adaptiveBits(embeddings(s, dir).count())
     val e = embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
-        norm2(col("embedding")).as("nrm"), signBucket.as("bucket"))
+        norm2(col("embedding")).as("nrm"), signBucketOf(bits).as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("bucket"), col("vec_id").as("b"),
@@ -1309,24 +1327,35 @@ object SimilarityOps {
       .sortedWide("a", "rnk")
   }
 
-  val e16Oracle: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
-      |   CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END +
-      |   CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END +
-      |   CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
-      |  FROM embeddings),
-      |p AS (
-      |  SELECT x.vec_id AS a, y.vec_id AS b,
-      |    round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
-      |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-      |r AS (
-      |  SELECT a, b, cos_r,
-      |    CAST(row_number() OVER (PARTITION BY a
-      |      ORDER BY cos_r DESC, b) AS BIGINT) AS rnk
-      |  FROM p)
-      |SELECT a, b, cos_r, rnk FROM r WHERE rnk <= 5
-      |ORDER BY a, rnk""".stripMargin
+  val e16Oracle: String = {
+    // the adaptiveBits ladder as exact integer CASE arms
+    val ladder = (4 to 15).map { b =>
+      s"WHEN nv <= ${32L << b} THEN $b"
+    }.mkString(" ") + " ELSE 16"
+    // signBucketOf's bit layout: bit j reads dim 8j+1 for j<8,
+    // dim 8(j-8)+5 for j>=8; weight 2^(bits-1-j) for j<bits
+    val bucket = (0 until 16).map { j =>
+      val d = if (j < 8) 8 * j + 1 else 8 * (j - 8) + 5
+      s"CASE WHEN $j < nb.bits AND e0.embedding[$d] > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << (nb.bits - 1 - $j)) ELSE 0 END"
+    }.mkString(" +\n   ")
+    s"""WITH nb AS (SELECT (CASE ${ladder} END) AS bits
+       |  FROM (SELECT COUNT(*) AS nv FROM embeddings)),
+       |e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v,
+       |  ($bucket) AS bucket
+       |  FROM embeddings e0 CROSS JOIN nb),
+       |p AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    round(list_cosine_similarity(x.v, y.v), 4) AS cos_r
+       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |r AS (
+       |  SELECT a, b, cos_r,
+       |    CAST(row_number() OVER (PARTITION BY a
+       |      ORDER BY cos_r DESC, b) AS BIGINT) AS rnk
+       |  FROM p)
+       |SELECT a, b, cos_r, rnk FROM r WHERE rnk <= 5
+       |ORDER BY a, rnk""".stripMargin
+  }
 
   /** e17: e16's kNN graph at the PRODUCTION bucket width — 8 sign bits
     * (256 buckets) instead of the 4-bit demo: the configuration the

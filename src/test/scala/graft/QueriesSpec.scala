@@ -159,6 +159,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(pairs("b8").exceptAll(pairs("b4")).count() == 0)
   }
 
+  test("adaptiveBits holds mean bucket occupancy in (16,32], clamped to [4,16]") {
+    import ext.SimilarityOps.adaptiveBits
+    // the small-SF corpora (n=500) stay on the original 4-bit layout
+    assert(adaptiveBits(1) == 4 && adaptiveBits(500) == 4 &&
+      adaptiveBits(512) == 4)
+    // one extra bit per corpus doubling: sf0.1 (2000) and the 10x
+    // replica (20000) land on 6 and 10 bits
+    assert(adaptiveBits(513) == 5 && adaptiveBits(2000) == 6 &&
+      adaptiveBits(20000) == 10)
+    assert(adaptiveBits(32L << 16) == 16 &&
+      adaptiveBits(Long.MaxValue / 4) == 16)
+    for (n <- Seq(100L, 513L, 5000L, 123457L, 9999999L)) {
+      val b = adaptiveBits(n)
+      assert(n.toDouble / (1L << b) <= 32.0) // occupancy never above 32
+      if (b > 4) // narrower would overflow (no gratuitous widening)
+        assert(n.toDouble / (1L << (b - 1)) > 32.0)
+    }
+  }
+
   test("e16 kNN graph: <=5 ranked neighbors per vector, ranks contiguous, " +
     "cosine non-increasing in rank") {
     import org.apache.spark.sql.functions._
