@@ -31,6 +31,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // rank-filter group limits must cover t59's VerifyCap=4096
+      // sample (default threshold 1000 silently disables the pushdown)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ContextCleaner frees broadcast/shuffle blocks only when the driver
       // GCs; the default periodic-GC interval (30min) outlives the whole

@@ -21,6 +21,9 @@ object FloorProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // rank-filter group limits must cover t59's VerifyCap=4096
+      // sample (default threshold 1000 silently disables the pushdown)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

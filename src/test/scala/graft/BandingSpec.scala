@@ -124,4 +124,18 @@ class BandingSpec extends AnyFunSuite {
     assert(r.last._2 > 10 * r.head._2, "volume axis flat: curve inert")
     assert(r.head._5 > r.last._5, "precision axis flat: curve inert")
   }
+
+  test("t59's sampled verify plans as WindowGroupLimit (per-partition cap before the exchange)") {
+    // The sampled-verify redesign replaced a measured 210 s full-verify
+    // at sf0.1; this pins its plan shape so a rewrite can't silently
+    // regress to verifying every candidate: the rank <= VerifyCap filter
+    // must push a group-limit below the window's shuffle.
+    val df = TextOps.t59BandingCurve(spark, sf)
+    // collect() finalizes THIS QueryExecution's adaptive plan (the
+    // DppSpec/SkewJoinSpec lesson — a sink would plan its own).
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "sampled verify lost its WindowGroupLimit:\n" + plan.take(3000))
+  }
 }

@@ -9,6 +9,9 @@ object TestSpark {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // rank-filter group limits must cover t59's VerifyCap=4096
+      // sample (default threshold 1000 silently disables the pushdown)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "4096")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
