@@ -18,5 +18,5 @@ object Registry {
       ext.TextOps.all ++ ext.TextOps2.all ++ ext.TextOps3.all ++
       ext.TextOps4.all ++
       ext.SimilarityOps.all ++ ext.SimilarityOps2.all ++
-      ext.EventOps.all ++ ext.MultimodalOps.all
+      ext.EventOps.all ++ ext.MultimodalOps.all ++ streaming.Streams.all
 }

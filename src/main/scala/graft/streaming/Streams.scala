@@ -346,4 +346,84 @@ object Streams {
         .filter(org.apache.spark.sql.functions.col("kind") === "audio")
         .as[graft.ext.MultimodalOps.MediaRow])
   }
+
+  /** s18: the streaming DailyRun shape, ORACLE-GATED end-to-end — the
+    * event log is split into four pinned chunks (`event_id % 4`), each
+    * replayed as a real micro-batch through MicroBatchExecution (parquet
+    * file source, `maxFilesPerTrigger=1`, AvailableNow), and a
+    * foreachBatch sink maintains per-user running totals in a
+    * [[graft.psn.TableStore]] table via the transactional merge path
+    * (main.py:153-207's nightly read-back + join, incrementalized). The
+    * hash gate proves: micro-batch planner → per-batch partial
+    * aggregation → full-outer additive merge → version-pointer commit →
+    * read-back equals the one-shot declarative aggregate the DuckDB
+    * oracle computes. The chunking is an arbitrary pinned partition of
+    * the log: the merge is additive (commutative + associative), so the
+    * final table is independent of batch order and count — which is
+    * exactly the property that makes the sink safe under catch-up
+    * batches and checkpoint-recovery replays.
+    *
+    * Value totals stay DECIMAL across batches (the [[Exprs.dsum]]
+    * discipline, kept exact through the cross-batch additions; cast to
+    * double only at read-back) — a double accumulator would drift from
+    * the oracle by batch-boundary rounding.
+    *
+    * Scale shape: per batch, one user-keyed partial aggregation (map-side
+    * combine) + one full-outer merge on the bounded user dimension; state
+    * lives in the versioned table, not executor memory, so a year of
+    * replays holds |users| rows, not |events|. */
+  def s18StreamMergeReplay(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.expr.Exprs
+    val ev = graft.tables.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_s18")
+    val srcDir = base.resolve("src").toString
+    (0 until 4).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(4)) === c)
+        .repartition(1) // one file per chunk → one micro-batch per chunk
+        .write.mode("append").parquet(srcDir)
+    }
+    val store = new graft.psn.TableStore(s, base.resolve("wh").toString)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val zero = lit(0).cast(DecimalType(38, 2))
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val agg = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(30, 2))).as("total_value"))
+        if (!store.exists("user_totals")) store.overwrite("user_totals", agg)
+        else store.mergeWith("user_totals") { cur =>
+          val b = agg.select(col("user_id").as("__b_uid"),
+            col("n_events").as("__b_n"), col("total_value").as("__b_v"))
+          cur.join(b, cur("user_id") === col("__b_uid"), "full")
+            .select(
+              coalesce(cur("user_id"), col("__b_uid")).as("user_id"),
+              (coalesce(cur("n_events"), lit(0L)) +
+                coalesce(col("__b_n"), lit(0L))).as("n_events"),
+              (coalesce(cur("total_value"), zero) +
+                coalesce(col("__b_v"), zero)).cast(DecimalType(38, 2))
+                .as("total_value"))
+        }
+      }
+      .start()
+    q.awaitTermination()
+    store.read("user_totals")
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+      .sortedSmall("user_id")
+  }
+
+  val s18Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val all: Seq[graft.Q] = Seq(
+    graft.Q("s18_stream_merge_replay", s18StreamMergeReplay,
+      Some(s18Oracle)))
 }
