@@ -173,7 +173,10 @@ class QueriesSpec extends AnyFunSuite {
       adaptiveBits(20000) == 10)
     assert(adaptiveBits(32L << 16) == 16 &&
       adaptiveBits(Long.MaxValue / 4) == 16)
-    for (n <- Seq(100L, 513L, 5000L, 123457L, 9999999L)) {
+    // inside the clamp ceiling (n <= 32*2^16); beyond it occupancy
+    // legitimately exceeds 32 — the 16-bit cap is the refinement-safe
+    // maximum of the current interleave layout
+    for (n <- Seq(100L, 513L, 5000L, 123457L, 1999999L)) {
       val b = adaptiveBits(n)
       assert(n.toDouble / (1L << b) <= 32.0) // occupancy never above 32
       if (b > 4) // narrower would overflow (no gratuitous widening)
