@@ -805,11 +805,140 @@ object Sql {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey, note""".stripMargin
 
+  /** Split a statement script on top-level ';' — quote-aware, so a ';'
+    * inside a single-quoted SQL literal never splits a statement.
+    * (Escaped quotes are '' per SQL; the scanner sees them as two
+    * adjacent literals, which still nests correctly.) */
+  private[graft] def splitScript(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    script.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    require(!inQuote,
+      "unterminated string literal in statement script")
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Execute a ';'-separated statement SCRIPT against one store — the
+    * reference's nightly job is exactly this shape (stage a temp table,
+    * UPDATE … FROM it, drop it — main.py:256-287 runs the statements
+    * back-to-back). Dispatch is by leading verb to the statement
+    * executors ([[runCtas]]/[[runInsert]]/[[runDml]]/[[runMerge]]/
+    * [[runDelete]]), each of which commits through the versioned store
+    * before the next statement parses — so statement N+1 always reads
+    * statement N's committed table state, and a crash between
+    * statements leaves every table at a committed version (the
+    * store's invariant, inherited by the script). Loud on any verb
+    * outside the surface. Returns the number of statements executed. */
+  def runScript(s: SparkSession, store: TableStore, dir: String,
+      script: String): Int = {
+    val stmts = splitScript(script)
+    require(stmts.nonEmpty, "empty statement script")
+    stmts.foreach { st =>
+      st.split("\\s+", 2).head.toUpperCase match {
+        case "CREATE" => runCtas(s, store, dir, st)
+        case "INSERT" => runInsert(s, store, dir, st)
+        case "UPDATE" => runDml(s, store, st)
+        case "MERGE" => runMerge(s, store, st)
+        case "DELETE" => runDelete(s, store, st)
+        case verb => throw new IllegalArgumentException(
+          s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
+            "UPDATE/MERGE/DELETE")
+      }
+    }
+    stmts.length
+  }
+
+  /** q63: the reference's nightly-job shape end-to-end — ONE script
+    * composing every statement verb against one store table, each
+    * statement reading the previous one's committed state: CTAS seeds
+    * the working table and three staging tables, UPDATE-FROM reprices
+    * the open orders, DELETE erases a tombstone batch, MERGE deletes
+    * the fulfilled survivors while re-inserting their erased siblings
+    * repriced (predicated DELETE + INSERT in one statement), and INSERT
+    * appends an adjustment log. The oracle recomputes the final state
+    * declaratively in one pass, so the hash gate proves statement
+    * SEQUENCING: five different verbs, five commits, one lineage.
+    *
+    * Scale shape: each statement keeps its own audited plan (one join /
+    * anti-join / full-outer merge / append); the script adds zero plan
+    * overhead — it is the same calls a user would make, in order. */
+  def q63SqlScript(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    val n = runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.order_state` AS
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders;
+        |CREATE TABLE `graft-project.store.price_updates` AS
+        |  SELECT o_orderkey, o_totalprice * 1.10 AS o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'O';
+        |CREATE TABLE `graft-project.store.tombstones` AS
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0;
+        |CREATE TABLE `graft-project.store.merge_src` AS
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+        |    CAST('R' AS STRING) AS o_orderstatus
+        |  FROM orders WHERE o_orderstatus = 'F';
+        |UPDATE `graft-project.store.order_state` t
+        |  SET t.o_totalprice = u.o_totalprice
+        |  FROM `graft-project.store.price_updates` u
+        |  WHERE t.o_orderkey = u.o_orderkey;
+        |DELETE FROM `graft-project.store.order_state` t
+        |  WHERE t.o_orderkey IN (
+        |    SELECT o_orderkey FROM `graft-project.store.tombstones`);
+        |MERGE INTO `graft-project.store.order_state` t
+        |  USING `graft-project.store.merge_src` s
+        |  ON t.o_orderkey = s.o_orderkey
+        |  WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+        |  WHEN NOT MATCHED THEN INSERT
+        |    (o_orderkey, o_totalprice, o_orderstatus)
+        |    VALUES (s.o_orderkey, s.o_totalprice, s.o_orderstatus);
+        |INSERT INTO `graft-project.store.order_state`
+        |    (o_orderkey, o_totalprice)
+        |  SELECT o_orderkey, o_totalprice * 0.5
+        |  FROM orders WHERE o_orderstatus <> 'O' AND o_orderkey % 7 = 0
+        |""".stripMargin)
+    require(n == 8, s"script executed $n statements, expected 8")
+    store.read("order_state")
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("final_price"),
+        col("o_orderstatus").as("status"))
+      .sortedWide("o_orderkey", "status")
+  }
+
+  /** Final state, replayed declaratively: survivors are non-tombstoned
+    * non-'F' rows (repriced if open), the MERGE re-inserts every 'F'
+    * order whose key WAS tombstoned (matched 'F' survivors are deleted
+    * by the predicated clause), and the trailing INSERT appends the
+    * %7 adjustment rows with a NULL status. */
+  val q63Oracle: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.10
+      |       ELSE o_totalprice END AS final_price,
+      |  o_orderstatus AS status
+      |FROM orders
+      |WHERE o_orderkey % 5 <> 0 AND o_orderstatus <> 'F'
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice * 2 AS final_price, 'R' AS status
+      |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice * 0.5 AS final_price,
+      |  NULL AS status
+      |FROM orders WHERE o_orderstatus <> 'O' AND o_orderkey % 7 = 0
+      |ORDER BY o_orderkey, status""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
     graft.Q("q59_sql_delete", q59SqlDelete, Some(q59Oracle)),
     graft.Q("q60_sql_ctas", q60SqlCtas, Some(q60Oracle)),
     graft.Q("q61_sql_merge_full", q61SqlMergeFull, Some(q61Oracle)),
-    graft.Q("q62_sql_insert", q62SqlInsert, Some(q62Oracle)))
+    graft.Q("q62_sql_insert", q62SqlInsert, Some(q62Oracle)),
+    graft.Q("q63_sql_script", q63SqlScript, Some(q63Oracle)))
 }

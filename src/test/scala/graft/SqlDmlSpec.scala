@@ -374,4 +374,45 @@ class SqlDmlSpec extends AnyFunSuite {
     // nothing was appended by any of the loud paths
     assert(store.read("log").count() == 1)
   }
+
+  test("splitScript: quote-aware ';' split; unterminated literal is loud") {
+    assert(Sql.splitScript("SELECT 1; SELECT 2 ;; SELECT 3") ==
+      Seq("SELECT 1", "SELECT 2", "SELECT 3"))
+    // a ';' inside a string literal never splits
+    assert(Sql.splitScript("SELECT 'a;b' AS x; SELECT 2") ==
+      Seq("SELECT 'a;b' AS x", "SELECT 2"))
+    intercept[IllegalArgumentException] {
+      Sql.splitScript("SELECT 'oops")
+    }
+  }
+
+  test("runScript sequences statements against committed state; junk verbs are loud") {
+    import spark.implicits._
+    val store = freshStore()
+    // seed outside the script so the INSERT has a live source view
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("script_src_view")
+    val n = Sql.runScript(spark, store, sf,
+      """CREATE TABLE t1 AS SELECT k, v FROM script_src_view;
+        |CREATE TABLE upd AS SELECT k, v * 10 AS v
+        |  FROM script_src_view WHERE k = 1;
+        |CREATE TABLE gone AS SELECT k FROM script_src_view WHERE k = 3;
+        |UPDATE t1 a SET a.v = b.v FROM upd b WHERE a.k = b.k;
+        |DELETE FROM t1 a WHERE a.k IN (SELECT k FROM gone);
+        |INSERT INTO t1 (k, v) SELECT k + 100, v FROM script_src_view
+        |  WHERE k = 2
+        |""".stripMargin)
+    assert(n == 6)
+    // statement 3 saw statement 1+2's tables; 4 deleted from 3's result;
+    // 5 appended after the delete
+    assert(store.read("t1").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 100L), (2L, 20L), (102L, 20L)))
+    intercept[IllegalArgumentException] {
+      Sql.runScript(spark, store, sf, "DROP TABLE t1")
+    }
+    intercept[IllegalArgumentException] {
+      Sql.runScript(spark, store, sf, "  ;; ")
+    }
+  }
 }
