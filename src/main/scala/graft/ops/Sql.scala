@@ -805,6 +805,82 @@ object Sql {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey, note""".stripMargin
 
+  private val VersionRef =
+    """(?i)`?([\w.-]+)`?\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** Execute a SELECT whose FROM/JOIN items pin store tables to a
+    * version: `<table> VERSION AS OF <v>` (Delta's syntax; BigQuery
+    * spells it FOR SYSTEM_TIME AS OF). Each reference resolves through
+    * [[TableStore.readVersion]] — loud if the version was never
+    * committed or has been vacuumed — and registers as a
+    * statement-scoped view, so one statement can join a table's history
+    * against itself (the audit/debug query shape: "what changed between
+    * v1 and v2"). The rest of the SELECT is arbitrary Catalyst SQL over
+    * corpus views + pinned versions. `spark.sql` analyzes eagerly, so
+    * the scoped views drop before the DataFrame is returned.
+    *
+    * Scale shape: a pinned version is just another parquet directory —
+    * scans prune and push down exactly like the head version; nothing
+    * is copied to pin. */
+  def runTimeTravel(s: SparkSession, store: TableStore, dir: String,
+      sql: String): DataFrame = {
+    require(sql.trim.toUpperCase.startsWith("SELECT"),
+      "time-travel statements are SELECT-only (DML always runs at head)")
+    val refs = VersionRef.findAllMatchIn(sql)
+      .map(m => (baseName(m.group(1)), m.group(2).toInt)).toSeq.distinct
+    require(refs.nonEmpty,
+      "no `<table> VERSION AS OF <v>` reference in the statement")
+    registerViews(s, dir)
+    val rewritten = VersionRef.replaceAllIn(sql, m => {
+      val (t, v) = (baseName(m.group(1)), m.group(2).toInt)
+      val view = s"${t}__v$v"
+      store.readVersion(t, v).createOrReplaceTempView(view)
+      view
+    })
+    try s.sql(rewritten)
+    finally refs.foreach { case (t, v) =>
+      s.catalog.dropTempView(s"${t}__v$v")
+    }
+  }
+
+  /** q64: the time-travel SQL front-end end-to-end — commit v1 (the raw
+    * orders), commit v2 through the transactional merge (open orders
+    * repriced), then run ONE statement joining the two pinned versions
+    * to report old vs new price per order. The oracle recomputes both
+    * sides declaratively, so the hash gate proves version-pinned
+    * resolution → cross-version join → read-back: the SQL face of q58's
+    * API-level time travel (retention makes audits a query, not a
+    * restore). */
+  def q64SqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_tt", orders(s, dir) // commits v1
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    store.mergeWith("orders_tt") { cur => // commits v2
+      cur.select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O", col("o_totalprice") * 1.2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    }
+    runTimeTravel(s, store, dir,
+      """SELECT cur.o_orderkey, old.o_totalprice AS old_price,
+        |  cur.o_totalprice AS new_price
+        |FROM `graft-project.store.orders_tt` VERSION AS OF 2 cur
+        |JOIN `graft-project.store.orders_tt` VERSION AS OF 1 old
+        |  ON cur.o_orderkey = old.o_orderkey
+        |""".stripMargin)
+      .sortedWide("o_orderkey")
+  }
+
+  val q64Oracle: String =
+    """SELECT o_orderkey, o_totalprice AS old_price,
+      |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.2
+      |       ELSE o_totalprice END AS new_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Split a statement script on top-level ';' — quote-aware, so a ';'
     * inside a single-quoted SQL literal never splits a statement.
     * (Escaped quotes are '' per SQL; the scanner sees them as two
@@ -940,5 +1016,6 @@ object Sql {
     graft.Q("q60_sql_ctas", q60SqlCtas, Some(q60Oracle)),
     graft.Q("q61_sql_merge_full", q61SqlMergeFull, Some(q61Oracle)),
     graft.Q("q62_sql_insert", q62SqlInsert, Some(q62Oracle)),
-    graft.Q("q63_sql_script", q63SqlScript, Some(q63Oracle)))
+    graft.Q("q63_sql_script", q63SqlScript, Some(q63Oracle)),
+    graft.Q("q64_sql_time_travel", q64SqlTimeTravel, Some(q64Oracle)))
 }

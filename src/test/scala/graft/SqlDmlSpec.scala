@@ -375,6 +375,35 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(store.read("log").count() == 1)
   }
 
+  test("runTimeTravel pins versions per reference; junk shapes are loud") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("tt", Seq((1L, 10L), (2L, 20L)).toDF("k", "v")) // v1
+    store.mergeWith("tt")(cur =>
+      cur.select(col("k"), (col("v") * 100).as("v"))) // v2
+    val got = Sql.runTimeTravel(spark, store, sf,
+      """SELECT cur.k, old.v AS v1, cur.v AS v2
+        |FROM tt VERSION AS OF 2 cur
+        |JOIN tt VERSION AS OF 1 old ON cur.k = old.k""".stripMargin)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 10L, 1000L), (2L, 20L, 2000L)))
+    // the scoped views are gone after the statement
+    assert(!spark.catalog.tableExists("tt__v1") &&
+      !spark.catalog.tableExists("tt__v2"))
+    intercept[IllegalArgumentException] { // never-committed version
+      Sql.runTimeTravel(spark, store, sf,
+        "SELECT * FROM tt VERSION AS OF 9")
+    }
+    intercept[IllegalArgumentException] { // no version reference
+      Sql.runTimeTravel(spark, store, sf, "SELECT 1")
+    }
+    intercept[IllegalArgumentException] { // DML never time-travels
+      Sql.runTimeTravel(spark, store, sf,
+        "DELETE FROM tt WHERE k IN (SELECT k FROM tt VERSION AS OF 1)")
+    }
+  }
+
   test("splitScript: quote-aware ';' split; unterminated literal is loud") {
     assert(Sql.splitScript("SELECT 1; SELECT 2 ;; SELECT 3") ==
       Seq("SELECT 1", "SELECT 2", "SELECT 3"))
