@@ -1415,6 +1415,124 @@ object SimilarityOps {
        |ORDER BY a, rnk""".stripMargin
   }
 
+  /** e35: the sign-LSH WIDTH tuning curve — the measured basis for the
+    * [[adaptiveBits]] ladder, completing the knob-calibration trio
+    * (e34 tunes nprobe, t59 tunes bands, e35 tunes bucket bits). For
+    * widths 4/8/12 it reports the corpus-wide candidate volume
+    * (Σ cnt·(cnt−1) ordered same-bucket pairs, counted IDS-ONLY) against
+    * recall@5 measured on a pinned query sample (vec_id % 32 = 0): the
+    * fraction of each query's exact top-5 cosine neighbors that share
+    * its bucket at that width. Recall needs NO candidate join — the
+    * truth pairs carry both bucket ids, so hit-testing is a per-row
+    * equality over the top-5 rows. Precision axis in integer ppm (the
+    * t59 discipline, engine-exact).
+    *
+    * Scale shape: truth is sample×corpus (one broadcast of the bounded
+    * query sample — |sample| = n/32 rows of ids+vectors — with per-qid
+    * top-5 as WindowGroupLimit); volume is three bucket-count
+    * aggregations over ids. Nothing is all-pairs.
+    *
+    * Measured at sf0.01: 4 bits = 15 496 candidate pairs at 15% recall@5,
+    * 8 bits = 952 at 1.3%, 12 bits = 52 at 0% — on this near-uniform
+    * corpus a SINGLE sign-LSH table buys volume reduction almost
+    * entirely with recall, which is exactly why the engine's production
+    * ANN paths don't rely on it alone: e06/e07 probe multiple IVF cells
+    * (74–84% recall@10, e34's curve) and t07 bands multiple MinHash
+    * lanes. The single-table bucket is the CANDIDATE-BLOCKING knob
+    * (e10/e16: recall tolerant by design, occupancy is what matters) —
+    * this curve is the measurement that says so. */
+  /** Query-sample stride: the smallest power of two s ≥ 32 with
+    * n ≤ 64·s, so the pinned sample `vec_id % s = 0` holds ≤ 64 queries
+    * at EVERY corpus size and the truth stage costs ≤ 64·n dot products
+    * — linear, never sample-fraction-quadratic (a fixed 1/32 sample made
+    * the truth n²/32: measured 34 s at the 10× replica before this
+    * ladder). Same exact-integer-ladder discipline as [[adaptiveBits]];
+    * the oracle replays it as a CASE ladder over COUNT(*). */
+  private[graft] def sampleStride(n: Long): Long =
+    (5 to 20).map(1L << _).find(st => n <= 64L * st).getOrElse(1L << 20)
+
+  def e35BitsCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val widths = Seq(4, 8, 12)
+    val stride = sampleStride(embeddings(s, dir).count())
+    val e = embeddings(s, dir).select(
+      (col("vec_id") +: col("embedding") +: norm2(col("embedding")).as("nrm")
+        +: widths.map(b => signBucketOf(b).as(s"b$b"))): _*)
+    val q = e.filter(col("vec_id") % stride === 0).select(
+      (col("vec_id").as("qid") +: col("embedding").as("qe")
+        +: col("nrm").as("qn")
+        +: widths.map(b => col(s"b$b").as(s"qb$b"))): _*)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("nid"))
+    val top5 = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select((col("qid") +: col("vec_id").as("nid")
+        +: round(dot(col("qe"), col("embedding")) /
+            (col("qn") * col("nrm")), 4).as("cos_r")
+        +: widths.flatMap(b => Seq(col(s"qb$b"), col(s"b$b")))): _*)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    val hits = widths.map { b =>
+      top5.agg(
+        lit(b.toLong).as("bits"),
+        count(lit(1)).as("n_truth"),
+        sum(when(col(s"qb$b") === col(s"b$b"), 1L).otherwise(0L))
+          .as("n_hit"))
+    }.reduce(_ unionByName _)
+    val vols = widths.map { b =>
+      e.groupBy(col(s"b$b")).agg(count(lit(1)).as("c"))
+        .agg(lit(b.toLong).as("bits"),
+          sum(col("c") * (col("c") - 1)).as("n_candidates"))
+    }.reduce(_ unionByName _)
+    vols.join(hits, "bits")
+      .select(col("bits"), col("n_candidates"), col("n_truth"),
+        col("n_hit"),
+        expr("1000000 * n_hit div n_truth").as("recall_ppm"))
+      .sortedSmall("bits")
+  }
+
+  val e35Oracle: String = {
+    def bucket(bits: Int, rel: String): String = (0 until bits).map { j =>
+      val d = if (j < 8) 8 * j + 1 else 8 * (j - 8) + 5
+      s"CASE WHEN $rel.embedding[$d] > 0 " +
+        s"THEN ${1L << (bits - 1 - j)} ELSE 0 END"
+    }.mkString(" + ")
+    val volArms = Seq(4, 8, 12).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS bits, CAST(SUM(c * (c - 1)) AS BIGINT)
+         |    AS n_candidates
+         |  FROM (SELECT COUNT(*) AS c FROM e GROUP BY b$b)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val hitArms = Seq(4, 8, 12).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS bits, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(CASE WHEN qb$b = b$b THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit FROM t5""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    // the sampleStride ladder as exact integer CASE arms
+    val strideLadder = (5 to 19).map { k =>
+      s"WHEN nv <= ${64L * (1L << k)} THEN ${1L << k}"
+    }.mkString(" ") + s" ELSE ${1L << 20}"
+    s"""WITH ns AS (SELECT (CASE $strideLadder END) AS s
+       |  FROM (SELECT COUNT(*) AS nv FROM embeddings)),
+       |e AS (SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v,
+       |    ${bucket(4, "e0")} AS b4,
+       |    ${bucket(8, "e0")} AS b8,
+       |    ${bucket(12, "e0")} AS b12
+       |  FROM embeddings e0),
+       |q AS (SELECT vec_id AS qid, v AS qv, b4 AS qb4, b8 AS qb8,
+       |    b12 AS qb12 FROM e CROSS JOIN ns WHERE vec_id % ns.s = 0),
+       |p AS (SELECT q.qid, e.vec_id AS nid,
+       |    round(list_cosine_similarity(q.qv, e.v), 4) AS cos_r,
+       |    q.qb4, q.qb8, q.qb12, e.b4, e.b8, e.b12
+       |  FROM q JOIN e ON e.vec_id <> q.qid),
+       |t AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos_r DESC, nid) AS rn FROM p),
+       |t5 AS (SELECT * FROM t WHERE rn <= 5),
+       |vol AS ($volArms),
+       |hit AS ($hitArms)
+       |SELECT vol.bits, vol.n_candidates, hit.n_truth, hit.n_hit,
+       |  1000000 * hit.n_hit // hit.n_truth AS recall_ppm
+       |FROM vol JOIN hit ON vol.bits = hit.bits ORDER BY vol.bits""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -1432,5 +1550,6 @@ object SimilarityOps {
     Q("e14_ivfpq_search", e14IvfPqSearch, Some(e14Oracle)),
     Q("e15_embedding_clusters", e15EmbeddingClusters, Some(e15Oracle)),
     Q("e16_knn_graph", e16KnnGraph, Some(e16Oracle)),
-    Q("e17_knn_graph_wide", e17KnnGraphWide, Some(e17Oracle)))
+    Q("e17_knn_graph_wide", e17KnnGraphWide, Some(e17Oracle)),
+    Q("e35_bits_curve", e35BitsCurve, Some(e35Oracle)))
 }
