@@ -184,6 +184,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("e35 bits curve: candidate volume AND recall both non-increasing in width (refinement)") {
+    val r = ext.SimilarityOps.e35BitsCurve(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._1).toSeq == Seq(4L, 8L, 12L))
+    r.sliding(2).foreach { case Array(narrowBits, wideBits) =>
+      // wider buckets partition narrower ones (the refinement property),
+      // so both the pair volume and the truth-edge hits can only shrink
+      assert(wideBits._2 <= narrowBits._2, "volume must shrink with bits")
+      assert(wideBits._4 <= narrowBits._4, "hits must shrink with bits")
+    }
+    // truth-edge count is width-independent (same sample, same top-5)
+    assert(r.map(_._3).distinct.length == 1)
+  }
+
   test("e16 kNN graph: <=5 ranked neighbors per vector, ranks contiguous, " +
     "cosine non-increasing in rank") {
     import org.apache.spark.sql.functions._
