@@ -1251,5 +1251,76 @@ object TextOps {
     Q("t16_trigram_profile", t16TrigramProfile, Some(t16Oracle)),
     Q("t17_dedup_apply", t17DedupApply, Some(t17Oracle)),
     Q("t18_dedup_then_lsh", t18DedupThenLsh, Some(t18Oracle)),
-    Q("t59_banding_curve", t59BandingCurve, Some(t59Oracle)))
+    Q("t59_banding_curve", t59BandingCurve, Some(t59Oracle)),
+    Q("t60_incremental_ingest", t60IncrementalIngest, Some(t60Oracle)))
+
+  /** t60: incremental ingest dedup — the shape a DAILY crawl increment
+    * runs: the new batch (pinned here as doc_id % 4 = 0) is deduped
+    * AGAINST the existing corpus without ever joining the corpus with
+    * itself. Each incoming document gets one decision: `exact` (its
+    * md5 matches a corpus document), `near` (any LSH band bucket — the
+    * t06/t07 (8, 2) banding — collides with a corpus signature), else
+    * `new`. Both probes are LEFT-SEMI joins, so a pathological corpus
+    * (one giant near-dup clique) can never materialize a pair
+    * explosion: the cost is one signature pass plus two semi-joins
+    * keyed by hash/bucket, and the output is exactly |increment| rows.
+    * At 100 TB the corpus-side signatures are the stored artifact the
+    * pipeline already keeps (t06); only the increment pays fresh
+    * shingling. */
+  def t60IncrementalIngest(s: SparkSession, dir: String): DataFrame =
+    incrementalIngestOf(documents(s, dir)).sortedWide("doc_id")
+
+  /** The t60 pipeline over any (doc_id, text, n_chars) frame — public
+    * for the spec, which pins the `exact` branch the dup-free gate
+    * corpus cannot reach. */
+  private[graft] def incrementalIngestOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), graft_md5(col("text")).as("th"))
+    val inc = d.filter(col("doc_id") % 4 === 0)
+    val cor = d.filter(col("doc_id") % 4 =!= 0)
+    val exact = inc.join(cor.select(col("th")), Seq("th"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    val sig = minhashSigOf(docs)
+    def bandsOf(df: DataFrame): DataFrame = (0 until 2).map(i =>
+      df.select(col("doc_id"), lit(i).as("band"), col(s"band$i").as("bkt")))
+      .reduce(_ unionByName _)
+    val incB = bandsOf(sig.filter(col("doc_id") % 4 === 0))
+    val corB = bandsOf(sig.filter(col("doc_id") % 4 =!= 0))
+      .select(col("band"), col("bkt"))
+    val near = incB.join(corB, Seq("band", "bkt"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("is_near", lit(true))
+    inc.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact")
+          .when(col("is_near"), "near")
+          .otherwise("new").as("decision"))
+  }
+
+  // lazy: referenced by `all`, which is declared above this definition
+  lazy val t60Oracle: String =
+    s"""WITH sig AS ($sigSql),
+       |inc AS (SELECT doc_id, md5(text) AS th FROM documents
+       |        WHERE doc_id % 4 = 0),
+       |cor AS (SELECT md5(text) AS th FROM documents
+       |        WHERE doc_id % 4 <> 0),
+       |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN cor c
+       |       ON i.th = c.th),
+       |ib AS (SELECT doc_id, 0 AS band, band0 AS bkt FROM sig
+       |         WHERE doc_id % 4 = 0
+       |       UNION ALL
+       |       SELECT doc_id, 1, band1 FROM sig WHERE doc_id % 4 = 0),
+       |cb AS (SELECT 0 AS band, band0 AS bkt FROM sig
+       |         WHERE doc_id % 4 <> 0
+       |       UNION ALL
+       |       SELECT 1, band1 FROM sig WHERE doc_id % 4 <> 0),
+       |nr AS (SELECT DISTINCT ib.doc_id FROM ib JOIN cb
+       |       ON ib.band = cb.band AND ib.bkt = cb.bkt)
+       |SELECT i.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS decision
+       |FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
+       |LEFT JOIN nr ON i.doc_id = nr.doc_id
+       |ORDER BY i.doc_id""".stripMargin
 }

@@ -184,6 +184,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t60 incremental ingest: exact beats near beats new; decisions match the t06 band algebra") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mk = (id: Long, text: String) => (id, text, text.length.toLong)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      mk(1L, base), // corpus
+      mk(2L, "completely different content about spark and parquet files"),
+      mk(4L, base), // incoming: exact copy of doc 1
+      mk(8L, base.dropRight(5) + "tiger"), // incoming: 1-word variant
+      mk(12L, "zzzzz yyyyy xxxxx wwwww vvvvv uuuuu ttttt sssss rrrrr"))
+      .toDF("doc_id", "text", "n_chars")
+    val got = ext.TextOps.incrementalIngestOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(4L, 8L, 12L))
+    assert(got(4L) == "exact") // identical text, regardless of bands
+    // doc 8's decision must agree with the independent t06 band algebra:
+    // near iff it shares a band bucket with a corpus doc
+    val sig = ext.TextOps.minhashSigOf(docs)
+      .select(col("doc_id"), col("band0"), col("band1")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    def collides(i: Long) = Seq(1L, 2L).exists(c =>
+      sig(i)._1 == sig(c)._1 || sig(i)._2 == sig(c)._2)
+    assert(got(8L) == (if (collides(8L)) "near" else "new"))
+    assert(got(12L) == (if (collides(12L)) "near" else "new"))
+    // the unrelated doc must not accidentally collide (sanity on the data)
+    assert(!collides(12L) && got(12L) == "new")
+  }
+
   test("e35 bits curve: candidate volume AND recall both non-increasing in width (refinement)") {
     val r = ext.SimilarityOps.e35BitsCurve(spark, sf).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
