@@ -691,6 +691,46 @@ object Relational2 {
       |FROM orders WHERE o_orderkey % 5 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q65: compaction (OPTIMIZE) end-to-end — seed + three appends
+    * fragment the table (each write lands one file per task), the
+    * store's bin-packing compactor ([[graft.psn.TableStore.compact]]:
+    * first-fit-decreasing by on-disk size, hard-links already-big
+    * files, CAS-commits a new version) consolidates it, and the gate
+    * reads the compacted table back: the hash proves compaction changes
+    * LAYOUT and never content — the property CompactSpec asserts on
+    * synthetic data, here gated against the oracle on the real corpus.
+    * The in-query requires make the layout claim part of the gate: if
+    * the appends stop fragmenting or the compactor stops consolidating,
+    * the query fails loudly instead of gating vacuously.
+    *
+    * Scale shape: I/O is O(small files), never O(table); history keeps
+    * the fragmented versions readable (q58's retention). */
+  def q65Compaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_opt_wh").toString
+    val store = new graft.psn.TableStore(s, wh)
+    def slice(i: Int) = orders(s, dir)
+      .filter(col("o_orderkey") % 4 === i)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    store.overwrite("orders_o", slice(0))
+    (1 to 3).foreach(i => store.append("orders_o", slice(i)))
+    val before = store.fileCount("orders_o")
+    require(store.compact("orders_o"),
+      "compaction lost its CAS race on a fresh private store")
+    val after = store.fileCount("orders_o")
+    // 4 writes land at least one file each; compaction must shrink that
+    require(before >= 4 && after < before,
+      s"compaction inert: $before files before, $after after")
+    store.read("orders_o")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q65Oracle: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q26_cube", q26Cube, Some(q26Oracle)),
     Q("q27_intersect", q27Intersect, Some(q27Oracle)),
@@ -716,5 +756,6 @@ object Relational2 {
     Q("q47_median", q47Median, Some(q47Oracle)),
     Q("q48_scd2", q48Scd2, Some(q48Oracle)),
     Q("q49_view_maintenance", q49ViewMaintenance, Some(q49Oracle)),
-    Q("q58_time_travel", q58TimeTravel, Some(q58Oracle)))
+    Q("q58_time_travel", q58TimeTravel, Some(q58Oracle)),
+    Q("q65_compaction", q65Compaction, Some(q65Oracle)))
 }

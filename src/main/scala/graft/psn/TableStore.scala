@@ -344,6 +344,17 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def overwrite(table: String, df: DataFrame): Unit = // K3
     commitRewrite(table, df)
 
+  /** Parquet data-file count of the table's current version — the
+    * read-amplification metric [[compact]] manages. Driver-side
+    * directory listing, bounded by the file count itself. */
+  def fileCount(table: String): Int = {
+    val s0 = Files.walk(resolve(table))
+    try s0.iterator().asScala.count { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+    } finally s0.close()
+  }
+
   /** Upsert (K4): materialize `Ops.mergeUpdates(target, updates)` into a
     * claimed version directory, then commit the pointer. The source scan
     * reads the old version while the new one is written — different
