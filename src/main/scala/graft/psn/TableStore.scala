@@ -75,10 +75,30 @@ final class TableStore(spark: SparkSession, warehouse: String) {
 
   private val MarkerName = "_commit\\.(\\d+)".r
 
-  /** The commit log: (seq → committed version), ascending by seq. Marker
-    * files are published atomically with their content (hard link), so a
-    * listed marker is always complete. */
-  private def markers(table: String): Seq[(Int, Int)] =
+  /** One commit-log entry. `ts` is the commit wall-clock stamp (epoch
+    * millis, written since the round-12 layout; None on older markers —
+    * readers needing time fall back to the marker file's mtime, which the
+    * atomic link(2) publish fixes at commit time anyway). `tag` is the
+    * optional application transaction tag (see [[txnVersion]]). */
+  private final case class Marker(seq: Int, version: Int,
+      ts: Option[Long], tag: Option[String])
+
+  /** Marker content: line 1 `v<version>`, then optional `ts=<millis>` and
+    * `tag=<text>` lines — append-only format, so pre-metadata markers
+    * (bare `v<version>`) parse as ts=None/tag=None. */
+  private def parseMarker(seq: Int, content: String): Marker = {
+    val lines = content.linesIterator.toSeq.map(_.trim).filter(_.nonEmpty)
+    Marker(seq, lines.head.stripPrefix("v").toInt,
+      lines.collectFirst { case l if l.startsWith("ts=") =>
+        l.stripPrefix("ts=").toLong },
+      lines.collectFirst { case l if l.startsWith("tag=") =>
+        l.stripPrefix("tag=") })
+  }
+
+  /** The commit log, ascending by seq. Marker files are published
+    * atomically with their content (hard link), so a listed marker is
+    * always complete. */
+  private def markerLog(table: String): Seq[Marker] =
     listDir(table).flatMap { p =>
       p.getFileName.toString match {
         case MarkerName(s) =>
@@ -86,12 +106,15 @@ final class TableStore(spark: SparkSession, warehouse: String) {
           // directory listing and this read; the head marker is never
           // swept (retention keeps one version behind it), so a missing
           // file here is by definition not the head — skip it.
-          try Some(s.toInt ->
-            Files.readString(p).trim.stripPrefix("v").toInt)
+          try Some(parseMarker(s.toInt, Files.readString(p)))
           catch { case _: java.nio.file.NoSuchFileException => None }
         case _ => None
       }
-    }.sortBy(_._1)
+    }.sortBy(_.seq)
+
+  /** (seq → committed version) view of the log. */
+  private def markers(table: String): Seq[(Int, Int)] =
+    markerLog(table).map(m => m.seq -> m.version)
 
   /** Head of the commit log: (seq, version). Tables from the pointer-only
     * layout read their pointer as an implicit seq-0 commit; (0, 0) = no
@@ -106,15 +129,18 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   /** Committed version number; 0 = no versioned commit. */
   private def currentVersion(table: String): Int = head(table)._2
 
-  /** CAS publish of commit seq (content `v<version>`): true iff this
-    * writer won the seq. link(2) atomically creates the marker complete
-    * with content or fails with EEXIST; the staged source is always
-    * removed. */
-  private def publish(table: String, seq: Int, version: Int): Boolean = {
+  /** CAS publish of commit seq (content: version + commit time + optional
+    * transaction tag, see [[parseMarker]]): true iff this writer won the
+    * seq. link(2) atomically creates the marker complete with content or
+    * fails with EEXIST; the staged source is always removed. */
+  private def publish(table: String, seq: Int, version: Int,
+      tag: Option[String] = None): Boolean = {
     val marker = dir(table).resolve(s"_commit.$seq")
     val staged = dir(table).resolve(
       s"_commit.$seq.staged.${System.nanoTime}.${Thread.currentThread.getId}")
-    Files.writeString(staged, s"v$version")
+    val meta = s"ts=${System.currentTimeMillis}" +
+      tag.map(t => s"\ntag=$t").getOrElse("")
+    Files.writeString(staged, s"v$version\n$meta")
     try { Files.createLink(marker, staged); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally { Files.deleteIfExists(staged) }
@@ -189,6 +215,50 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     spark.read.parquet(p.toString)
   }
 
+  /** Commit wall-clock stamp of a marker: the `ts=` line when present
+    * (round-12 layout), else the marker file's mtime — link(2) publishes
+    * the marker atomically at commit time, so mtime IS commit time for
+    * pre-metadata markers. */
+  private def markerTime(table: String, m: Marker): Long =
+    m.ts.getOrElse(
+      Files.getLastModifiedTime(dir(table).resolve(s"_commit.${m.seq}"))
+        .toMillis)
+
+  /** Timestamp time travel — BigQuery's `FOR SYSTEM_TIME AS OF`: the
+    * table as of wall-clock `tsMillis`, i.e. the newest commit whose
+    * stamp is ≤ the timestamp. Resolution walks the live marker log
+    * (bounded by retention, like [[readVersion]]); asking for a time
+    * before the oldest retained commit — or before the table existed —
+    * is LOUD, never a silent empty scan: a vanished snapshot must fail
+    * the audit query, not fabricate one. */
+  def readAsOf(table: String, tsMillis: Long): DataFrame = {
+    val log = markerLog(table)
+    require(log.nonEmpty,
+      s"$table has no commit log — SYSTEM_TIME time travel needs " +
+        "versioned commits")
+    val at = log.filter(markerTime(table, _) <= tsMillis)
+    require(at.nonEmpty,
+      s"no commit of $table at or before ts=$tsMillis (oldest retained: " +
+        s"ts=${markerTime(table, log.head)}) — outside the retention window")
+    readVersion(table, at.last.version)
+  }
+
+  /** Highest committed transaction version for application `appId` among
+    * the RETAINED markers — the Delta `txn` idempotence primitive: a
+    * writer that stamps commits with `tag = "<appId>:<n>"` (monotonic n,
+    * e.g. a streaming batchId) can skip any replayed n ≤ this. The
+    * lookback window equals marker retention (≥ 1 commit behind head),
+    * which covers exactly the at-least-once replay foreachBatch can see
+    * after checkpoint recovery: the one batch whose sink commit landed
+    * but whose checkpoint offset did not. */
+  def txnVersion(table: String, appId: String): Option[Long] = {
+    val prefix = appId + ":"
+    markerLog(table).flatMap(_.tag)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
+      .maxOption
+  }
+
   /** Time-travel diff: full-row changes between two retained snapshots,
     * keyed on `key`. One full outer join on the key; each side's non-key
     * columns compare as a single struct (null-safe), so the diff is one
@@ -248,9 +318,10 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * for writes whose content does not depend on the base version
     * (overwrite, first write): a competing commit just bumps the seq we
     * publish at; nothing needs re-applying. */
-  private def commitClaimed(table: String, v: Int): Unit = {
+  private def commitClaimed(table: String, v: Int,
+      tag: Option[String] = None): Unit = {
     var (seq, prev) = head(table)
-    while (!publish(table, seq + 1, v)) {
+    while (!publish(table, seq + 1, v, tag)) {
       val h = head(table); seq = h._1; prev = h._2
     }
     commitPointer(table, v)
@@ -284,12 +355,13 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   }
 
   /** Full-table rewrite through the commit protocol (steps 1-3 + GC). */
-  private def commitRewrite(table: String, df: DataFrame): Unit = {
+  private def commitRewrite(table: String, df: DataFrame,
+      tag: Option[String] = None): Unit = {
     val (v, claimed) = claimNext(table)
     // Append mode: the claimed directory is empty and MUST survive the
     // write (Overwrite would delete-and-recreate it, dropping the claim).
     df.write.mode(SaveMode.Append).parquet(claimed.toString)
-    commitClaimed(table, v)
+    commitClaimed(table, v, tag)
   }
 
   /** Schema-on-write guard for in-place appends: a frame whose columns or
@@ -341,8 +413,16 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     }
   }
 
-  def overwrite(table: String, df: DataFrame): Unit = // K3
-    commitRewrite(table, df)
+  def overwrite(table: String, df: DataFrame, // K3
+      txnTag: Option[String] = None): Unit =
+    commitRewrite(table, df, checkTag(txnTag))
+
+  /** Transaction tags ride inside the line-oriented marker file. */
+  private def checkTag(tag: Option[String]): Option[String] = {
+    tag.foreach(t => require(t.nonEmpty && !t.exists(c => c == '\n' || c == '\r'),
+      s"transaction tag must be non-empty and single-line, got '$t'"))
+    tag
+  }
 
   /** Parquet data-file count of the table's current version — the
     * read-amplification metric [[compact]] manages. Driver-side
@@ -378,8 +458,10 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * so a racing writer's merge is never silently overwritten — no
     * lost-update anomaly, no residual both-validate-then-both-rename
     * window. */
-  def mergeWith(table: String, maxRetries: Int = 5)(
+  def mergeWith(table: String, maxRetries: Int = 5,
+      txnTag: Option[String] = None)(
       f: DataFrame => DataFrame): Unit = {
+    checkTag(txnTag)
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -395,7 +477,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       // directory is the natural materialization target.
       val (v, claimed) = claimNext(table)
       next.write.mode(SaveMode.Append).parquet(claimed.toString)
-      if (publish(table, baseSeq + 1, v)) {
+      if (publish(table, baseSeq + 1, v, txnTag)) {
         commitPointer(table, v)
         gc(table, baseV)
         committed = true
@@ -430,9 +512,11 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * `touched` values compare against directory names via
     * `String.valueOf`, so stick to string/integral partition columns. */
   def mergePartitionedWith(table: String, partitionCol: String,
-      touched: Seq[Any], maxRetries: Int = 5)(
+      touched: Seq[Any], maxRetries: Int = 5,
+      txnTag: Option[String] = None)(
       f: DataFrame => DataFrame): Unit = {
     if (touched.isEmpty) return
+    checkTag(txnTag)
     val touchedStr = touched.map(String.valueOf).toSet
     var attempt = 0
     var committed = false
@@ -449,7 +533,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       next.write.mode(SaveMode.Append).partitionBy(partitionCol)
         .parquet(claimed.toString)
       linkUntouchedPartitions(basePath, claimed, partitionCol, touchedStr)
-      if (publish(table, baseSeq + 1, v)) {
+      if (publish(table, baseSeq + 1, v, txnTag)) {
         commitPointer(table, v)
         gc(table, baseV)
         committed = true
@@ -512,8 +596,15 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * changes nothing logically, so the caller just retries later; a
     * concurrent append into the old version dir is never lost to a
     * half-compacted table. */
+  /** Peak number of bin-rewrite Spark jobs observed in flight during the
+    * last [[compact]] call — the spec's evidence that bins rewrite
+    * concurrently (a wall-clock assertion would be box-weather flaky). */
+  private val compactPeak = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def lastCompactConcurrency: Int = compactPeak.get
+
   def compact(table: String,
-      targetBytes: Long = 128L * 1024 * 1024): Boolean = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      parallelism: Int = 8): Boolean = {
     val base = resolve(table)
     val (seq0, v0) = head(table)
     val (v, claimed) = claimNext(table)
@@ -524,6 +615,17 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         !n.startsWith("_") && !n.startsWith(".")
       }
       .toSeq.groupBy(_.getParent)
+    // Plan first (driver-side first-fit-decreasing per directory), then
+    // execute: single-file bins are hard links (metadata-only, sequential
+    // is fine); multi-file bins each need a Spark read+rewrite JOB, and a
+    // 100×-small-files table has thousands of them — running the driver
+    // loop sequentially would serialize per-job scheduling latency into
+    // the wall clock. Spark schedules jobs submitted from multiple
+    // threads concurrently, so the rewrites go through a bounded pool:
+    // wall time tracks the LARGEST bin plus pool-width batches, not bin
+    // COUNT. Each job is one bin → at most `targetBytes` of input — tiny
+    // next to executor memory, so width 8 cannot oversubscribe.
+    val rewrites = Seq.newBuilder[(Seq[Path], Path)]
     byDir.foreach { case (srcDir, files) =>
       val dstDir = claimed.resolve(base.relativize(srcDir).toString)
       Files.createDirectories(dstDir)
@@ -543,20 +645,41 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         if (bin.length == 1)
           Files.createLink(
             dstDir.resolve(bin.head.getFileName.toString), bin.head)
-        else {
-          val tmp = Files.createTempDirectory(dir(table), "_compact")
-          try {
-            spark.read.parquet(bin.map(_.toString).toSeq: _*)
-              .coalesce(1)
-              .write.mode(SaveMode.Append).parquet(tmp.toString)
-            Files.list(tmp).iterator().asScala.foreach { f =>
-              val n = f.getFileName.toString
-              if (!n.startsWith("_") && !n.startsWith("."))
-                Files.move(f, dstDir.resolve(n))
-            }
-          } finally deleteRecursive(tmp)
-        }
+        else rewrites += ((bin.toSeq, dstDir))
       }
+    }
+    val jobs = rewrites.result()
+    compactPeak.set(0)
+    if (jobs.nonEmpty) {
+      val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(parallelism, jobs.length)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = jobs.map { case (bin, dstDir) =>
+          scala.concurrent.Future {
+            val depth = inFlight.incrementAndGet()
+            compactPeak.accumulateAndGet(depth, (a: Int, b: Int) => math.max(a, b))
+            try {
+              val tmp = Files.createTempDirectory(dir(table), "_compact")
+              try {
+                spark.read.parquet(bin.map(_.toString): _*)
+                  .coalesce(1)
+                  .write.mode(SaveMode.Append).parquet(tmp.toString)
+                Files.list(tmp).iterator().asScala.foreach { f =>
+                  val n = f.getFileName.toString
+                  if (!n.startsWith("_") && !n.startsWith("."))
+                    Files.move(f, dstDir.resolve(n))
+                }
+              } finally deleteRecursive(tmp)
+            } finally inFlight.decrementAndGet()
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
     if (publish(table, seq0 + 1, v)) {
       commitPointer(table, v)

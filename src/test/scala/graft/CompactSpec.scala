@@ -79,6 +79,30 @@ class CompactSpec extends AnyFunSuite {
     assert(store.read("t").count() == before)
   }
 
+  test("many bins rewrite CONCURRENTLY — wall time tracks max-bin, not bin count") {
+    val wh = Files.createTempDirectory("compact_wh4").toString
+    val store = new TableStore(spark, wh)
+    // 4 partition dirs × 5 small appends each = 20 files in 4 bins (the
+    // default 128 MB target packs each dir into one bin) → 4 rewrite jobs.
+    (1 to 5).foreach { i =>
+      store.appendPartitioned("t",
+        (0 until 4).map(p => (i.toLong, s"p$p", s"r$i")).toDF("id", "part", "s")
+          .repartition(4, org.apache.spark.sql.functions.col("part")), "part")
+    }
+    val before = store.read("t").collect().map(_.toString).sorted.toSeq
+    assert(dataFiles(versionDir(wh, "t")).size >= 20)
+    assert(store.compact("t", parallelism = 4))
+    // one output file per partition directory, content unchanged
+    assert(dataFiles(versionDir(wh, "t"))
+      .groupBy(_.getParent).values.forall(_.size == 1))
+    assert(store.read("t").collect().map(_.toString).sorted.toSeq == before)
+    // the scale property: bin rewrites overlap (a driver loop of
+    // sequential jobs would show peak 1 and serialize thousands of tiny
+    // jobs at 100× small-file counts)
+    assert(store.lastCompactConcurrency >= 2,
+      s"expected overlapping bin jobs, peak was ${store.lastCompactConcurrency}")
+  }
+
   test("partitioned tables compact within their partition directories") {
     val wh = Files.createTempDirectory("compact_wh3").toString
     val store = new TableStore(spark, wh)

@@ -53,6 +53,35 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(wh, "t", "_current")).trim == "v2")
   }
 
+  test("readAsOf resolves the newest commit at-or-before the timestamp") {
+    val (store, _) = freshStore()
+    store.overwrite("t", kv(1 -> "a")) // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30) // commit stamps are millisecond wall clock
+    upsert(store, "t", kv(1 -> "A2")) // v2
+    assert(store.readAsOf("t", t1).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(1 -> "a"))
+    assert(store.readAsOf("t", System.currentTimeMillis()).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(1 -> "A2"))
+    // before the table existed: loud, not an empty scan
+    assertThrows[IllegalArgumentException](store.readAsOf("t", t1 - 86400000L))
+  }
+
+  test("txnVersion surfaces the highest tagged commit for an app id") {
+    val (store, _) = freshStore()
+    assert(store.txnVersion("t", "s18").isEmpty)
+    store.overwrite("t", kv(1 -> "a"), txnTag = Some("s18:0"))
+    store.mergeWith("t", txnTag = Some("s18:1"))(cur => cur)
+    assert(store.txnVersion("t", "s18").contains(1L))
+    assert(store.txnVersion("t", "other").isEmpty)
+    // untagged commits never disturb the app's watermark within retention
+    store.mergeWith("t")(cur => cur)
+    assert(store.txnVersion("t", "s18").contains(1L))
+    // a single-line tag is required — newlines would corrupt the marker
+    assertThrows[IllegalArgumentException](
+      store.overwrite("t", kv(1 -> "x"), txnTag = Some("a\nb")))
+  }
+
   test("crash between data write and pointer commit leaves old version live") {
     val (store, wh) = freshStore()
     store.append("t", kv(1 -> "a"))
