@@ -1471,13 +1471,19 @@ object SimilarityOps {
         +: widths.flatMap(b => Seq(col(s"qb$b"), col(s"b$b")))): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-    val hits = widths.map { b =>
-      top5.agg(
-        lit(b.toLong).as("bits"),
-        count(lit(1)).as("n_truth"),
+    // ONE pass over the (expensive) truth stage: all three widths'
+    // hit sums plus n_truth in a single aggregation, unpivoted from the
+    // one-row result — re-running the sample×corpus top-5 plan per width
+    // tripled the dominant stage for nothing.
+    import s.implicits._
+    val hitRow = top5.agg(
+      count(lit(1)).as("n_truth"),
+      widths.map(b =>
         sum(when(col(s"qb$b") === col(s"b$b"), 1L).otherwise(0L))
-          .as("n_hit"))
-    }.reduce(_ unionByName _)
+          .as(s"hit$b")): _*).head()
+    val hits = widths.map(b => (b.toLong,
+        hitRow.getAs[Long]("n_truth"), hitRow.getAs[Long](s"hit$b")))
+      .toDF("bits", "n_truth", "n_hit")
     val vols = widths.map { b =>
       e.groupBy(col(s"b$b")).agg(count(lit(1)).as("c"))
         .agg(lit(b.toLong).as("bits"),

@@ -28,7 +28,7 @@ object Sql {
   /** The reference's upsert statement shape (main.py:274-284):
     * {{{
     * UPDATE `proj.ds.target` target
-    * SET target.c1 = temp.c1, target.c2 = temp.c2, ...
+    * SET target.c1 = temp.c1, target.c2 = temp.c2 * 1.05, ...
     * FROM `proj.ds.temp` temp
     * WHERE target.id = temp.id
     * }}}
@@ -36,13 +36,39 @@ object Sql {
     * assignments). Table ids keep only their last dotted segment — the
     * store is the single-namespace analog of `project.dataset`. */
   final case class UpdateFrom(target: String, source: String,
-      targetKey: String, sourceKey: String, sets: Seq[(String, String)])
+      targetKey: String, sourceKey: String, sets: Seq[(String, SrcExpr)])
+
+  /** A source-side value expression in SET / INSERT VALUES: a source
+    * column, optionally combined with one numeric literal
+    * (`s.col * 1.05`, `s.col + 7`). This is the arithmetic surface
+    * BigQuery statement users actually ship for repricing/adjustment
+    * jobs; anything richer stays loud-on-unsupported (the front-end
+    * covers the statement surface, not general SQL expressions). */
+  final case class SrcExpr(srcCol: String, op: Option[String] = None,
+      literal: Option[String] = None) {
+    /** Apply the arithmetic to the (already resolved) source column. */
+    def apply(c: Column): Column = op match {
+      case None => c
+      case Some(o) =>
+        val l = literal.getOrElse(throw new IllegalStateException(
+          s"operator '$o' without literal"))
+        val rhs =
+          if (l.matches("-?\\d+")) lit(l.toLong) else lit(l.toDouble)
+        o match {
+          case "+" => c + rhs
+          case "-" => c - rhs
+          case "*" => c * rhs
+          case "/" => c / rhs
+        }
+    }
+  }
 
   private val Stmt = (
     """(?is)\s*UPDATE\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
     """SET\s+(.+?)\s+FROM\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
     """WHERE\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*;?\s*""").r
-  private val Assign = """(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+  private val Assign = ("""(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(\w+)\.(\w+)""" +
+    """\s*(?:([*+/-])\s*(-?\d+(?:\.\d+)?))?\s*""").r
 
   private def baseName(qualified: String): String =
     qualified.split('.').last
@@ -61,15 +87,17 @@ object Sql {
           s"WHERE must equate the two aliases '$tAlias'/'$sAlias', " +
             s"got '$wa1.$wc1 = $wa2.$wc2'")
       val sets = setList.split(",").toSeq.map {
-        case Assign(lAlias, lCol, rAlias, rCol) =>
+        case Assign(lAlias, lCol, rAlias, rCol, op, litV) =>
           require(lAlias == null || lAlias.equalsIgnoreCase(tAlias),
             s"SET column '$lAlias.$lCol' must belong to target '$tAlias'")
           require(rAlias.equalsIgnoreCase(sAlias),
             s"SET source '$rAlias.$rCol' must come from '$sAlias' " +
-              "(only column-copy assignments are supported)")
-          lCol -> rCol
+              "(assignments read the source row, optionally with one " +
+              "numeric-literal operation)")
+          lCol -> SrcExpr(rCol, Option(op), Option(litV))
         case other => throw new IllegalArgumentException(
-          s"unsupported SET item '$other': expected t.col = s.col")
+          s"unsupported SET item '$other': expected t.col = s.col " +
+            "[<+-*/> <numeric literal>]")
       }
       UpdateFrom(baseName(target), baseName(source), tKey, sKey, sets)
     case _ => throw new IllegalArgumentException(
@@ -105,14 +133,15 @@ object Sql {
         s"'${dup.headOption.map(_.get(0)).orNull}' matches multiple rows")
     val uKey = "__u_" + u.sourceKey
     // distinct: SET t.k = s.k would otherwise select the key rename twice
-    val rhsCols = (u.sourceKey +: u.sets.map(_._2)).distinct
+    val rhsCols = (u.sourceKey +: u.sets.map(_._2.srcCol)).distinct
     val renamedSrc = src.select(rhsCols.map(c => col(c).as("__u_" + c)): _*)
     store.mergeWith(u.target) { cur =>
       val matched = col(uKey).isNotNull
       val outCols: Seq[Column] = cur.columns.toSeq.map { c =>
         u.sets.find(_._1.equalsIgnoreCase(c)) match {
-          case Some((_, sc)) =>
-            when(matched, col("__u_" + sc)).otherwise(cur(c)).as(c)
+          case Some((_, se)) =>
+            when(matched, se(col("__u_" + se.srcCol)))
+              .otherwise(cur(c)).as(c)
           case None => cur(c)
         }
       }
@@ -130,10 +159,10 @@ object Sql {
   final case class MergePred(onTarget: Boolean, column: String,
       op: String, literal: String)
   final case class MatchedUpdate(pred: Option[MergePred],
-      sets: Seq[(String, String)]) extends MergeWhen
+      sets: Seq[(String, SrcExpr)]) extends MergeWhen
   final case class MatchedDelete(pred: Option[MergePred]) extends MergeWhen
   final case class NotMatchedInsert(pred: Option[MergePred],
-      inserts: Seq[(String, String)]) extends MergeWhen
+      inserts: Seq[(String, SrcExpr)]) extends MergeWhen
 
   /** The canonical upsert/purge statement (BigQuery/ANSI shape):
     * {{{
@@ -148,9 +177,9 @@ object Sql {
     * update/insert clause for the common two-clause statement. */
   final case class MergeInto(target: String, source: String,
       targetKey: String, sourceKey: String, whens: Seq[MergeWhen]) {
-    def sets: Seq[(String, String)] =
+    def sets: Seq[(String, SrcExpr)] =
       whens.collectFirst { case MatchedUpdate(_, s) => s }.getOrElse(Nil)
-    def inserts: Seq[(String, String)] =
+    def inserts: Seq[(String, SrcExpr)] =
       whens.collectFirst { case NotMatchedInsert(_, i) => i }.getOrElse(Nil)
   }
 
@@ -170,7 +199,8 @@ object Sql {
   private val PredPat = (
     """(?is)\s*AND\s+(\w+)\.(\w+)\s*(<=|>=|<>|=|<|>)\s*""" +
     """('[^']*'|-?\d+(?:\.\d+)?)\s*""").r
-  private val SrcRef = """(?is)\s*(\w+)\.(\w+)\s*""".r
+  private val SrcRef = ("""(?is)\s*(\w+)\.(\w+)""" +
+    """\s*(?:([*+/-])\s*(-?\d+(?:\.\d+)?))?\s*""").r
 
   /** Parse MERGE INTO with any combination of DELETE / UPDATE / INSERT
     * WHEN clauses, each optionally predicated. Loud on anything outside
@@ -201,27 +231,29 @@ object Sql {
             s"unsupported WHEN predicate '$other': expected " +
               "AND <alias>.<col> <op> <literal>")
         }
-      def parseSets(setList: String): Seq[(String, String)] =
+      def parseSets(setList: String): Seq[(String, SrcExpr)] =
         setList.split(",").toSeq.map {
-          case Assign(lAlias, lCol, rAlias, rCol) =>
+          case Assign(lAlias, lCol, rAlias, rCol, op, litV) =>
             require(lAlias == null || lAlias.equalsIgnoreCase(tAlias),
               s"SET column '$lAlias.$lCol' must belong to target '$tAlias'")
             require(rAlias.equalsIgnoreCase(sAlias),
               s"SET source '$rAlias.$rCol' must come from '$sAlias'")
-            lCol -> rCol
+            lCol -> SrcExpr(rCol, Option(op), Option(litV))
           case other => throw new IllegalArgumentException(
-            s"unsupported SET item '$other': expected t.col = s.col")
+            s"unsupported SET item '$other': expected t.col = s.col " +
+              "[<+-*/> <numeric literal>]")
         }
       def parseInserts(insCols: String,
-          insVals: String): Seq[(String, String)] = {
+          insVals: String): Seq[(String, SrcExpr)] = {
         val cols = insCols.split(",").toSeq.map(_.trim)
         val vals = insVals.split(",").toSeq.map {
-          case SrcRef(a, c) =>
+          case SrcRef(a, c, op, litV) =>
             require(a.equalsIgnoreCase(sAlias),
               s"INSERT value '$a.$c' must come from '$sAlias'")
-            c
+            SrcExpr(c, Option(op), Option(litV))
           case other => throw new IllegalArgumentException(
-            s"unsupported INSERT value '$other': expected s.col")
+            s"unsupported INSERT value '$other': expected s.col " +
+              "[<+-*/> <numeric literal>]")
         }
         require(cols.length == vals.length && cols.nonEmpty,
           s"INSERT column list (${cols.length}) and VALUES " +
@@ -295,8 +327,9 @@ object Sql {
     // every source column the statement touches: SET rhs, INSERT values,
     // and source-side predicate columns, all renamed out of collision
     val rhsCols = (u.sourceKey +:
-      (u.whens.collect { case MatchedUpdate(_, ss) => ss.map(_._2) }.flatten
-        ++ insertWhens.flatMap(_.inserts.map(_._2))
+      (u.whens.collect {
+          case MatchedUpdate(_, ss) => ss.map(_._2.srcCol) }.flatten
+        ++ insertWhens.flatMap(_.inserts.map(_._2.srcCol))
         ++ u.whens.flatMap(_.pred).collect {
           case MergePred(false, c, _, _) => c
         })).distinct
@@ -342,8 +375,8 @@ object Sql {
         val updCase = matchedWhens.zipWithIndex.foldRight(cur(c)) {
           case ((MatchedUpdate(_, ss), i), acc) =>
             ss.find(_._1.equalsIgnoreCase(c)) match {
-              case Some((_, sc)) =>
-                when(mAct === i, col("__u_" + sc)).otherwise(acc)
+              case Some((_, se)) =>
+                when(mAct === i, se(col("__u_" + se.srcCol))).otherwise(acc)
               case None => acc
             }
           case (_, acc) => acc // fired DELETEs never reach the select
@@ -352,7 +385,7 @@ object Sql {
           .foldRight(lit(null).cast(cur.schema(c).dataType)) {
             case ((NotMatchedInsert(_, ins), i), acc) =>
               val v = ins.find(_._1.equalsIgnoreCase(c))
-                .map(p => col("__u_" + p._2))
+                .map(p => p._2(col("__u_" + p._2.srcCol)))
                 .getOrElse(lit(null).cast(cur.schema(c).dataType))
               when(iAct === i, v).otherwise(acc)
           }
@@ -807,40 +840,67 @@ object Sql {
 
   private val VersionRef =
     """(?i)`?([\w.-]+)`?\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val SystemTimeRef = (
+    """(?i)`?([\w.-]+)`?\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
+    """(?:TIMESTAMP\s+'([^']+)'|(\d{10,}))""").r
 
-  /** Execute a SELECT whose FROM/JOIN items pin store tables to a
-    * version: `<table> VERSION AS OF <v>` (Delta's syntax; BigQuery
-    * spells it FOR SYSTEM_TIME AS OF). Each reference resolves through
-    * [[TableStore.readVersion]] — loud if the version was never
-    * committed or has been vacuumed — and registers as a
-    * statement-scoped view, so one statement can join a table's history
-    * against itself (the audit/debug query shape: "what changed between
-    * v1 and v2"). The rest of the SELECT is arbitrary Catalyst SQL over
-    * corpus views + pinned versions. `spark.sql` analyzes eagerly, so
-    * the scoped views drop before the DataFrame is returned.
+  /** `TIMESTAMP '<yyyy-MM-dd HH:mm:ss[.SSS]>'` (UTC — the store's commit
+    * stamps are wall-clock UTC millis) or a bare epoch-millis literal. */
+  private def parseTsMillis(tsLit: String, epoch: String): Long =
+    if (epoch != null) epoch.toLong
+    else java.time.LocalDateTime.parse(tsLit.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  /** Execute a SELECT whose FROM/JOIN items pin store tables to a point
+    * in history, in either syntax:
+    *   - `<table> VERSION AS OF <v>` (Delta's spelling) — resolves
+    *     through [[TableStore.readVersion]];
+    *   - `<table> FOR SYSTEM_TIME AS OF TIMESTAMP '<ts>'` or
+    *     `FOR SYSTEM_TIME AS OF <epochMillis>` (BigQuery's actual
+    *     spelling, main-line syntax of the reference's warehouse) —
+    *     resolves through [[TableStore.readAsOf]]: the newest commit at
+    *     or before the timestamp, from the commit-marker stamps.
+    * Each reference is loud if the version/time was never committed or
+    * has aged out of retention, and registers as a statement-scoped
+    * view, so one statement can join a table's history against itself
+    * (the audit/debug shape: "what changed since 9am"). The rest of the
+    * SELECT is arbitrary Catalyst SQL over corpus views + pinned
+    * versions. `spark.sql` analyzes eagerly, so the scoped views drop
+    * before the DataFrame is returned.
     *
     * Scale shape: a pinned version is just another parquet directory —
     * scans prune and push down exactly like the head version; nothing
-    * is copied to pin. */
+    * is copied to pin, and timestamp resolution is a marker-log walk
+    * (bounded by retention), no data I/O. */
   def runTimeTravel(s: SparkSession, store: TableStore, dir: String,
       sql: String): DataFrame = {
     require(sql.trim.toUpperCase.startsWith("SELECT"),
       "time-travel statements are SELECT-only (DML always runs at head)")
-    val refs = VersionRef.findAllMatchIn(sql)
-      .map(m => (baseName(m.group(1)), m.group(2).toInt)).toSeq.distinct
-    require(refs.nonEmpty,
-      "no `<table> VERSION AS OF <v>` reference in the statement")
     registerViews(s, dir)
-    val rewritten = VersionRef.replaceAllIn(sql, m => {
-      val (t, v) = (baseName(m.group(1)), m.group(2).toInt)
-      val view = s"${t}__v$v"
-      store.readVersion(t, v).createOrReplaceTempView(view)
-      view
-    })
-    try s.sql(rewritten)
-    finally refs.foreach { case (t, v) =>
-      s.catalog.dropTempView(s"${t}__v$v")
+    val views = scala.collection.mutable.LinkedHashSet[String]()
+    def scoped(name: String, df: => DataFrame): String = {
+      if (!views.contains(name)) {
+        df.createOrReplaceTempView(name)
+        views += name
+      }
+      name
     }
+    // SYSTEM_TIME first: its table-name prefix can never match
+    // VersionRef (different keywords), so the rewrites compose.
+    val byTime = SystemTimeRef.replaceAllIn(sql, m => {
+      val t = baseName(m.group(1))
+      val ms = parseTsMillis(m.group(2), m.group(3))
+      scoped(s"${t}__ts$ms", store.readAsOf(t, ms))
+    })
+    val rewritten = VersionRef.replaceAllIn(byTime, m => {
+      val (t, v) = (baseName(m.group(1)), m.group(2).toInt)
+      scoped(s"${t}__v$v", store.readVersion(t, v))
+    })
+    require(views.nonEmpty,
+      "no `<table> VERSION AS OF <v>` or `<table> FOR SYSTEM_TIME AS OF " +
+        "<ts>` reference in the statement")
+    try s.sql(rewritten)
+    finally views.foreach(s.catalog.dropTempView(_))
   }
 
   /** q64: the time-travel SQL front-end end-to-end — commit v1 (the raw
@@ -881,23 +941,215 @@ object Sql {
       |       ELSE o_totalprice END AS new_price
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
-  /** Split a statement script on top-level ';' — quote-aware, so a ';'
-    * inside a single-quoted SQL literal never splits a statement.
-    * (Escaped quotes are '' per SQL; the scanner sees them as two
-    * adjacent literals, which still nests correctly.) */
+  /** q66: the reference's nightly job as ONE LITERAL SCRIPT — exactly
+    * main.py:256-287's statement sequence: stage the day's updates as a
+    * temp table next to the target (truncate-load, main.py:256-273), run
+    * the UPDATE-FROM against it (main.py:274-284, here with the SET
+    * arithmetic inline — `temp.o_totalprice * 1.1` — instead of
+    * pre-staging the product), and DROP the temp table (main.py:287,
+    * `not_found_ok=True` spelled `IF EXISTS`). The script then re-CREATEs
+    * a table under the temp's name with a PLAIN create — which
+    * [[runCtas]] rejects if the name still exists, so the script
+    * completing at all PROVES the drop executed mid-lineage, and the
+    * re-created table's content rides into the gated output. Comments in
+    * the script (including a ';' inside one) pin the comment-aware
+    * splitter. The oracle replays the final state declaratively.
+    *
+    * Scale shape: per statement, unchanged (CTAS write / one merge join /
+    * metadata drop); the script adds zero plan overhead. */
+  def q66SqlNightlyScript(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    val n = runScript(s, store, dir,
+      """-- nightly maintenance; statements run back-to-back (a ';' here
+        |-- inside this comment must not split)
+        |CREATE TABLE `graft-project.store.games_played` AS
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders;
+        |CREATE TABLE `graft-project.store.temp_table` AS
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'O';
+        |UPDATE `graft-project.store.games_played` target
+        |  SET target.o_totalprice = temp.o_totalprice * 1.1
+        |  FROM `graft-project.store.temp_table` temp
+        |  WHERE target.o_orderkey = temp.o_orderkey;
+        |DROP TABLE `graft-project.store.temp_table`;
+        |DROP TABLE IF EXISTS `graft-project.store.temp_table`;
+        |/* plain CREATE under the dropped name: errors unless the
+        |   DROP above really executed; ';' in here must not split */
+        |CREATE TABLE `graft-project.store.temp_table` AS
+        |  SELECT COUNT(*) AS n_open FROM orders WHERE o_orderstatus = 'O'
+        |""".stripMargin)
+    require(n == 6, s"script executed $n statements, expected 6")
+    store.read("games_played")
+      .crossJoin(store.read("temp_table"))
+      .select(col("o_orderkey"), col("o_totalprice").as("final_price"),
+        col("n_open"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q66Oracle: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+      |       ELSE o_totalprice END AS final_price,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE o_orderstatus = 'O') AS n_open
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q67: `FOR SYSTEM_TIME AS OF` end-to-end — commit v1 (raw orders),
+    * note the wall clock, commit v2 through the transactional merge
+    * (open orders repriced), then run ONE statement joining the
+    * timestamp-pinned snapshot (epoch-millis form) against the
+    * TIMESTAMP-literal-pinned head: BigQuery's actual time-travel
+    * spelling beside q64's Delta `VERSION AS OF`, resolved from the
+    * commit-marker stamps, not version numbers. The oracle recomputes
+    * both sides declaratively, so the hash gate proves stamp-based
+    * resolution picks exactly the newest-commit-≤-ts snapshot.
+    *
+    * The 30 ms pause between the wall-clock capture and the second
+    * commit keeps the two commits' millisecond stamps strictly apart —
+    * the same discipline a warehouse's commit-time resolution needs at
+    * any scale (ties break toward the earlier commit, so a distinct
+    * stamp is what makes "as of t1" deterministic). */
+  def q67SqlSystemTime(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_st", orders(s, dir) // commits v1
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    store.mergeWith("orders_st") { cur => // commits v2
+      cur.select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O", col("o_totalprice") * 1.2)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    }
+    val t2 = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(System.currentTimeMillis()),
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    runTimeTravel(s, store, dir,
+      s"""SELECT cur.o_orderkey, old.o_totalprice AS old_price,
+         |  cur.o_totalprice AS new_price
+         |FROM `graft-project.store.orders_st`
+         |  FOR SYSTEM_TIME AS OF TIMESTAMP '$t2' cur
+         |JOIN `graft-project.store.orders_st`
+         |  FOR SYSTEM_TIME AS OF $t1 old
+         |  ON cur.o_orderkey = old.o_orderkey
+         |""".stripMargin)
+      .sortedWide("o_orderkey")
+  }
+
+  val q67Oracle: String = q64Oracle
+
+  /** q68: arithmetic IN the statement — the MERGE carries
+    * `s.o_totalprice * 1.05` in BOTH its SET assignment and its INSERT
+    * VALUES, so the staged source holds RAW prices (q57 had to
+    * pre-stage the product as a CTAS because the front-end only copied
+    * columns; this is that wall removed). Same oracle as q57: the gate
+    * proves the in-statement expression evaluates identically on the
+    * update and insert paths, through parse → full-outer merge →
+    * transactional commit → read-back. */
+  def q68SqlMergeExpr(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_x", orders(s, dir)
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    store.overwrite("orders_xs", orders(s, dir) // RAW prices — no staging
+      .select(col("o_orderkey"), col("o_totalprice"),
+        lit("N").as("o_orderstatus")))
+    runMerge(s, store,
+      """MERGE INTO `graft-project.store.orders_x` t
+        |USING `graft-project.store.orders_xs` s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice * 1.05
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice,
+        |  o_orderstatus) VALUES (s.o_orderkey, s.o_totalprice * 1.05,
+        |  s.o_orderstatus)
+        |""".stripMargin)
+    store.drop("orders_xs")
+    store.read("orders_x")
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("merged_price"),
+        col("o_orderstatus").as("status"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q68Oracle: String = q57Oracle
+
+  /** Split a statement script on top-level ';'. The scanner tracks the
+    * four SQL span kinds a ';' can legally hide in — single-quoted
+    * literals (escaped quotes are '' per SQL: two adjacent literals,
+    * which nests correctly), backtick-quoted identifiers, `--` line
+    * comments, and bracketed comments — so none of them ever missplits
+    * a statement. Quoted spans are preserved; comments are STRIPPED
+    * (replaced by whitespace), so the per-verb parsers — whose grammars
+    * have no comment rule — always see a comment-free statement and verb
+    * dispatch reads the first real token even under a leading comment. A
+    * fragment that was only comments dissolves to whitespace and drops. */
   private[graft] def splitScript(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
-    script.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ';' if !inQuote => out += cur.toString; cur.clear()
-      case c => cur += c
+    var inTick = false
+    var inLine = false
+    var inBlock = false
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      val next = if (i + 1 < script.length) script.charAt(i + 1) else ' '
+      if (inLine) {
+        if (c == '\n') { inLine = false; cur += '\n' }
+        i += 1
+      }
+      else if (inBlock) {
+        if (c == '*' && next == '/') { inBlock = false; cur += ' '; i += 2 }
+        else i += 1
+      }
+      else if (inQuote) { if (c == '\'') inQuote = false; cur += c; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; cur += c; i += 1 }
+      else c match {
+        case '\'' => inQuote = true; cur += c; i += 1
+        case '`' => inTick = true; cur += c; i += 1
+        case '-' if next == '-' => inLine = true; i += 2
+        case '/' if next == '*' => inBlock = true; i += 2
+        case ';' => out += cur.toString; cur.clear(); i += 1
+        case _ => cur += c; i += 1
+      }
     }
-    require(!inQuote,
-      "unterminated string literal in statement script")
+    require(!inQuote, "unterminated string literal in statement script")
+    require(!inTick, "unterminated backtick identifier in statement script")
+    require(!inBlock, "unterminated /* comment in statement script")
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val DropStmt =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?([\w.-]+)`?\s*;?\s*""".r
+
+  /** Execute DROP TABLE [IF EXISTS] — the reference's nightly job ends by
+    * dropping its staging table with `not_found_ok=True`
+    * (/root/reference/main.py:287); `IF EXISTS` is that flag's SQL
+    * spelling. Without it a missing table is LOUD (BigQuery's
+    * NotFound), so a typo'd table name can never silently "succeed". */
+  def runDrop(store: TableStore, sql: String): Unit = sql match {
+    case DropStmt(ifExists, target) =>
+      val name = baseName(target)
+      require(ifExists != null || store.exists(name),
+        s"DROP TABLE $name: table does not exist in the store " +
+          "(use DROP TABLE IF EXISTS for not-found-ok semantics)")
+      store.drop(name)
+    case _ => throw new IllegalArgumentException(
+      "unsupported DDL: expected DROP TABLE [IF EXISTS] <t>")
   }
 
   /** Execute a ';'-separated statement SCRIPT against one store — the
@@ -905,7 +1157,7 @@ object Sql {
     * UPDATE … FROM it, drop it — main.py:256-287 runs the statements
     * back-to-back). Dispatch is by leading verb to the statement
     * executors ([[runCtas]]/[[runInsert]]/[[runDml]]/[[runMerge]]/
-    * [[runDelete]]), each of which commits through the versioned store
+    * [[runDelete]]/[[runDrop]]), each of which commits through the versioned store
     * before the next statement parses — so statement N+1 always reads
     * statement N's committed table state, and a crash between
     * statements leaves every table at a committed version (the
@@ -922,9 +1174,10 @@ object Sql {
         case "UPDATE" => runDml(s, store, st)
         case "MERGE" => runMerge(s, store, st)
         case "DELETE" => runDelete(s, store, st)
+        case "DROP" => runDrop(store, st)
         case verb => throw new IllegalArgumentException(
           s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
-            "UPDATE/MERGE/DELETE")
+            "UPDATE/MERGE/DELETE/DROP")
       }
     }
     stmts.length
@@ -1017,5 +1270,8 @@ object Sql {
     graft.Q("q61_sql_merge_full", q61SqlMergeFull, Some(q61Oracle)),
     graft.Q("q62_sql_insert", q62SqlInsert, Some(q62Oracle)),
     graft.Q("q63_sql_script", q63SqlScript, Some(q63Oracle)),
-    graft.Q("q64_sql_time_travel", q64SqlTimeTravel, Some(q64Oracle)))
+    graft.Q("q64_sql_time_travel", q64SqlTimeTravel, Some(q64Oracle)),
+    graft.Q("q66_sql_nightly_script", q66SqlNightlyScript, Some(q66Oracle)),
+    graft.Q("q67_sql_system_time", q67SqlSystemTime, Some(q67Oracle)),
+    graft.Q("q68_sql_merge_expr", q68SqlMergeExpr, Some(q68Oracle)))
 }

@@ -400,13 +400,18 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * tables (time_play partitioned by day): date-filtered scans prune whole
     * partition directories instead of reading and filtering. */
   def appendPartitioned(table: String, df: DataFrame,
-      partitionCol: String): Unit = {
+      partitionCol: String, txnTag: Option[String] = None): Unit = {
     if (!exists(table)) {
       val (v, claimed) = claimNext(table)
       df.write.mode(SaveMode.Append).partitionBy(partitionCol)
         .parquet(claimed.toString)
-      commitClaimed(table, v)
+      commitClaimed(table, v, checkTag(txnTag))
     } else {
+      // In-place appends add files to the CURRENT version without a new
+      // commit marker, so there is nothing to tag — an idempotent writer
+      // needs the committing paths (overwrite/merge*With).
+      require(txnTag.isEmpty,
+        s"append to existing '$table' does not commit — txnTag unsupported")
       assertSchemaMatches(table, df, relaxed = Set(partitionCol))
       df.write.mode(SaveMode.Append).partitionBy(partitionCol)
         .parquet(resolve(table).toString)

@@ -347,21 +347,91 @@ object Streams {
         .as[graft.ext.MultimodalOps.MediaRow])
   }
 
+  /** Hash-bucket count for the streaming totals table: user_totals is
+    * hive-partitioned on `bucket = pmod(hash(user_id), N)` so a
+    * micro-batch's merge rewrites ONLY the buckets its users hash into —
+    * untouched buckets ride into the new version as hard links
+    * ([[graft.psn.TableStore.mergePartitionedWith]]). 8 here (the gate
+    * corpus is small); production sizes N so one bucket ≈ one rewrite
+    * task's worth of users. */
+  private[graft] val TotalsBuckets = 8
+
+  /** Apply one micro-batch of per-user (n_events, total_value decimal)
+    * partials to the bucketed running-totals table — the foreachBatch
+    * body of s18/s19, factored out so the spec can drive it directly.
+    *
+    * Replay idempotence (foreachBatch is at-least-once): every commit is
+    * tagged `<appId>:<batchId>` and a batch whose id is ≤ the table's
+    * [[graft.psn.TableStore.txnVersion]] watermark is SKIPPED — the Delta
+    * `txn` discipline. Additivity alone gives batch-ORDER independence;
+    * only the tag check makes a replayed batch (merge committed, process
+    * died before the streaming checkpoint committed) a no-op instead of a
+    * double count.
+    *
+    * Scale shape: one bounded collect of ≤ [[TotalsBuckets]] touched
+    * bucket ids, then a full-outer merge over ONLY those buckets'
+    * partition directories; a single-user batch rewrites one bucket and
+    * hard-links the rest. */
+  private[graft] def applyTotalsBatch(store: graft.psn.TableStore,
+      table: String, appId: String, batchAgg: DataFrame,
+      batchId: Long): Unit = {
+    if (store.txnVersion(table, appId).exists(_ >= batchId)) return
+    val tag = Some(s"$appId:$batchId")
+    val zero = lit(0).cast(DecimalType(38, 2))
+    val agg = batchAgg.withColumn("bucket",
+      pmod(hash(col("user_id")), lit(TotalsBuckets)))
+    if (!store.exists(table)) store.appendPartitioned(table, agg, "bucket", tag)
+    else {
+      // bounded by construction: ≤ TotalsBuckets distinct values
+      val touched = agg.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      store.mergePartitionedWith(table, "bucket", touched, txnTag = tag) {
+        cur =>
+          val b = agg.select(col("user_id").as("__b_uid"),
+            col("n_events").as("__b_n"), col("total_value").as("__b_v"),
+            col("bucket").as("__b_bucket"))
+          cur.join(b, cur("user_id") === col("__b_uid"), "full")
+            .select(
+              coalesce(cur("user_id"), col("__b_uid")).as("user_id"),
+              (coalesce(cur("n_events"), lit(0L)) +
+                coalesce(col("__b_n"), lit(0L))).as("n_events"),
+              (coalesce(cur("total_value"), zero) +
+                coalesce(col("__b_v"), zero)).cast(DecimalType(38, 2))
+                .as("total_value"),
+              coalesce(cur("bucket"), col("__b_bucket")).as("bucket"))
+      }
+    }
+  }
+
+  private def perUserPartials(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 2))).as("total_value"))
+
+  private def readTotals(store: graft.psn.TableStore,
+      table: String): DataFrame = {
+    import graft.ops.Out._
+    store.read(table)
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+      .sortedSmall("user_id")
+  }
+
   /** s18: the streaming DailyRun shape, ORACLE-GATED end-to-end — the
     * event log is split into four pinned chunks (`event_id % 4`), each
     * replayed as a real micro-batch through MicroBatchExecution (parquet
     * file source, `maxFilesPerTrigger=1`, AvailableNow), and a
     * foreachBatch sink maintains per-user running totals in a
-    * [[graft.psn.TableStore]] table via the transactional merge path
-    * (main.py:153-207's nightly read-back + join, incrementalized). The
-    * hash gate proves: micro-batch planner → per-batch partial
-    * aggregation → full-outer additive merge → version-pointer commit →
-    * read-back equals the one-shot declarative aggregate the DuckDB
-    * oracle computes. The chunking is an arbitrary pinned partition of
-    * the log: the merge is additive (commutative + associative), so the
-    * final table is independent of batch order and count — which is
-    * exactly the property that makes the sink safe under catch-up
-    * batches and checkpoint-recovery replays.
+    * [[graft.psn.TableStore]] table via the bucketed partition-pruned
+    * merge ([[applyTotalsBatch]]; main.py:153-207's nightly read-back +
+    * join, incrementalized). The hash gate proves: micro-batch planner →
+    * per-batch partial aggregation → touched-bucket full-outer merge →
+    * version-pointer commit → read-back equals the one-shot declarative
+    * aggregate the DuckDB oracle computes. The chunking is an arbitrary
+    * pinned partition of the log: the merge is additive (commutative +
+    * associative) so the final table is independent of batch order, and
+    * the per-batch txn tag makes checkpoint-recovery REPLAYS no-ops, so
+    * the sink is exactly-once end-to-end.
     *
     * Value totals stay DECIMAL across batches (the [[Exprs.dsum]]
     * discipline, kept exact through the cross-batch additions; cast to
@@ -369,12 +439,12 @@ object Streams {
     * the oracle by batch-boundary rounding.
     *
     * Scale shape: per batch, one user-keyed partial aggregation (map-side
-    * combine) + one full-outer merge on the bounded user dimension; state
-    * lives in the versioned table, not executor memory, so a year of
-    * replays holds |users| rows, not |events|. */
+    * combine) + one full-outer merge over ONLY the touched hash buckets
+    * of the bounded user dimension (untouched buckets hard-link through);
+    * state lives in the versioned table, not executor memory, so a year
+    * of replays holds |users| rows, not |events|, and a quiet batch
+    * rewrites almost nothing. */
   def s18StreamMergeReplay(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Out._
-    import graft.expr.Exprs
     val ev = graft.tables.Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"))
     val base = java.nio.file.Files.createTempDirectory("graft_s18")
@@ -388,34 +458,16 @@ object Streams {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val zero = lit(0).cast(DecimalType(38, 2))
     val q = stream.writeStream
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val agg = batch.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast(DecimalType(30, 2))).as("total_value"))
-        if (!store.exists("user_totals")) store.overwrite("user_totals", agg)
-        else store.mergeWith("user_totals") { cur =>
-          val b = agg.select(col("user_id").as("__b_uid"),
-            col("n_events").as("__b_n"), col("total_value").as("__b_v"))
-          cur.join(b, cur("user_id") === col("__b_uid"), "full")
-            .select(
-              coalesce(cur("user_id"), col("__b_uid")).as("user_id"),
-              (coalesce(cur("n_events"), lit(0L)) +
-                coalesce(col("__b_n"), lit(0L))).as("n_events"),
-              (coalesce(cur("total_value"), zero) +
-                coalesce(col("__b_v"), zero)).cast(DecimalType(38, 2))
-                .as("total_value"))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTotalsBatch(store, "user_totals", "s18",
+          perUserPartials(batch), batchId)
       }
       .start()
     q.awaitTermination()
-    store.read("user_totals")
-      .select(col("user_id"), col("n_events"),
-        col("total_value").cast("double").as("total_value"))
-      .sortedSmall("user_id")
+    readTotals(store, "user_totals")
   }
 
   val s18Oracle: String =
@@ -423,7 +475,68 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** s19: s18 under DISORDER — the same event log replayed as four
+    * OVERLAPPING chunks (chunk c = event_id % 4 ∈ {c, c+1 mod 4}: every
+    * event is delivered exactly twice, in two different micro-batches),
+    * with a watermarked streaming dedup
+    * ([[Dataset.dropDuplicatesWithinWatermark]], the `dedupedEvents`
+    * path) in front of the same bucketed additive merge sink. The hash
+    * gate proves the claim s18 only asserts: the sink's final state is
+    * independent of batch ORDER and REDELIVERY, because (a) cross-batch
+    * duplicate events are dropped by keyed state before aggregation and
+    * (b) the merge itself is additive + txn-tagged. Without the dedup
+    * stage every total would exactly double — the gate cannot pass by
+    * accident.
+    *
+    * The watermark delay is data-derived: the full event-time span of
+    * the corpus plus an hour, so no event is ever late-dropped and no
+    * dedup state expires before its duplicate arrives — the gate must be
+    * EXACT. Production sets the delay to the redelivery horizon instead,
+    * and state then holds only (horizon × arrival-rate) ids — that
+    * trade (bounded state for bounded-lateness exactness) is the
+    * documented watermark contract, not a defect.
+    *
+    * Scale shape: dedup is keyed state sharded by event_id (one shuffle),
+    * partials and the bucketed merge are s18's; the doubled input costs
+    * one extra pass through the dedup operator, nothing downstream. */
+  def s19StreamDisorderReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.tables.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        timestamp_seconds(expr("ts div 1000000000")).as("event_ts"))
+    val base = java.nio.file.Files.createTempDirectory("graft_s19")
+    val srcDir = base.resolve("src").toString
+    // pinned shuffled chunk order — the files land with this mtime order,
+    // so the source replays them out of event order as well as overlapped
+    Seq(2, 0, 3, 1).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(4)) === c ||
+          pmod(col("event_id"), lit(4)) === (c + 1) % 4)
+        .repartition(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val span = ev.agg(
+      (unix_timestamp(max(col("event_ts"))) -
+        unix_timestamp(min(col("event_ts")))).as("s")).head.getLong(0)
+    val store = new graft.psn.TableStore(s, base.resolve("wh").toString)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withWatermark("event_ts", s"${span + 3600} seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTotalsBatch(store, "user_totals", "s19",
+          perUserPartials(batch), batchId)
+      }
+      .start()
+    q.awaitTermination()
+    readTotals(store, "user_totals")
+  }
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("s18_stream_merge_replay", s18StreamMergeReplay,
+      Some(s18Oracle)),
+    graft.Q("s19_stream_disorder_replay", s19StreamDisorderReplay,
       Some(s18Oracle)))
 }

@@ -34,22 +34,22 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(u.target == "game" && u.source == "game_temp")
     assert(u.targetKey == "id" && u.sourceKey == "id")
     assert(u.sets == Seq(
-      "last_played_date_time" -> "last_played_date_time",
-      "play_count" -> "play_count",
-      "play_duration" -> "play_duration"))
+      "last_played_date_time" -> Sql.SrcExpr("last_played_date_time"),
+      "play_count" -> Sql.SrcExpr("play_count"),
+      "play_duration" -> Sql.SrcExpr("play_duration")))
   }
 
   test("alias-flipped WHERE and unqualified SET lhs parse; junk is loud") {
     val u = Sql.parseUpdateFrom(
       "UPDATE t1 a SET x = b.y FROM t2 b WHERE b.k = a.k2")
     assert(u.targetKey == "k2" && u.sourceKey == "k" &&
-      u.sets == Seq("x" -> "y"))
+      u.sets == Seq("x" -> Sql.SrcExpr("y")))
     intercept[IllegalArgumentException] {
       Sql.parseUpdateFrom("DELETE FROM t WHERE x = 1")
     }
-    intercept[IllegalArgumentException] { // arbitrary SET expression
+    intercept[IllegalArgumentException] { // column-vs-column arithmetic
       Sql.parseUpdateFrom(
-        "UPDATE t1 a SET a.x = b.y + 1 FROM t2 b WHERE a.k = b.k")
+        "UPDATE t1 a SET a.x = b.y + b.z FROM t2 b WHERE a.k = b.k")
     }
     intercept[IllegalArgumentException] { // WHERE names a third alias
       Sql.parseUpdateFrom(
@@ -126,8 +126,9 @@ class SqlDmlSpec extends AnyFunSuite {
     val m = Sql.parseMergeInto(mergeText)
     assert(m.target == "game" && m.source == "game_src")
     assert(m.targetKey == "id" && m.sourceKey == "id")
-    assert(m.sets == Seq("play_count" -> "play_count"))
-    assert(m.inserts == Seq("id" -> "id", "play_count" -> "play_count"))
+    assert(m.sets == Seq("play_count" -> Sql.SrcExpr("play_count")))
+    assert(m.inserts == Seq("id" -> Sql.SrcExpr("id"),
+      "play_count" -> Sql.SrcExpr("play_count")))
     // the full clause surface parses: predicated DELETE (target-side
     // pred), unpredicated UPDATE behind it, predicated INSERT
     // (source-side pred) — in statement order
@@ -139,9 +140,9 @@ class SqlDmlSpec extends AnyFunSuite {
         "VALUES (s.id, s.v)")
     assert(m2.whens == Seq(
       Sql.MatchedDelete(Some(Sql.MergePred(true, "status", "=", "'F'"))),
-      Sql.MatchedUpdate(None, Seq("v" -> "v")),
+      Sql.MatchedUpdate(None, Seq("v" -> Sql.SrcExpr("v"))),
       Sql.NotMatchedInsert(Some(Sql.MergePred(false, "v", ">", "10")),
-        Seq("id" -> "id", "v" -> "v"))))
+        Seq("id" -> Sql.SrcExpr("id"), "v" -> Sql.SrcExpr("v")))))
     // a bare DELETE-only statement is legal ANSI MERGE
     assert(Sql.parseMergeInto(
       "MERGE INTO a t USING b s ON t.id = s.id WHEN MATCHED THEN DELETE")
@@ -415,6 +416,95 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("splitScript: comments and backtick identifiers never missplit; " +
+    "comments are stripped") {
+    // ';' inside a -- comment does not split, and the comment is removed
+    assert(Sql.splitScript("SELECT 1 -- c;omment\n; SELECT 2") ==
+      Seq("SELECT 1", "SELECT 2"))
+    // ';' inside /* */ and inside a backticked name do not split
+    assert(Sql.splitScript("SELECT /* a;b */ 1; SELECT `we;rd` FROM t") ==
+      Seq("SELECT   1", "SELECT `we;rd` FROM t"))
+    // a LEADING comment leaves verb dispatch on the first real token
+    assert(Sql.splitScript("-- hdr\nDROP TABLE t; /* x */ SELECT 1")
+      .map(_.split("\\s+").head) == Seq("DROP", "SELECT"))
+    // a comments-only fragment is not a statement
+    assert(Sql.splitScript("SELECT 1; -- trailing note") == Seq("SELECT 1"))
+    intercept[IllegalArgumentException] {
+      Sql.splitScript("SELECT 1 /* open")
+    }
+    intercept[IllegalArgumentException] {
+      Sql.splitScript("SELECT `open")
+    }
+  }
+
+  test("SET and INSERT VALUES accept one-literal arithmetic; junk stays loud") {
+    val u = Sql.parseUpdateFrom(
+      """UPDATE t a SET a.p = b.p * 1.05, a.q = b.q FROM s b
+        |WHERE a.k = b.k""".stripMargin)
+    assert(u.sets == Seq(
+      "p" -> Sql.SrcExpr("p", Some("*"), Some("1.05")),
+      "q" -> Sql.SrcExpr("q")))
+    val m = Sql.parseMergeInto(
+      """MERGE INTO t a USING s b ON a.k = b.k
+        |WHEN MATCHED THEN UPDATE SET a.p = b.p + 7
+        |WHEN NOT MATCHED THEN INSERT (k, p) VALUES (b.k, b.p / 2)
+        |""".stripMargin)
+    assert(m.sets == Seq("p" -> Sql.SrcExpr("p", Some("+"), Some("7"))))
+    assert(m.inserts == Seq("k" -> Sql.SrcExpr("k"),
+      "p" -> Sql.SrcExpr("p", Some("/"), Some("2"))))
+    // column-times-column, function calls, two-op chains: still loud
+    intercept[IllegalArgumentException] {
+      Sql.parseUpdateFrom(
+        "UPDATE t a SET a.p = b.p * b.q FROM s b WHERE a.k = b.k")
+    }
+    intercept[IllegalArgumentException] {
+      Sql.parseUpdateFrom(
+        "UPDATE t a SET a.p = round(b.p) FROM s b WHERE a.k = b.k")
+    }
+    intercept[IllegalArgumentException] {
+      Sql.parseMergeInto(
+        """MERGE INTO t a USING s b ON a.k = b.k
+          |WHEN NOT MATCHED THEN INSERT (k) VALUES (b.k * 2 + 1)""".stripMargin)
+    }
+  }
+
+  test("DROP TABLE: drops committed tables; missing is loud unless IF EXISTS") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("doomed", Seq((1L, "a")).toDF("k", "v"))
+    assert(store.exists("doomed"))
+    Sql.runDrop(store, "DROP TABLE `graft-project.store.doomed`")
+    assert(!store.exists("doomed"))
+    intercept[IllegalArgumentException] {
+      Sql.runDrop(store, "DROP TABLE doomed") // already gone: loud
+    }
+    Sql.runDrop(store, "DROP TABLE IF EXISTS doomed") // not_found_ok
+    intercept[IllegalArgumentException] {
+      Sql.runDrop(store, "DROP TABLE") // no name
+    }
+  }
+
+  test("FOR SYSTEM_TIME AS OF resolves commit stamps in SQL (both literal forms)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("stt", Seq((1L, 10L)).toDF("k", "v"))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    store.mergeWith("stt")(cur => cur.select(col("k"),
+      (col("v") * 2).as("v")))
+    val got = Sql.runTimeTravel(spark, store, sf,
+      s"""SELECT old.v AS v_old, cur.v AS v_new
+         |FROM `graft-project.store.stt` FOR SYSTEM_TIME AS OF $t1 old
+         |JOIN stt FOR SYSTEM_TIME AS OF ${System.currentTimeMillis()} cur
+         |  ON old.k = cur.k""".stripMargin).head()
+    assert((got.getLong(0), got.getLong(1)) == (10L, 20L))
+    // a time before the table existed is loud
+    intercept[IllegalArgumentException] {
+      Sql.runTimeTravel(spark, store, sf,
+        s"SELECT * FROM stt FOR SYSTEM_TIME AS OF ${t1 - 86400000L} x")
+    }
+  }
+
   test("runScript sequences statements against committed state; junk verbs are loud") {
     import spark.implicits._
     val store = freshStore()
@@ -437,8 +527,13 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(store.read("t1").orderBy("k").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 100L), (2L, 20L), (102L, 20L)))
+    // DROP is a script verb now (the reference's nightly job ends with
+    // one, main.py:287): it executes mid-lineage…
+    assert(Sql.runScript(spark, store, sf, "DROP TABLE gone") == 1)
+    assert(!store.exists("gone"))
+    // …an unknown verb is still loud…
     intercept[IllegalArgumentException] {
-      Sql.runScript(spark, store, sf, "DROP TABLE t1")
+      Sql.runScript(spark, store, sf, "TRUNCATE TABLE t1")
     }
     intercept[IllegalArgumentException] {
       Sql.runScript(spark, store, sf, "  ;; ")

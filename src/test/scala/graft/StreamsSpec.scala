@@ -519,3 +519,80 @@ class TransitionStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** The s18/s19 foreachBatch totals sink ([[Streams.applyTotalsBatch]]):
+  * per-batch txn tags make at-least-once replays no-ops, and the bucketed
+  * layout bounds each batch's rewrite to the buckets it touches. */
+class TotalsSinkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("totals sink skips a REPLAYED batchId — foreachBatch at-least-once " +
+    "cannot double-count") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("s18_idem").toString
+    val store = new graft.psn.TableStore(spark, wh)
+    def agg(rows: (Long, Long, java.math.BigDecimal)*) =
+      rows.toDF("user_id", "n_events", "total_value")
+        .withColumn("total_value",
+          col("total_value").cast("decimal(38,2)"))
+    def dec(d: Double) = new java.math.BigDecimal(d)
+    Streams.applyTotalsBatch(store, "t", "s18",
+      agg((1L, 2L, dec(10.0)), (2L, 1L, dec(5.0))), batchId = 0L)
+    Streams.applyTotalsBatch(store, "t", "s18",
+      agg((1L, 1L, dec(1.0))), batchId = 1L)
+    val after1 = store.read("t").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the crash-recovery shape: batch 1's merge committed but the
+    // checkpoint did not → the runtime re-delivers batch 1
+    Streams.applyTotalsBatch(store, "t", "s18",
+      agg((1L, 1L, dec(1.0))), batchId = 1L)
+    assert(store.read("t").orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == after1)
+    assert(after1 == Seq((1L, 3L), (2L, 1L)))
+    // a genuinely new batch still applies
+    Streams.applyTotalsBatch(store, "t", "s18",
+      agg((2L, 4L, dec(2.0))), batchId = 2L)
+    assert(store.read("t").filter(col("user_id") === 2).head.getLong(1) == 5L)
+  }
+
+  test("a single-user batch rewrites ONE bucket; the rest hard-link through") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val wh = java.nio.file.Files.createTempDirectory("s18_bucket").toString
+    val store = new graft.psn.TableStore(spark, wh)
+    def agg(rows: (Long, Long, java.math.BigDecimal)*) =
+      rows.toDF("user_id", "n_events", "total_value")
+        .withColumn("total_value", col("total_value").cast("decimal(38,2)"))
+    val dec = (d: Double) => new java.math.BigDecimal(d)
+    // seed a population across many buckets, then a one-user batch
+    Streams.applyTotalsBatch(store, "t", "s18",
+      agg((0L until 64L).map(u => (u, 1L, dec(1.0))): _*), batchId = 0L)
+    def versionDir = {
+      val v = Files.readString(Paths.get(wh, "t", "_current")).trim
+      Paths.get(wh, "t", v)
+    }
+    def inodesByBucket(p: java.nio.file.Path) =
+      Files.walk(p).iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith("."))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .view.mapValues(_.map(Files.getAttribute(_, "unix:ino")).toSet)
+        .toMap
+    val before = inodesByBucket(versionDir)
+    assert(before.size == Streams.TotalsBuckets) // 64 users fill all 8
+    Streams.applyTotalsBatch(store, "t", "s18",
+      agg((7L, 1L, dec(1.0))), batchId = 1L)
+    val after = inodesByBucket(versionDir)
+    val changed = after.keySet.filter(k => after(k) != before.getOrElse(k, Set.empty))
+    assert(changed.size == 1,
+      s"expected exactly one rewritten bucket, got $changed")
+    // every untouched bucket's files are the SAME inodes (hard links)
+    (after.keySet - changed.head).foreach { k =>
+      assert(after(k) == before(k), s"bucket $k must ride through as links")
+    }
+    // and the totals are correct
+    assert(store.read("t").agg(sum(col("n_events"))).head.getLong(0) == 65L)
+  }
+}
