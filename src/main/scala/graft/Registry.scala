@@ -14,7 +14,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ops.Relational.all ++ ops.Relational2.all ++ ops.Bucketed.all ++
-      ops.Skew.all ++ ops.Quality.all ++ ops.Sql.all ++
+      ops.Skew.all ++ ops.Quality.all ++ ops.Sql.all ++ ops.Storage.all ++
       ext.TextOps.all ++ ext.TextOps2.all ++ ext.TextOps3.all ++
       ext.TextOps4.all ++
       ext.SimilarityOps.all ++ ext.SimilarityOps2.all ++

@@ -1152,6 +1152,50 @@ object Sql {
       "unsupported DDL: expected DROP TABLE [IF EXISTS] <t>")
   }
 
+  private val AnalyzeStmt =
+    """(?is)\s*ANALYZE\s+TABLE\s+`?([\w.-]+)`?\s*;?\s*""".r
+
+  /** Execute ANALYZE TABLE — publish footer-derived per-file stats for
+    * the table's current version ([[graft.psn.TableStore.analyze]]), the
+    * explicit stats refresh every warehouse exposes (BigQuery keeps
+    * clustered-table metadata implicitly; ANSI engines spell it ANALYZE).
+    * O(files) metadata reads, no data scanned. */
+  def runAnalyze(store: TableStore, sql: String): Unit = sql match {
+    case AnalyzeStmt(target) =>
+      val name = baseName(target)
+      require(store.exists(name), s"ANALYZE TABLE $name: table does not exist")
+      store.analyze(name)
+    case _ => throw new IllegalArgumentException(
+      "unsupported statement: expected ANALYZE TABLE <t>")
+  }
+
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+`?([\w.-]+)`?(?:\s+CLUSTER\s+BY\s*\(\s*(\w+)\s*\)(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*""".r
+
+  /** Execute OPTIMIZE — the lakehouse maintenance verb. Bare
+    * `OPTIMIZE t` bin-packs small files ([[graft.psn.TableStore.compact]]);
+    * `OPTIMIZE t CLUSTER BY (col) [INTO n FILES]` rewrites the table
+    * range-disjoint on the column and refreshes its stats
+    * ([[graft.psn.TableStore.cluster]]) so data skipping prunes —
+    * Delta's OPTIMIZE / OPTIMIZE ZORDER BY shape. Both are pure layout
+    * transactions: a lost CAS race (concurrent writer) is LOUD here —
+    * in a script, statement N+1 expects N's layout to exist. */
+  def runOptimize(s: SparkSession, store: TableStore, sql: String): Unit =
+    sql match {
+      case OptimizeStmt(target, cluster, files) =>
+        val name = baseName(target)
+        require(store.exists(name), s"OPTIMIZE $name: table does not exist")
+        val ok =
+          if (cluster == null) store.compact(name)
+          else store.cluster(name, cluster,
+            if (files == null) s.sparkContext.defaultParallelism
+            else files.toInt)
+        require(ok, s"OPTIMIZE $name lost its commit race — rerun")
+      case _ => throw new IllegalArgumentException(
+        "unsupported statement: expected OPTIMIZE <t> " +
+          "[CLUSTER BY (<col>) [INTO <n> FILES]]")
+    }
+
   /** Execute a ';'-separated statement SCRIPT against one store — the
     * reference's nightly job is exactly this shape (stage a temp table,
     * UPDATE … FROM it, drop it — main.py:256-287 runs the statements
@@ -1175,9 +1219,11 @@ object Sql {
         case "MERGE" => runMerge(s, store, st)
         case "DELETE" => runDelete(s, store, st)
         case "DROP" => runDrop(store, st)
+        case "ANALYZE" => runAnalyze(store, st)
+        case "OPTIMIZE" => runOptimize(s, store, st)
         case verb => throw new IllegalArgumentException(
           s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
-            "UPDATE/MERGE/DELETE/DROP")
+            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE")
       }
     }
     stmts.length

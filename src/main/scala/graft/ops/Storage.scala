@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.psn.{FileStats, TableStore}
+
+/** Storage-layout operators: file-level data skipping and metadata-only
+  * queries over the versioned store — the layer that keeps SELECTIVE
+  * queries cheap on a 100 TB table (the reference's nightly delta job,
+  * /root/reference/main.py:254-284, reads "what changed" from a table
+  * that only grows; without layout-aware pruning that read becomes a
+  * full scan at warehouse scale).
+  *
+  * The division of labor:
+  *   - [[TableStore.cluster]] lays the table out range-disjoint on a key,
+  *   - [[TableStore.analyze]] publishes footer-derived per-file ranges,
+  *   - [[TableStore.readWhere]] opens only files whose range can match,
+  *     then re-applies the full predicate (pruning is invisible to
+  *     results by construction — the gates here prove it with the hash).
+  */
+object Storage {
+  import graft.ops.Out._
+
+  /** q69: data-skipping scan — stage lineitem into the store, CLUSTER on
+    * `l_orderkey` (range-disjoint files) + ANALYZE (footer stats), then
+    * answer a selective range query through [[TableStore.readWhere]].
+    * The in-query require makes the LAYOUT claim part of the gate: the
+    * pruned scan must open strictly fewer files than the table has (and
+    * at least one), or the query fails loudly instead of gating a scan
+    * that silently stopped skipping. The oracle recomputes the same
+    * range aggregate over the raw table — hash equality proves pruning
+    * changed cost, never content.
+    *
+    * The bound is the bottom eighth of the key domain, derived the same
+    * way on both sides (floor(max/8)), so the gate stays static across
+    * scale factors while the predicate keeps real selectivity.
+    *
+    * Scale shape: the expensive arm (the range scan) reads ~1/8 of the
+    * files; the bound derivation is one column-pruned max() over the
+    * staged table. At 100 TB the pattern is cluster-once, analyze-per-
+    * commit, prune-every-query. */
+  def q69DataSkipping(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_skip_wh").toString
+    val store = new TableStore(s, wh)
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    store.overwrite("lineitem_c", li)
+    require(store.cluster("lineitem_c", "l_orderkey", 8),
+      "cluster lost its CAS race on a fresh private store")
+    val bound = store.read("lineitem_c")
+      .agg(max(col("l_orderkey"))).first.getLong(0) / 8
+    val pred = Seq(FileStats.le("l_orderkey", FileStats.LLong(bound)))
+    val (kept, total) = store.pruneInfo("lineitem_c", pred)
+    require(kept >= 1 && kept < total,
+      s"data skipping inert: kept $kept of $total clustered files for " +
+        s"l_orderkey <= $bound")
+    store.readWhere("lineitem_c", pred)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        // decimal-exact sums: double addition is order-dependent and the
+        // pruned scan's row order differs from the oracle's
+        sum(col("l_quantity").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+          .cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+          .cast("double").as("sum_price"))
+      .sortedSmall("l_returnflag")
+  }
+
+  val q69Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey <=
+      |  (SELECT CAST(FLOOR(MAX(l_orderkey) / 8) AS BIGINT) FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q70: metadata-only COUNT(*) — row counts answered from parquet
+    * FOOTERS of the committed snapshot ([[TableStore.countRows]]): zero
+    * data read, zero Spark jobs, O(files) driver-side metadata I/O. Each
+    * table is staged as overwrite + append so the count provably sums
+    * across files AND across an in-place append that no commit rewrote
+    * (the case a naive "read the manifest" count gets wrong). The oracle
+    * is DuckDB's COUNT(*) over the raw tables.
+    *
+    * Scale shape: this is how a 100 TB engine answers SELECT COUNT(*) —
+    * BigQuery from table metadata, Spark's own parquet reader via
+    * aggregate pushdown; a count that costs a scan is an outage at that
+    * size. */
+  def q70MetadataCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_meta_wh").toString
+    val store = new TableStore(s, wh)
+    def stage(name: String, key: String): Long = {
+      val t = s.read.parquet(s"$dir/$name.parquet")
+      store.overwrite(name, t.filter(col(key) % 2 === 0))
+      store.append(name, t.filter(col(key) % 2 =!= 0))
+      store.countRows(name)
+    }
+    val counts = Seq(
+      ("customer", stage("customer", "c_custkey")),
+      ("lineitem", stage("lineitem", "l_orderkey")),
+      ("orders", stage("orders", "o_orderkey")))
+    counts.toDF("table_name", "n_rows").sortedSmall("table_name")
+  }
+
+  val q70Oracle: String =
+    """SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+      |UNION ALL
+      |SELECT 'lineitem', COUNT(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'orders', COUNT(*) FROM orders
+      |ORDER BY table_name""".stripMargin
+
+  /** q71: metadata-only MIN/MAX — column extrema answered from footer
+    * stats ([[TableStore.minMax]]): sidecar entries where ANALYZE
+    * covered, live footer reads for the file appended AFTER the analyze
+    * (the in-query require proves that uncovered file exists, so the
+    * fallback arm is exercised, not just reachable). All three collected
+    * kind families gate here: long key, double price, string flag. The
+    * oracle is DuckDB's scan-side MIN/MAX over the raw table.
+    *
+    * Scale shape: O(files) footer reads vs a full column scan — on a
+    * 100 TB table this is the difference between a metadata lookup and
+    * a cluster-wide job (completeness is enforced: one statless file
+    * and minMax returns None rather than a silently-partial answer). */
+  def q71MetadataMinmax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_mm_wh").toString
+    val store = new TableStore(s, wh)
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+    store.overwrite("lineitem_m", li.filter(col("l_orderkey") % 3 =!= 0))
+    val covered = store.analyze("lineitem_m")
+    store.append("lineitem_m",
+      li.filter(col("l_orderkey") % 3 === 0)) // sidecar never saw this file
+    require(store.fileCount("lineitem_m") > covered,
+      "post-analyze append landed no new file — the live-footer arm of " +
+        "minMax would gate vacuously")
+    def mm(c: String) = store.minMax("lineitem_m", c).getOrElse(
+      throw new IllegalStateException(s"no complete footer stats for $c"))
+    val (_, kMin, kMax) = mm("l_orderkey")
+    val (_, pMin, pMax) = mm("l_extendedprice")
+    val (_, fMin, fMax) = mm("l_returnflag")
+    Seq((kMin.toLong, kMax.toLong, pMin.toDouble, pMax.toDouble, fMin, fMax))
+      .toDF("min_key", "max_key", "min_price", "max_price",
+        "min_flag", "max_flag")
+  }
+
+  val q71Oracle: String =
+    """SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag
+      |FROM lineitem""".stripMargin
+
+  /** q72: the lakehouse maintenance verbs as ONE SQL script — CTAS stages
+    * the table, `OPTIMIZE … CLUSTER BY` lays it out range-disjoint,
+    * `ANALYZE TABLE` refreshes stats ([[graft.ops.Sql.runScript]]
+    * dispatch), and the gate then answers a selective range query
+    * through the pruned read, require-ing that skipping engaged. Same
+    * floor(max/8) bound discipline as q69 so the gate is static across
+    * scale factors. This is the full production loop a 100 TB table
+    * lives on — ingest, optimize, analyze, prune — expressed in the
+    * statement surface a warehouse user would actually write. */
+  def q72ScriptOptimize(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_opt2_wh").toString
+    val store = new TableStore(s, wh)
+    Sql.runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.lineitem_s` AS
+        |  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem;
+        |-- range-disjoint layout, then footer stats for the pruned read
+        |OPTIMIZE `graft-project.store.lineitem_s`
+        |  CLUSTER BY (l_orderkey) INTO 8 FILES;
+        |ANALYZE TABLE `graft-project.store.lineitem_s`;""".stripMargin)
+    val bound = store.read("lineitem_s")
+      .agg(max(col("l_orderkey"))).first.getLong(0) / 8
+    val pred = Seq(FileStats.le("l_orderkey", FileStats.LLong(bound)))
+    val (kept, total) = store.pruneInfo("lineitem_s", pred)
+    require(kept >= 1 && kept < total,
+      s"scripted OPTIMIZE/ANALYZE left skipping inert: kept $kept/$total")
+    store.readWhere("lineitem_s", pred)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .sortedSmall("l_returnflag")
+  }
+
+  val q72Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      |FROM lineitem
+      |WHERE l_orderkey <=
+      |  (SELECT CAST(FLOOR(MAX(l_orderkey) / 8) AS BIGINT) FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
+    Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
+    Q("q71_metadata_minmax", q71MetadataMinmax, Some(q71Oracle)),
+    Q("q72_script_optimize", q72ScriptOptimize, Some(q72Oracle)))
+}

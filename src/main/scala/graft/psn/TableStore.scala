@@ -347,6 +347,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
           if (agedMarkers(s.toInt)) Files.deleteIfExists(p)
         case _ if n.matches("v\\d+") =>
           if (n.drop(1).toInt < prev) deleteRecursive(p)
+        case _ if n.matches("_stats\\.v\\d+") => // sidecar ages with its version
+          if (n.stripPrefix("_stats.v").toInt < prev) Files.deleteIfExists(p)
         case _ if prev >= 1 && !n.startsWith("_") && !n.startsWith(".") =>
           deleteRecursive(p) // legacy v0 flat data aged out of retention
         case _ => ()
@@ -694,6 +696,163 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       deleteRecursive(claimed)
       false
     }
+  }
+
+  // ------------------------------------------------- stats + data skipping
+
+  /** The stats sidecar describing version `v` — lives beside the commit
+    * log (never inside the snapshot dir, which stays byte-immutable once
+    * committed) and is GC'd with its version. */
+  private def statsPath(table: String, v: Int): Path =
+    dir(table).resolve(s"_stats.v$v")
+
+  /** Current version's data files (relative order stable). */
+  private def dataFiles(base: Path): Seq[Path] = {
+    val s = Files.walk(base)
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+    }.toSeq finally s.close()
+  }
+
+  /** Run `f` over `items` through a bounded pool (the [[compact]]
+    * discipline: driver-side per-file metadata work parallelizes so wall
+    * time tracks pool width, not item count). */
+  private def pooled[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (items.isEmpty) Seq.empty
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(parallelism, items.length)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          items.map(a => scala.concurrent.Future(f(a)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+
+  /** ANALYZE: derive per-file min/max/null-count stats for the CURRENT
+    * version from parquet FOOTERS — O(files) metadata reads, zero data
+    * scanned — and publish them as the version-keyed sidecar
+    * [[readWhere]] prunes with. Explicit like its SQL namesake: appends
+    * after an analyze leave their new files uncovered, and uncovered
+    * files are always kept, so a stale sidecar costs speed, never
+    * correctness. Returns the number of files covered. */
+  def analyze(table: String, parallelism: Int = 8): Int = {
+    val v = currentVersion(table)
+    val base = resolve(table)
+    val conf = spark.sessionState.newHadoopConf()
+    val stats = pooled(dataFiles(base), parallelism)(
+      FileStats.ofFile(conf, base, _))
+    FileStats.write(statsPath(table, v), stats)
+    stats.length
+  }
+
+  /** (files kept, files total) under `preds` for the current version —
+    * the spec- and plan-level evidence that skipping engages. */
+  def pruneInfo(table: String, preds: Seq[FileStats.Pred]): (Int, Int) = {
+    val base = resolve(table)
+    val all = dataFiles(base)
+    val stats = FileStats.load(statsPath(table, currentVersion(table)))
+    val kept = all.count { p =>
+      stats.get(base.relativize(p).toString)
+        .forall(fs => preds.forall(FileStats.mightMatch(fs, _)))
+    }
+    (kept, all.length)
+  }
+
+  /** Data-skipping read: `read(table).filter(preds)` with file-level
+    * pruning — only files whose footer ranges can match the conjunction
+    * are opened; the full predicate is ALWAYS re-applied as a residual
+    * filter, so results are identical to the unpruned scan by
+    * construction. Files without sidecar coverage (post-analyze appends,
+    * unsupported column types) are kept conservatively. At 100 TB this —
+    * with [[cluster]] laying files out disjointly — is what turns a
+    * selective query from a table scan into a handful of file reads. */
+  def readWhere(table: String, preds: Seq[FileStats.Pred]): DataFrame = {
+    val residual = preds.map(FileStats.toColumn)
+      .reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
+    val base = resolve(table)
+    val stats = FileStats.load(statsPath(table, currentVersion(table)))
+    if (stats.isEmpty) return read(table).filter(residual)
+    val kept = dataFiles(base).filter { p =>
+      stats.get(base.relativize(p).toString)
+        .forall(fs => preds.forall(FileStats.mightMatch(fs, _)))
+    }
+    if (kept.isEmpty)
+      read(table).filter(org.apache.spark.sql.functions.lit(false))
+    else
+      // basePath keeps hive partition-column derivation intact when the
+      // surviving files sit under key=value directories.
+      spark.read.option("basePath", base.toString)
+        .parquet(kept.map(_.toString): _*).filter(residual)
+  }
+
+  /** Metadata-only COUNT(*): sum of footer row counts over the current
+    * version's files — O(files), no Spark job, no data read. The
+    * versioned layout makes this sound: a snapshot's files are immutable,
+    * so footer counts ARE the row count. */
+  def countRows(table: String, parallelism: Int = 8): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    pooled(dataFiles(resolve(table)), parallelism)(
+      FileStats.rowCount(conf, _)).sum
+  }
+
+  /** Metadata-only MIN/MAX of one column over the current version:
+    * sidecar stats where covered, live footer reads for files an
+    * [[analyze]] has not seen — still O(files) metadata I/O, zero data
+    * scanned (footer min/max ignore nulls exactly as MIN/MAX do). None
+    * when ANY file lacks usable stats for the column (all-null file,
+    * unsupported physical type): a metadata answer must be provably
+    * complete or it is no answer — the caller falls back to a scan.
+    * Returns (kind, min, max) in [[FileStats]] canonical string form. */
+  def minMax(table: String, column: String,
+      parallelism: Int = 8): Option[(FileStats.Kind, String, String)] = {
+    val base = resolve(table)
+    val sidecar = FileStats.load(statsPath(table, currentVersion(table)))
+    val conf = spark.sessionState.newHadoopConf()
+    val files = dataFiles(base)
+    if (files.isEmpty) return None
+    val per = pooled(files, parallelism) { p =>
+      sidecar.getOrElse(base.relativize(p).toString,
+        FileStats.ofFile(conf, base, p)).cols.get(column)
+    }
+    if (per.exists(_.isEmpty)) None
+    else {
+      val cs = per.flatten
+      if (cs.map(_.kind).distinct.length != 1) None
+      else {
+        val k = cs.head.kind
+        Some((k,
+          cs.map(_.min).reduce((a, b) => if (FileStats.le(k, a, b)) a else b),
+          cs.map(_.max).reduce((a, b) => if (FileStats.le(k, a, b)) b else a)))
+      }
+    }
+  }
+
+  /** CLUSTER (OPTIMIZE ... BY range): transactional rewrite of the table
+    * range-partitioned + sorted on `column`, so file ranges are DISJOINT
+    * and [[readWhere]]'s pruning drops every file outside the predicate's
+    * range. Content-identical by construction (a layout change, like
+    * [[compact]]); commit is strictly optimistic at seq+1 over the
+    * clustered version — returns false (nothing changed) on a lost race.
+    * Runs [[analyze]] on success: clustering exists FOR the stats. */
+  def cluster(table: String, column: String, partitions: Int,
+      txnTag: Option[String] = None): Boolean = {
+    val base = resolve(table)
+    val (seq0, v0) = head(table)
+    val (v, claimed) = claimNext(table)
+    spark.read.parquet(base.toString)
+      .repartitionByRange(partitions, col(column))
+      .sortWithinPartitions(col(column))
+      .write.mode(SaveMode.Append).parquet(claimed.toString)
+    if (publish(table, seq0 + 1, v, checkTag(txnTag))) {
+      commitPointer(table, v)
+      gc(table, v0)
+      analyze(table)
+      true
+    } else { deleteRecursive(claimed); false }
   }
 
   def drop(table: String): Unit = deleteRecursive(dir(table)) // K5

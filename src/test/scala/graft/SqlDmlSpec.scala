@@ -505,6 +505,34 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE + OPTIMIZE script verbs: cluster engages skipping; bare OPTIMIZE compacts; junk is loud") {
+    import spark.implicits._
+    import graft.psn.FileStats
+    val store = freshStore()
+    spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 7).as("m"))
+      .createOrReplaceTempView("opt_src_view")
+    Sql.runScript(spark, store, sf,
+      """CREATE TABLE ot AS SELECT k, m FROM opt_src_view;
+        |OPTIMIZE `graft-project.store.ot` CLUSTER BY (k) INTO 4 FILES;
+        |ANALYZE TABLE ot;""".stripMargin)
+    val (kept, total) = store.pruneInfo("ot",
+      Seq(FileStats.lt("k", FileStats.LLong(1000))))
+    assert(total == 4 && kept < total)
+    // bare OPTIMIZE = compaction: fragment, then pack
+    (1 to 3).foreach(i => store.append("ot",
+      Seq((10000L + i, 0L)).toDF("k", "m").coalesce(1)))
+    val before = store.fileCount("ot")
+    Sql.runOptimize(spark, store, "OPTIMIZE ot")
+    assert(store.fileCount("ot") < before)
+    intercept[IllegalArgumentException](
+      Sql.runAnalyze(store, "ANALYZE TABLE missing_t"))
+    intercept[IllegalArgumentException](
+      Sql.runOptimize(spark, store, "OPTIMIZE missing_t"))
+    intercept[IllegalArgumentException](
+      Sql.runOptimize(spark, store, "OPTIMIZE ot ZORDER BY (k)"))
+  }
+
   test("runScript sequences statements against committed state; junk verbs are loud") {
     import spark.implicits._
     val store = freshStore()
