@@ -1314,6 +1314,95 @@ object SimilarityOps2 {
        |FROM h JOIN vol ON h.np = vol.np ORDER BY nprobe""".stripMargin
   }
 
+  /** e36: FILTERED vector search — top-k nearest neighbors restricted to
+    * a metadata predicate (each query qid wants only candidates with
+    * `label = qid % 3`), answered through the shared IVF index
+    * ([[SimilarityOps.ivfModel]]: same codebook, same nprobe=2 probe as
+    * e06). The predicate applies to candidates INSIDE the probed cells
+    * BEFORE ranking (pre-filtering) — the semantics every production
+    * vector store ships (search within a tenant / language / split),
+    * and the one post-filtering gets wrong: filtering e06's top-10
+    * AFTER ranking returns fewer than k survivors, while pre-filtering
+    * ranks the filtered candidate set and keeps full depth.
+    *
+    * Scale shape: identical to e06 — the filter is one more conjunct on
+    * the broadcast-join candidate stream (codegen'd, no extra shuffle,
+    * no extra pass); candidate volume only shrinks. The oracle replays
+    * the whole chain (shared ivfAssignCtes) with the same label join. */
+  def e36FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = 2
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val (cents, asg) = SimilarityOps.ivfModel(s, dir)
+    val norm2 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VecOps.graft_vec_norm(c)
+
+    // labels ride the same vec_id partitioning the assignment was built
+    // on, so the join plans in place (no extra exchange on the big side)
+    val assigned = asg
+      .join(e.select(col("vec_id"), col("label"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+        Seq("vec_id"))
+      .withColumn("cnorm", norm2(col("embedding")))
+      .persist() // one probe-join consumer, same discipline as e06
+    assigned.count()
+
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cid"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("cid"),
+        (col("cn") * col("cn") - dot(col("qe"), col("cvec")) * 2).as("dist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+      .withColumn("qnorm", norm2(col("qe")))
+
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid2"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid") &&
+        col("label") === (col("qid") % 3).cast("int")) // the metadata filter
+      .select(col("qid"), col("vec_id").as("cid2"), col("label"),
+        round(dot(col("qe"), col("embedding")) /
+          (col("qnorm") * col("cnorm")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid2").as("cid"), col("label"),
+        col("cos_r"), col("rnk").cast("long").as("rnk"))
+      .sortedSmall("qid", "rnk")
+  }
+
+  val e36Oracle: String = {
+    def dist(v: String, c: String): String =
+      SimilarityOps.ivfDistSql(v, c)
+    s"""WITH ${SimilarityOps.ivfAssignCtes},
+       |probes AS (
+       |  SELECT qid, qv, cid FROM (
+       |    SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 5)
+       |  WHERE rn <= 2),
+       |p AS (
+       |  SELECT p.qid, a.vec_id AS cid, el.label,
+       |    round(list_inner_product(p.qv, a.v) /
+       |      (sqrt(list_inner_product(p.qv, p.qv)) *
+       |       sqrt(list_inner_product(a.v, a.v))), 4) AS cos_r
+       |  FROM probes p
+       |  JOIN a3 a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN embeddings el ON el.vec_id = a.vec_id
+       |  WHERE el.label = CAST(p.qid % 3 AS INTEGER)),
+       |r AS (
+       |  SELECT qid, cid, label, cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_r DESC, cid) AS rnk
+       |  FROM p)
+       |SELECT qid, cid, label, cos_r, rnk FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e18_mips_topk", e18MipsTopK, Some(e18Oracle)),
     Q("e19_mmr_rerank", e19MmrRerank, Some(e19Oracle)),
@@ -1331,5 +1420,6 @@ object SimilarityOps2 {
     Q("e31_dim_stats", e31DimStats, Some(e31Oracle)),
     Q("e32_centroid_separation", e32CentroidSeparation, Some(e32Oracle)),
     Q("e33_pq_distortion", e33PqDistortion, Some(e33Oracle)),
-    Q("e34_nprobe_curve", e34NprobeCurve, Some(e34Oracle)))
+    Q("e34_nprobe_curve", e34NprobeCurve, Some(e34Oracle)),
+    Q("e36_filtered_ann", e36FilteredAnn, Some(e36Oracle)))
 }
