@@ -1196,6 +1196,27 @@ object Sql {
           "[CLUSTER BY (<col>) [INTO <n> FILES]]")
     }
 
+  private val AlterAddStmt =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val AlterDropStmt =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+
+  /** Execute ALTER TABLE … ADD CONSTRAINT <n> CHECK (<expr>) / DROP
+    * CONSTRAINT <n> — the declarative row-invariant surface (BigQuery
+    * and ANSI ship exactly these two). ADD validates existing rows in
+    * one scan and is loud on violation; enforcement of future writes is
+    * fused into each write's own plan
+    * ([[graft.psn.TableStore.addConstraint]]). */
+  def runAlter(store: TableStore, sql: String): Unit = sql match {
+    case AlterAddStmt(target, name, check) =>
+      store.addConstraint(baseName(target), name, check.trim)
+    case AlterDropStmt(target, name) =>
+      store.dropConstraint(baseName(target), name)
+    case _ => throw new IllegalArgumentException(
+      "unsupported DDL: expected ALTER TABLE <t> ADD CONSTRAINT <n> " +
+        "CHECK (<expr>) or ALTER TABLE <t> DROP CONSTRAINT <n>")
+  }
+
   /** Execute a ';'-separated statement SCRIPT against one store — the
     * reference's nightly job is exactly this shape (stage a temp table,
     * UPDATE … FROM it, drop it — main.py:256-287 runs the statements
@@ -1221,9 +1242,10 @@ object Sql {
         case "DROP" => runDrop(store, st)
         case "ANALYZE" => runAnalyze(store, st)
         case "OPTIMIZE" => runOptimize(s, store, st)
+        case "ALTER" => runAlter(store, st)
         case verb => throw new IllegalArgumentException(
           s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
-            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE")
+            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE/ALTER")
       }
     }
     stmts.length

@@ -205,9 +205,62 @@ object Storage {
       |  (SELECT CAST(FLOOR(MAX(l_orderkey) / 8) AS BIGINT) FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q73: CHECK constraints end-to-end — declare two row invariants via
+    * the ALTER TABLE script verb (positive price, status in domain),
+    * then run a VALID insert through the store (enforcement is an
+    * `assert_true` filter fused into the write's own plan — zero extra
+    * scan, [[TableStore]] `enforced`) and prove a VIOLATING write
+    * aborts: the in-query require catches the failed job and checks the
+    * table still reads back exactly the pre-violation content — the
+    * commit protocol turned a mid-write constraint failure into a clean
+    * no-op instead of a half-written table. The oracle recomputes the
+    * two valid writes' content declaratively.
+    *
+    * Scale shape: ADD CONSTRAINT pays one validation scan (like its
+    * warehouse namesakes); every later write pays one codegen'd conjunct
+    * per row it writes — never a second pass over the table. */
+  def q73Constraints(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_ck_wh").toString
+    val store = new TableStore(s, wh)
+    Sql.runScript(s, store, dir,
+      """CREATE TABLE orders_k AS
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders;
+        |ALTER TABLE `graft-project.store.orders_k`
+        |  ADD CONSTRAINT price_pos CHECK (o_totalprice > 0);
+        |ALTER TABLE orders_k
+        |  ADD CONSTRAINT status_dom CHECK (o_orderstatus IN ('O','F','P'));
+        |INSERT INTO orders_k (o_orderkey, o_totalprice, o_orderstatus)
+        |  SELECT o_orderkey + 100000000, o_totalprice * 2, o_orderstatus
+        |  FROM orders;""".stripMargin)
+    val violating = store.read("orders_k").limit(5)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val failed =
+      try { store.append("orders_k", violating); false }
+      catch { case _: Throwable => true }
+    require(failed, "violating append committed despite CHECK (price_pos)")
+    store.read("orders_k")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+          .cast("double").as("total"))
+      .sortedSmall("o_orderstatus")
+  }
+
+  val q73Oracle: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT o_orderstatus, o_totalprice AS price FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice * 2 FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
     Q("q71_metadata_minmax", q71MetadataMinmax, Some(q71Oracle)),
-    Q("q72_script_optimize", q72ScriptOptimize, Some(q72Oracle)))
+    Q("q72_script_optimize", q72ScriptOptimize, Some(q72Oracle)),
+    Q("q73_constraints", q73Constraints, Some(q73Oracle)))
 }

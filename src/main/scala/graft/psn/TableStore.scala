@@ -362,7 +362,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     val (v, claimed) = claimNext(table)
     // Append mode: the claimed directory is empty and MUST survive the
     // write (Overwrite would delete-and-recreate it, dropping the claim).
-    df.write.mode(SaveMode.Append).parquet(claimed.toString)
+    enforced(table, df).write.mode(SaveMode.Append).parquet(claimed.toString)
     commitClaimed(table, v, tag)
   }
 
@@ -395,7 +395,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def append(table: String, df: DataFrame): Unit =
     if (exists(table)) {
       assertSchemaMatches(table, df)
-      df.write.mode(SaveMode.Append).parquet(resolve(table).toString)
+      enforced(table, df).write.mode(SaveMode.Append)
+        .parquet(resolve(table).toString)
     } else commitRewrite(table, df) // first write creates + commits v1
 
   /** Append with hive-style partitioning — the 100 TB layout for fact
@@ -405,8 +406,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       partitionCol: String, txnTag: Option[String] = None): Unit = {
     if (!exists(table)) {
       val (v, claimed) = claimNext(table)
-      df.write.mode(SaveMode.Append).partitionBy(partitionCol)
-        .parquet(claimed.toString)
+      enforced(table, df).write.mode(SaveMode.Append)
+        .partitionBy(partitionCol).parquet(claimed.toString)
       commitClaimed(table, v, checkTag(txnTag))
     } else {
       // In-place appends add files to the CURRENT version without a new
@@ -415,8 +416,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       require(txnTag.isEmpty,
         s"append to existing '$table' does not commit — txnTag unsupported")
       assertSchemaMatches(table, df, relaxed = Set(partitionCol))
-      df.write.mode(SaveMode.Append).partitionBy(partitionCol)
-        .parquet(resolve(table).toString)
+      enforced(table, df).write.mode(SaveMode.Append)
+        .partitionBy(partitionCol).parquet(resolve(table).toString)
     }
   }
 
@@ -483,7 +484,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       // at job time, so commit must not expose a half-new view. The claim
       // directory is the natural materialization target.
       val (v, claimed) = claimNext(table)
-      next.write.mode(SaveMode.Append).parquet(claimed.toString)
+      enforced(table, next).write.mode(SaveMode.Append)
+        .parquet(claimed.toString)
       if (publish(table, baseSeq + 1, v, txnTag)) {
         commitPointer(table, v)
         gc(table, baseV)
@@ -537,8 +539,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         .filter(col(partitionCol).isin(touched: _*))
       val next = f(touchedBase)
       val (v, claimed) = claimNext(table)
-      next.write.mode(SaveMode.Append).partitionBy(partitionCol)
-        .parquet(claimed.toString)
+      enforced(table, next).write.mode(SaveMode.Append)
+        .partitionBy(partitionCol).parquet(claimed.toString)
       linkUntouchedPartitions(basePath, claimed, partitionCol, touchedStr)
       if (publish(table, baseSeq + 1, v, txnTag)) {
         commitPointer(table, v)
@@ -697,6 +699,77 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       false
     }
   }
+
+  // ------------------------------------------------------- CHECK constraints
+
+  private def constraintsPath(table: String): Path =
+    dir(table).resolve("_constraints")
+
+  /** Declared CHECK constraints, in declaration order: (name, boolean SQL
+    * expression over the table's columns). Table-level (not per-version):
+    * an invariant describes the table's contract going forward, and every
+    * retained snapshot satisfied it when written. */
+  def constraints(table: String): Seq[(String, String)] =
+    if (!Files.exists(constraintsPath(table))) Seq.empty
+    else Files.readString(constraintsPath(table)).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val Array(n, e) = l.split("\t", 2); (n, e)
+      }.toSeq
+
+  private def writeConstraints(table: String,
+      cs: Seq[(String, String)]): Unit = {
+    val staged = dir(table).resolve(s"_constraints.staged.${System.nanoTime}")
+    Files.writeString(staged,
+      cs.map { case (n, e) => s"$n\t$e" }.mkString("", "\n", "\n"))
+    Files.move(staged, constraintsPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** ADD CONSTRAINT … CHECK: declare a row invariant every future write
+    * must satisfy (ANSI semantics: a row violates only when the
+    * expression is FALSE — NULL passes, so `x IS NOT NULL` spells NOT
+    * NULL explicitly). EXISTING rows are validated first, one scan, like
+    * its warehouse namesakes — a constraint the current table already
+    * breaks is rejected loudly, never recorded as aspirational. */
+  def addConstraint(table: String, name: String, checkSql: String): Unit = {
+    require(name.matches("\\w+"), s"constraint name must be \\w+, got '$name'")
+    require(!checkSql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint expression must be single-line")
+    require(exists(table), s"ADD CONSTRAINT on missing table '$table'")
+    val bad = read(table)
+      .filter(!coalesce(org.apache.spark.sql.functions.expr(checkSql),
+        org.apache.spark.sql.functions.lit(true)))
+      .limit(1).count()
+    require(bad == 0,
+      s"cannot add constraint $name: existing rows of '$table' violate " +
+        s"CHECK ($checkSql)")
+    writeConstraints(table,
+      constraints(table).filterNot(_._1 == name) :+ (name -> checkSql))
+  }
+
+  /** Remove a declared constraint; loud when absent (a typo'd DROP that
+    * "succeeds" leaves the caller believing enforcement stopped). */
+  def dropConstraint(table: String, name: String): Unit = {
+    val cs = constraints(table)
+    require(cs.exists(_._1 == name),
+      s"DROP CONSTRAINT $name: no such constraint on '$table' " +
+        s"(declared: ${cs.map(_._1).mkString(",") })")
+    writeConstraints(table, cs.filterNot(_._1 == name))
+  }
+
+  /** Fuse constraint enforcement INTO a write's plan: each CHECK becomes
+    * a codegen'd `assert_true` filter evaluated on every row AS IT IS
+    * WRITTEN — zero extra scan, zero extra job (the Delta-invariant
+    * discipline; a separate validation pass would double every write's
+    * I/O at 100 TB). A violating row fails its task, the job aborts, and
+    * the surrounding commit protocol discards the claim — enforcement
+    * composes with atomicity for free. */
+  private def enforced(table: String, df: DataFrame): DataFrame =
+    constraints(table).foldLeft(df) { case (d, (n, e)) =>
+      import org.apache.spark.sql.functions.{assert_true, expr, isnull, lit}
+      d.filter(isnull(assert_true(coalesce(expr(e), lit(true)),
+        lit(s"CHECK constraint $n violated: $e"))))
+    }
 
   // ------------------------------------------------- stats + data skipping
 
