@@ -326,6 +326,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     }
     commitPointer(table, v)
     gc(table, prev)
+    maintainStats(table, prev)
   }
 
   /** Sweep versions that have left the retention window. `prev` is the
@@ -489,6 +490,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       if (publish(table, baseSeq + 1, v, txnTag)) {
         commitPointer(table, v)
         gc(table, baseV)
+        maintainStats(table, baseV)
         committed = true
       } else {
         deleteRecursive(claimed) // lost the race: discard and re-apply
@@ -545,6 +547,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       if (publish(table, baseSeq + 1, v, txnTag)) {
         commitPointer(table, v)
         gc(table, baseV)
+        maintainStats(table, baseV)
         committed = true
       } else {
         deleteRecursive(claimed)
@@ -693,6 +696,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     if (publish(table, seq0 + 1, v)) {
       commitPointer(table, v)
       gc(table, v0)
+      maintainStats(table, v0)
       true
     } else {
       deleteRecursive(claimed)
@@ -803,6 +807,21 @@ final class TableStore(spark: SparkSession, warehouse: String) {
           items.map(a => scala.concurrent.Future(f(a)))),
         scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
+    }
+
+  /** Keep a stats-maintained table maintained: when the version a commit
+    * just replaced carried a sidecar, re-derive one for the new head —
+    * the Delta discipline (stats ride every commit) without imposing the
+    * footer pass on tables that never opted in via [[analyze]]. Called
+    * AFTER gc, which sweeps only sidecars of versions strictly below the
+    * replaced one, so the opt-in marker is still visible here. Cost is
+    * O(files) footer reads per commit — noise next to the commit's own
+    * write. In-place appends skip this (no commit): their new files read
+    * unpruned until the next analyze/commit, which is conservative. */
+  private def maintainStats(table: String, prevV: Int): Unit =
+    if (prevV > 0 && Files.exists(statsPath(table, prevV))) {
+      analyze(table)
+      Files.deleteIfExists(statsPath(table, prevV))
     }
 
   /** ANALYZE: derive per-file min/max/null-count stats for the CURRENT

@@ -165,6 +165,32 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(store.minMax("t", "s").map(_._3) == Some("z"))
   }
 
+  test("stats are maintained across commits once a table opts in") {
+    val (store, _) = freshStore()
+    store.overwrite("t", spark.range(0, 4000).toDF("k"))
+    require(store.cluster("t", "k", 4)) // opts in: cluster analyzes
+    // a transactional rewrite commits a NEW version — the sidecar must
+    // follow it, not silently disengage until the next manual analyze
+    store.mergeWith("t")(cur => cur.filter(col("k") < 3000))
+    val (kept1, total1) = store.pruneInfo("t",
+      Seq(FileStats.lt("k", LLong(1000))))
+    assert(total1 > 0 && kept1 < total1,
+      s"sidecar did not follow the merge commit: $kept1/$total1")
+    // compaction (layout-only commit) keeps it alive too
+    (1 to 3).foreach(i => store.append("t",
+      Seq(5000L + i).toDF("k").coalesce(1)))
+    require(store.compact("t"))
+    val (kept2, total2) = store.pruneInfo("t",
+      Seq(FileStats.gt("k", LLong(10000))))
+    assert(kept2 == 0, s"post-compact sidecar inert: kept $kept2/$total2")
+    // never imposed on tables that did not opt in
+    val (store2, wh2) = freshStore()
+    store2.overwrite("u", Seq(1L).toDF("k"))
+    store2.overwrite("u", Seq(2L).toDF("k"))
+    assert(!Files.exists(java.nio.file.Paths.get(wh2, "u")
+      .resolve(s"_stats.v${store2.versions("u").last}")))
+  }
+
   test("sidecar round-trips through render/parse including escapes") {
     val fs = FileStats.FileStat("part-00000.parquet", 42L, Map(
       "s" -> FileStats.ColStats(FileStats.KString, "a\tb", "z\nq", 3L),
