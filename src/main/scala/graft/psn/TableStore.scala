@@ -396,8 +396,11 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def append(table: String, df: DataFrame): Unit =
     if (exists(table)) {
       assertSchemaMatches(table, df)
+      val base = resolve(table)
+      val before = dataFiles(base).map(_.getFileName.toString).toSet
       enforced(table, df).write.mode(SaveMode.Append)
-        .parquet(resolve(table).toString)
+        .parquet(base.toString)
+      feedNewFiles(table, base, before)
     } else commitRewrite(table, df) // first write creates + commits v1
 
   /** Append with hive-style partitioning — the 100 TB layout for fact
@@ -416,6 +419,9 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       // needs the committing paths (overwrite/merge*With).
       require(txnTag.isEmpty,
         s"append to existing '$table' does not commit — txnTag unsupported")
+      require(!feedEnabled(table),
+        s"'$table' has the change feed enabled; hive-partitioned appends " +
+          "cannot feed (files lack the partition column)")
       assertSchemaMatches(table, df, relaxed = Set(partitionCol))
       enforced(table, df).write.mode(SaveMode.Append)
         .partitionBy(partitionCol).parquet(resolve(table).toString)
@@ -423,8 +429,10 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   }
 
   def overwrite(table: String, df: DataFrame, // K3
-      txnTag: Option[String] = None): Unit =
+      txnTag: Option[String] = None): Unit = {
+    requireNoFeed(table, "overwrite")
     commitRewrite(table, df, checkTag(txnTag))
+  }
 
   /** Transaction tags ride inside the line-oriented marker file. */
   private def checkTag(tag: Option[String]): Option[String] = {
@@ -436,13 +444,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   /** Parquet data-file count of the table's current version — the
     * read-amplification metric [[compact]] manages. Driver-side
     * directory listing, bounded by the file count itself. */
-  def fileCount(table: String): Int = {
-    val s0 = Files.walk(resolve(table))
-    try s0.iterator().asScala.count { p =>
-      val n = p.getFileName.toString
-      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-    } finally s0.close()
-  }
+  def fileCount(table: String): Int = dataFiles(resolve(table)).length
 
   /** Upsert (K4): materialize `Ops.mergeUpdates(target, updates)` into a
     * claimed version directory, then commit the pointer. The source scan
@@ -470,6 +472,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def mergeWith(table: String, maxRetries: Int = 5,
       txnTag: Option[String] = None)(
       f: DataFrame => DataFrame): Unit = {
+    requireNoFeed(table, "mergeWith")
     checkTag(txnTag)
     var attempt = 0
     var committed = false
@@ -527,6 +530,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       txnTag: Option[String] = None)(
       f: DataFrame => DataFrame): Unit = {
     if (touched.isEmpty) return
+    requireNoFeed(table, "mergePartitionedWith")
     checkTag(txnTag)
     val touchedStr = touched.map(String.valueOf).toSet
     var attempt = 0
@@ -620,13 +624,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     val base = resolve(table)
     val (seq0, v0) = head(table)
     val (v, claimed) = claimNext(table)
-    val byDir = Files.walk(base).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter { p =>
-        val n = p.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      .toSeq.groupBy(_.getParent)
+    val byDir = dataFiles(base).groupBy(_.getParent)
     // Plan first (driver-side first-fit-decreasing per directory), then
     // execute: single-file bins are hard links (metadata-only, sequential
     // is fine); multi-file bins each need a Spark read+rewrite JOB, and a
@@ -703,6 +701,90 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       false
     }
   }
+
+  // ------------------------------------------------------ append change feed
+
+  private def feedDir(table: String): Path = dir(table).resolve("_feed")
+
+  /** Is the append change feed on for this table? */
+  def feedEnabled(table: String): Boolean = Files.isDirectory(feedDir(table))
+
+  /** Directory a streaming consumer reads — hand it to
+    * `spark.readStream.parquet(...)`: Spark's file stream source gives
+    * exactly-once consumption of an append-only directory out of the
+    * box (checkpointed seen-file log), so the store needs no custom
+    * streaming Source at all. */
+  def feedPath(table: String): String = {
+    require(feedEnabled(table), s"change feed not enabled on '$table'")
+    feedDir(table).toString
+  }
+
+  /** Turn on the APPEND CHANGE FEED: from now on, every appended data
+    * file is HARD-LINKED into `<table>/_feed/` — an append-only
+    * directory a Structured Streaming file source consumes (the
+    * Delta-streaming-source shape: "subscribe to a table's appends").
+    * Enabling bootstraps the feed with the table's current content (the
+    * initial snapshot), so a new consumer sees the full table then the
+    * appends.
+    *
+    * The contract is APPEND-ONLY tables (the fact-table shape):
+    * rewriting commits (overwrite/merge) are LOUD on a feed-enabled
+    * table — their row changes are not expressible as appends (Delta's
+    * ignoreChanges problem, refused here instead of silently
+    * mis-streamed). Layout-only commits (compact/cluster) are allowed
+    * and do NOT feed: consumers already saw those rows; the feed's hard
+    * links keep the original bytes alive even after GC unlinks the old
+    * version dirs, so a slow consumer never loses data to compaction
+    * (the link count IS the retention). Hive-partitioned tables are
+    * refused: their data files don't carry the partition column, so a
+    * feed reader would silently lose it.
+    *
+    * Scale shape: feeding is O(appended files) link(2) calls per append
+    * — no bytes copied, no extra write amplification; feed backlog is
+    * reclaimed by [[truncateFeed]] once consumers have caught up. */
+  def enableFeed(table: String): Unit = {
+    require(exists(table), s"enableFeed on missing table '$table'")
+    val base = resolve(table)
+    val files = dataFiles(base)
+    require(files.forall(_.getParent == base),
+      s"'$table' is hive-partitioned — the feed cannot carry partition " +
+        "columns (data files don't contain them)")
+    Files.createDirectories(feedDir(table))
+    files.foreach(linkIntoFeed(table, _))
+  }
+
+  /** Reclaim feed backlog `olderThanMs` old — run once consumers'
+    * checkpoints have passed it. Deleting a feed file only drops a link;
+    * live table bytes are untouched. */
+  def truncateFeed(table: String, olderThanMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    if (feedEnabled(table)) {
+      val s0 = Files.list(feedDir(table))
+      try s0.iterator().asScala.foreach { p =>
+        if (now - Files.getLastModifiedTime(p).toMillis >= olderThanMs)
+          Files.deleteIfExists(p)
+      } finally s0.close()
+    }
+  }
+
+  /** Idempotent: a file already fed (same unique part-file name) is
+    * skipped, so bootstrap + append races cannot double-feed. */
+  private def linkIntoFeed(table: String, f: Path): Unit =
+    try Files.createLink(feedDir(table).resolve(f.getFileName.toString), f)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+
+  /** Feed every data file in `base` that `before` did not contain. */
+  private def feedNewFiles(table: String, base: Path,
+      before: Set[String]): Unit =
+    if (feedEnabled(table))
+      dataFiles(base).filterNot(p => before(p.getFileName.toString))
+        .foreach(linkIntoFeed(table, _))
+
+  private def requireNoFeed(table: String, op: String): Unit =
+    require(!feedEnabled(table),
+      s"$op on '$table' is a rewriting commit, but the append change " +
+        "feed is enabled — row changes are not expressible as appends. " +
+        "Drop the feed first (or keep the table append-only).")
 
   // ------------------------------------------------------- CHECK constraints
 
@@ -783,12 +865,18 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   private def statsPath(table: String, v: Int): Path =
     dir(table).resolve(s"_stats.v$v")
 
-  /** Current version's data files (relative order stable). */
+  /** Current version's data files (relative order stable). EVERY path
+    * segment under `base` must be non-bookkeeping: a name-only check
+    * would descend into `_feed/` (whose entries are plain part-files)
+    * on legacy flat tables, or into a concurrent writer's `_temporary`. */
   private def dataFiles(base: Path): Seq[Path] = {
     val s = Files.walk(base)
     try s.iterator().asScala.filter { p =>
-      val n = p.getFileName.toString
-      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      Files.isRegularFile(p) &&
+        base.relativize(p).iterator.asScala.forall { seg =>
+          val n = seg.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }
     }.toSeq finally s.close()
   }
 

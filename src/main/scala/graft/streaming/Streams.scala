@@ -534,9 +534,63 @@ object Streams {
     readTotals(store, "user_totals")
   }
 
+  /** s20: STREAM FROM THE STORE — the table-as-a-source direction s18/s19
+    * leave uncovered (there the store is the SINK). The event log lands
+    * in a store table through five in-place appends; the table's APPEND
+    * CHANGE FEED ([[graft.psn.TableStore.enableFeed]]: every appended
+    * file hard-links into an append-only `_feed/` directory) is consumed
+    * by a plain Structured Streaming file source — exactly-once via the
+    * source's checkpointed seen-file log, no custom Source needed — into
+    * the same bucketed additive totals sink.
+    *
+    * Mid-stream, BETWEEN appends, the table is COMPACTED: a layout-only
+    * commit that rewrites the small files into new inodes. The gate
+    * hash-matching the oracle proves the two feed contracts at once:
+    * compaction re-feeds NOTHING (totals would inflate or the dedup-free
+    * sink would double-count), and the feed's hard links keep already-
+    * fed bytes readable even after GC unlinks the compacted version
+    * dirs (a slow consumer loses nothing to OPTIMIZE — the link count
+    * is the retention).
+    *
+    * Scale shape: feeding is O(appended files) link(2) calls, zero bytes
+    * copied; consumption is the file source's incremental listing; the
+    * sink is s18's partition-pruned merge. This is the Delta-streaming-
+    * source shape (subscribe to a table's appends) built from the
+    * store's own layout primitives. */
+  def s20StoreFeedStream(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.tables.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_s20")
+    val store = new graft.psn.TableStore(s, base.resolve("wh").toString)
+    def chunk(c: Int) = ev.filter(pmod(col("event_id"), lit(5)) === c)
+      .repartition(1) // one file per append → one micro-batch each
+    store.append("ev_log", chunk(0)) // creates the table (v1)
+    store.enableFeed("ev_log") // bootstraps the feed with chunk 0
+    (1 to 2).foreach(c => store.append("ev_log", chunk(c)))
+    // layout-only commit mid-stream: must NOT re-feed a single row
+    require(store.compact("ev_log"),
+      "compaction lost its CAS race on a fresh private store")
+    (3 to 4).foreach(c => store.append("ev_log", chunk(c)))
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(store.feedPath("ev_log"))
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTotalsBatch(store, "user_totals", "s20",
+          perUserPartials(batch), batchId)
+      }
+      .start()
+    q.awaitTermination()
+    readTotals(store, "user_totals")
+  }
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("s18_stream_merge_replay", s18StreamMergeReplay,
       Some(s18Oracle)),
     graft.Q("s19_stream_disorder_replay", s19StreamDisorderReplay,
+      Some(s18Oracle)),
+    graft.Q("s20_store_feed_stream", s20StoreFeedStream,
       Some(s18Oracle)))
 }
