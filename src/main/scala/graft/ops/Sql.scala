@@ -1171,6 +1171,8 @@ object Sql {
 
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+`?([\w.-]+)`?(?:\s+CLUSTER\s+BY\s*\(\s*(\w+)\s*\)(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*""".r
+  private val OptimizeZStmt =
+    """(?is)\s*OPTIMIZE\s+`?([\w.-]+)`?\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
 
   /** Execute OPTIMIZE — the lakehouse maintenance verb. Bare
     * `OPTIMIZE t` bin-packs small files ([[graft.psn.TableStore.compact]]);
@@ -1182,6 +1184,14 @@ object Sql {
     * in a script, statement N+1 expects N's layout to exist. */
   def runOptimize(s: SparkSession, store: TableStore, sql: String): Unit =
     sql match {
+      case OptimizeZStmt(target, colList, files) =>
+        val name = baseName(target)
+        require(store.exists(name), s"OPTIMIZE $name: table does not exist")
+        val cols = colList.split(",").toSeq.map(_.trim)
+        require(store.clusterZ(name, cols,
+          if (files == null) s.sparkContext.defaultParallelism
+          else files.toInt),
+          s"OPTIMIZE $name ZORDER lost its commit race — rerun")
       case OptimizeStmt(target, cluster, files) =>
         val name = baseName(target)
         require(store.exists(name), s"OPTIMIZE $name: table does not exist")
@@ -1200,21 +1210,37 @@ object Sql {
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val AlterDropStmt =
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val AlterAddColStmt =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+ADD\s+COLUMN\s+(\w+)\s+([\w]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*;?\s*""".r
+  private val AlterDropColStmt =
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
-  /** Execute ALTER TABLE … ADD CONSTRAINT <n> CHECK (<expr>) / DROP
-    * CONSTRAINT <n> — the declarative row-invariant surface (BigQuery
-    * and ANSI ship exactly these two). ADD validates existing rows in
-    * one scan and is loud on violation; enforcement of future writes is
-    * fused into each write's own plan
-    * ([[graft.psn.TableStore.addConstraint]]). */
+  /** Execute ALTER TABLE … ADD/DROP CONSTRAINT (the declarative
+    * row-invariant surface — BigQuery and ANSI ship exactly these two;
+    * ADD validates existing rows in one scan and is loud on violation,
+    * enforcement of future writes is fused into each write's own plan,
+    * [[graft.psn.TableStore.addConstraint]]) and ALTER TABLE … ADD/DROP
+    * COLUMN — METADATA-ONLY schema evolution through the versioned store
+    * ([[graft.psn.TableStore.addColumn]]): zero data rewritten, which is
+    * the contract BigQuery's schema update and Delta's ALTER both honor
+    * and a 100 TB table requires. */
   def runAlter(store: TableStore, sql: String): Unit = sql match {
     case AlterAddStmt(target, name, check) =>
       store.addConstraint(baseName(target), name, check.trim)
     case AlterDropStmt(target, name) =>
       store.dropConstraint(baseName(target), name)
+    case AlterAddColStmt(target, column, typeDdl) =>
+      require(store.addColumn(baseName(target), column, typeDdl),
+        s"ALTER TABLE ${baseName(target)} ADD COLUMN $column lost its " +
+          "commit race — rerun")
+    case AlterDropColStmt(target, column) =>
+      require(store.dropColumn(baseName(target), column),
+        s"ALTER TABLE ${baseName(target)} DROP COLUMN $column lost its " +
+          "commit race — rerun")
     case _ => throw new IllegalArgumentException(
       "unsupported DDL: expected ALTER TABLE <t> ADD CONSTRAINT <n> " +
-        "CHECK (<expr>) or ALTER TABLE <t> DROP CONSTRAINT <n>")
+        "CHECK (<expr>) | DROP CONSTRAINT <n> | ADD COLUMN <c> <type> | " +
+        "DROP COLUMN <c>")
   }
 
   /** Execute a ';'-separated statement SCRIPT against one store — the

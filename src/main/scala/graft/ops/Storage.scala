@@ -257,10 +257,155 @@ object Storage {
       |  SELECT o_orderstatus, o_totalprice * 2 FROM orders)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q74: metadata-only ADD COLUMN end-to-end — CTAS seeds a two-column
+    * table, the ALTER TABLE script verb widens it WITHOUT rewriting a
+    * byte ([[TableStore.addColumn]] hard-links the files and publishes a
+    * declared-schema sidecar), and a post-evolution INSERT writes the
+    * full three-column shape into the SAME version directory. The
+    * read-back therefore crosses files with two different physical
+    * schemas, and the oracle's UNION (old rows with a NULL channel, new
+    * rows with 'replay') hash-gates exactly the null-backfill semantics
+    * the declared schema promises.
+    *
+    * Scale shape: the ALTER costs O(files) link(2) calls + one tiny
+    * sidecar — at 100 TB that is the difference between a DDL statement
+    * and a day-long table rewrite. The in-query require pins the claim
+    * that no data file was rewritten by the evolution commit itself. */
+  def q74AddColumn(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_evo_wh").toString
+    val store = new TableStore(s, wh)
+    Sql.runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.order_evo` AS
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0;""".stripMargin)
+    val filesBefore = store.fileCount("order_evo")
+    Sql.runScript(s, store, dir,
+      """ALTER TABLE `graft-project.store.order_evo`
+        |  ADD COLUMN channel STRING;""".stripMargin)
+    require(store.fileCount("order_evo") == filesBefore,
+      "ADD COLUMN rewrote data files — evolution must be metadata-only")
+    Sql.runScript(s, store, dir,
+      """INSERT INTO `graft-project.store.order_evo`
+        |  (o_orderkey, o_totalprice, channel)
+        |SELECT o_orderkey, o_totalprice * 0.5, CAST('replay' AS STRING)
+        |FROM orders WHERE o_orderkey % 3 = 1;""".stripMargin)
+    store.read("order_evo")
+      .select(col("o_orderkey"), col("o_totalprice").as("price"),
+        col("channel"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q74Oracle: String =
+    """SELECT o_orderkey, o_totalprice AS price,
+      |  CAST(NULL AS VARCHAR) AS channel
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice * 0.5, 'replay'
+      |FROM orders WHERE o_orderkey % 3 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q75: metadata-only DROP COLUMN — the declared schema narrows, the
+    * files keep their bytes (readers project the column away per-file,
+    * so it is never even decoded), and a post-drop INSERT proves the
+    * statement surface now speaks the narrowed schema. The oracle
+    * recomputes the same report over the raw table + the appended rows —
+    * hash equality proves the dropped column influences nothing.
+    *
+    * Scale shape: same O(files) link commit as q74; the residue purges
+    * on the next natural rewrite (OPTIMIZE/merge), not on the DDL. */
+  def q75DropColumn(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_evo2_wh").toString
+    val store = new TableStore(s, wh)
+    Sql.runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.order_slim` AS
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders;
+        |ALTER TABLE `graft-project.store.order_slim`
+        |  DROP COLUMN o_totalprice;
+        |INSERT INTO `graft-project.store.order_slim`
+        |  (o_orderkey, o_orderstatus)
+        |SELECT o_orderkey + 100000000, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F';""".stripMargin)
+    val cols = store.read("order_slim").columns
+    require(cols.sameElements(Array("o_orderkey", "o_orderstatus")),
+      s"DROP COLUMN left schema [${cols.mkString(", ")}]")
+    store.read("order_slim")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .sortedSmall("o_orderstatus")
+  }
+
+  val q75Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM (
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderstatus FROM orders
+      |  WHERE o_orderstatus = 'F')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q76: multi-dimensional data skipping via ZORDER — the table is laid
+    * out along a Morton curve over (l_orderkey, l_partkey), and the
+    * in-query requires pin the property single-column clustering cannot
+    * deliver: file-level pruning engages on a predicate over EITHER
+    * column. The gated answer is a selective two-dimensional range
+    * aggregate through [[TableStore.readWhere]]; the oracle recomputes it
+    * over the raw table — pruning changed cost, never content.
+    *
+    * Scale shape: at 100 TB the difference between cluster and zorder is
+    * whether the SECOND most-selective predicate in the workload gets
+    * file skipping or a full scan; the rewrite itself costs the same one
+    * pass as cluster (+ one sampled quantile job). */
+  def q76Zorder(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_z_wh").toString
+    val store = new TableStore(s, wh)
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    store.overwrite("lineitem_z", li)
+    Sql.runScript(s, store, dir,
+      """OPTIMIZE `graft-project.store.lineitem_z`
+        |  ZORDER BY (l_orderkey, l_partkey) INTO 16 FILES;""".stripMargin)
+    val bounds = store.read("lineitem_z")
+      .agg(max(col("l_orderkey")), max(col("l_partkey"))).first
+    val (kBound, pBound) = (bounds.getLong(0) / 4, bounds.getLong(1) / 4)
+    val kPred = Seq(FileStats.le("l_orderkey", FileStats.LLong(kBound)))
+    val pPred = Seq(FileStats.le("l_partkey", FileStats.LLong(pBound)))
+    val (kKept, total) = store.pruneInfo("lineitem_z", kPred)
+    val (pKept, _) = store.pruneInfo("lineitem_z", pPred)
+    require(kKept >= 1 && kKept < total && pKept >= 1 && pKept < total,
+      s"zorder skipping inert: kept $kKept and $pKept of $total files " +
+        "for the two single-column range predicates")
+    store.readWhere("lineitem_z", kPred ++ pPred)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+          .cast("double").as("sum_qty"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_partkey")).as("max_pkey"))
+  }
+
+  val q76Oracle: String =
+    """SELECT COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+      |  MIN(l_orderkey) AS min_okey, MAX(l_partkey) AS max_pkey
+      |FROM lineitem
+      |WHERE l_orderkey <=
+      |  (SELECT CAST(FLOOR(MAX(l_orderkey) / 4) AS BIGINT) FROM lineitem)
+      |AND l_partkey <=
+      |  (SELECT CAST(FLOOR(MAX(l_partkey) / 4) AS BIGINT) FROM lineitem)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
     Q("q71_metadata_minmax", q71MetadataMinmax, Some(q71Oracle)),
     Q("q72_script_optimize", q72ScriptOptimize, Some(q72Oracle)),
-    Q("q73_constraints", q73Constraints, Some(q73Oracle)))
+    Q("q73_constraints", q73Constraints, Some(q73Oracle)),
+    Q("q74_add_column", q74AddColumn, Some(q74Oracle)),
+    Q("q75_drop_column", q75DropColumn, Some(q75Oracle)),
+    Q("q76_zorder", q76Zorder, Some(q76Oracle)))
 }

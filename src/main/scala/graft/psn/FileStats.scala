@@ -74,6 +74,21 @@ object FileStats {
     finally r.close()
   }
 
+  /** Top-level PHYSICAL column names in one file's footer — the
+    * resurrection guard for metadata-only ADD COLUMN
+    * ([[TableStore.addColumn]]): a name that still exists physically in
+    * any current data file must not be re-declared, or the old bytes
+    * would silently resurface under the new declaration. One footer
+    * read, no data I/O. */
+  def physicalColumns(conf: Configuration, file: Path): Set[String] = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try r.getFooter.getFileMetaData.getSchema
+      .getFields.asScala.map(_.getName).toSet
+    finally r.close()
+  }
+
   /** Read one file's footer into a [[FileStat]]. Top-level primitive
     * columns only (a dotted path is a nested field — Spark's comparison
     * semantics for those don't reduce to chunk min/max). */

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, struct, when}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Sink abstraction (SURVEY §2.2 K1-K6) over a parquet warehouse directory.
   *
@@ -190,7 +191,24 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   }
 
   def read(table: String): DataFrame =
-    spark.read.parquet(resolve(table).toString)
+    readSnapshot(table, currentVersion(table), resolve(table))
+
+  /** Read one snapshot directory under its version's DECLARED schema when
+    * a `_schema.v<N>` sidecar exists ([[addColumn]]/[[dropColumn]]), else
+    * under the physical footer schema. The injection is what makes
+    * metadata-only evolution sound: after an ADD COLUMN, one version
+    * directory legitimately holds files WITH and WITHOUT the new column
+    * (evolution hard-links old files; later appends write the full
+    * schema), and a plain parquet read samples ONE footer — it would
+    * silently drop the column or resurrect a dropped one depending on
+    * which file it sampled. With an explicit schema, Spark's reader
+    * null-fills missing columns and projects away undeclared ones,
+    * per-file, deterministically. */
+  private def readSnapshot(table: String, v: Int, path: Path): DataFrame =
+    declaredSchemaOf(table, v) match {
+      case Some(st) => spark.read.schema(st).parquet(path.toString)
+      case None => spark.read.parquet(path.toString)
+    }
 
   /** Versions currently on disk and readable (committed or retained —
     * ascending; excludes claimed-but-uncommitted directories above the
@@ -212,7 +230,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     require(have.contains(v),
       s"version v$v of $table not available (readable: ${have.mkString(",")})")
     val p = if (v == 0) dir(table) else dir(table).resolve(s"v$v")
-    spark.read.parquet(p.toString)
+    readSnapshot(table, v, p)
   }
 
   /** Commit wall-clock stamp of a marker: the `ts=` line when present
@@ -319,7 +337,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * (overwrite, first write): a competing commit just bumps the seq we
     * publish at; nothing needs re-applying. */
   private def commitClaimed(table: String, v: Int,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None,
+      written: Option[StructType] = None): Unit = {
     var (seq, prev) = head(table)
     while (!publish(table, seq + 1, v, tag)) {
       val h = head(table); seq = h._1; prev = h._2
@@ -327,6 +346,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     commitPointer(table, v)
     gc(table, prev)
     maintainStats(table, prev)
+    maintainSchema(table, prev, written)
   }
 
   /** Sweep versions that have left the retention window. `prev` is the
@@ -350,6 +370,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
           if (n.drop(1).toInt < prev) deleteRecursive(p)
         case _ if n.matches("_stats\\.v\\d+") => // sidecar ages with its version
           if (n.stripPrefix("_stats.v").toInt < prev) Files.deleteIfExists(p)
+        case _ if n.matches("_schema\\.v\\d+") => // declared schema too
+          if (n.stripPrefix("_schema.v").toInt < prev) Files.deleteIfExists(p)
         case _ if prev >= 1 && !n.startsWith("_") && !n.startsWith(".") =>
           deleteRecursive(p) // legacy v0 flat data aged out of retention
         case _ => ()
@@ -364,7 +386,10 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     // Append mode: the claimed directory is empty and MUST survive the
     // write (Overwrite would delete-and-recreate it, dropping the claim).
     enforced(table, df).write.mode(SaveMode.Append).parquet(claimed.toString)
-    commitClaimed(table, v, tag)
+    // A full rewrite's files physically carry the frame's schema, so the
+    // declared schema (if the table had evolved) follows the frame: an
+    // overwrite IS the explicit schema-replacement path.
+    commitClaimed(table, v, tag, written = Some(df.schema))
   }
 
   /** Schema-on-write guard for in-place appends: a frame whose columns or
@@ -483,7 +508,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       // is only meaningful if f consumed exactly the state it names.
       val basePath =
         if (baseV > 0) dir(table).resolve(s"v$baseV") else dir(table)
-      val next = f(spark.read.parquet(basePath.toString))
+      val next = f(readSnapshot(table, baseV, basePath))
       // Materialize BEFORE committing: f's plan lazily re-reads the table
       // at job time, so commit must not expose a half-new view. The claim
       // directory is the natural materialization target.
@@ -494,6 +519,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         commitPointer(table, v)
         gc(table, baseV)
         maintainStats(table, baseV)
+        maintainSchema(table, baseV)
         committed = true
       } else {
         deleteRecursive(claimed) // lost the race: discard and re-apply
@@ -541,7 +567,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         if (baseV > 0) dir(table).resolve(s"v$baseV") else dir(table)
       // The isin filter lands in the scan's PartitionFilters: untouched
       // directories are never opened, let alone read.
-      val touchedBase = spark.read.parquet(basePath.toString)
+      val touchedBase = readSnapshot(table, baseV, basePath)
         .filter(col(partitionCol).isin(touched: _*))
       val next = f(touchedBase)
       val (v, claimed) = claimNext(table)
@@ -552,6 +578,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         commitPointer(table, v)
         gc(table, baseV)
         maintainStats(table, baseV)
+        maintainSchema(table, baseV)
         committed = true
       } else {
         deleteRecursive(claimed)
@@ -674,7 +701,21 @@ final class TableStore(spark: SparkSession, warehouse: String) {
             try {
               val tmp = Files.createTempDirectory(dir(table), "_compact")
               try {
-                spark.read.parquet(bin.map(_.toString): _*)
+                // An evolved table's bin can mix pre- and post-ADD-COLUMN
+                // files — a plain read samples one footer and would DROP
+                // the evolved column from the rewritten bin. Bin columns
+                // are the declared schema minus hive partition columns
+                // (those live in the directory name, not the file).
+                val binRead = declaredSchemaOf(table, v0) match {
+                  case Some(st) =>
+                    val dirSegs = base.relativize(bin.head.getParent)
+                      .toString.split('/').toSet
+                    val phys = StructType(st.fields.filterNot(f =>
+                      dirSegs.exists(_.startsWith(f.name + "="))))
+                    spark.read.schema(phys)
+                  case None => spark.read
+                }
+                binRead.parquet(bin.map(_.toString): _*)
                   .coalesce(1)
                   .write.mode(SaveMode.Append).parquet(tmp.toString)
                 Files.list(tmp).iterator().asScala.foreach { f =>
@@ -695,6 +736,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       commitPointer(table, v)
       gc(table, v0)
       maintainStats(table, v0)
+      maintainSchema(table, v0)
       true
     } else {
       deleteRecursive(claimed)
@@ -744,6 +786,9 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * reclaimed by [[truncateFeed]] once consumers have caught up. */
   def enableFeed(table: String): Unit = {
     require(exists(table), s"enableFeed on missing table '$table'")
+    require(declaredSchema(table).isEmpty,
+      s"'$table' has a declared (evolved) schema — feed readers scan raw " +
+        "files and would mis-read mixed physical schemas")
     val base = resolve(table)
     val files = dataFiles(base)
     require(files.forall(_.getParent == base),
@@ -862,6 +907,143 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   /** The stats sidecar describing version `v` — lives beside the commit
     * log (never inside the snapshot dir, which stays byte-immutable once
     * committed) and is GC'd with its version. */
+  // ------------------------------------- declared schema (metadata-only DDL)
+
+  private def schemaPath(table: String, v: Int): Path =
+    dir(table).resolve(s"_schema.v$v")
+
+  /** The DECLARED schema of one snapshot — present only once a table has
+    * evolved via [[addColumn]]/[[dropColumn]]. Versioned beside the
+    * commit log like the stats sidecar, GC'd with its version, so time
+    * travel reads every snapshot under the schema IT was committed with. */
+  private def declaredSchemaOf(table: String, v: Int): Option[StructType] = {
+    val p = schemaPath(table, v)
+    if (!Files.exists(p)) None
+    else Some(DataType.fromJson(Files.readString(p)).asInstanceOf[StructType])
+  }
+
+  /** Current declared schema, when the table has evolved; None means the
+    * physical footer schema is the only truth (the common case). */
+  def declaredSchema(table: String): Option[StructType] =
+    declaredSchemaOf(table, currentVersion(table))
+
+  /** Carry the declared schema across a commit — the [[maintainStats]]
+    * discipline: once a table opts into evolution, every later commit's
+    * head gets a sidecar too, or the next read would silently fall back
+    * to one sampled footer. `written` is the schema a full REWRITE
+    * physically landed (overwrite — the explicit schema-replacement
+    * path); rewrites that read through [[read]] preserve the declaration
+    * by construction, so the default carries it forward. Evolution
+    * commits write their own sidecar first and are left alone. */
+  private def maintainSchema(table: String, prevV: Int,
+      written: Option[StructType] = None): Unit = {
+    val cur = currentVersion(table)
+    if (Files.exists(schemaPath(table, cur))) return
+    declaredSchemaOf(table, prevV).foreach { prevSt =>
+      Files.writeString(schemaPath(table, cur),
+        written.getOrElse(prevSt).json)
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMN — METADATA-ONLY schema evolution. At 100 TB
+    * "add a column" must not rewrite the table: the commit hard-links
+    * every current data file into the new version (O(files) metadata
+    * ops, zero bytes of data moved — the [[compact]] single-file-bin
+    * path) and publishes the widened schema as the version's sidecar;
+    * readers null-fill the column for pre-evolution files (see
+    * [[readSnapshot]]). The new column is nullable by construction —
+    * existing rows have no value for it.
+    *
+    * Resurrection guard: if some CURRENT file still physically carries
+    * `column` (it was dropped earlier and never rewritten away), re-adding
+    * the name would surface the old bytes as if they were new data — that
+    * is refused loudly; OPTIMIZE or overwrite first. Footer-name check,
+    * O(files) metadata reads, pooled. */
+  def addColumn(table: String, column: String, typeDdl: String,
+      txnTag: Option[String] = None): Boolean = {
+    require(exists(table), s"addColumn: table '$table' does not exist")
+    requireNoFeed(table, "ALTER TABLE ADD COLUMN")
+    val cur = read(table).schema
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"column '$column' already exists on '$table'")
+    val dt = DataType.fromDDL(typeDdl)
+    val base = resolve(table)
+    val conf = spark.sessionState.newHadoopConf()
+    val lingering = pooled(dataFiles(base), 8)(f =>
+      FileStats.physicalColumns(conf, f).exists(_.equalsIgnoreCase(column)))
+      .exists(identity)
+    require(!lingering,
+      s"addColumn($table, $column): a current data file still physically " +
+        "carries that column (dropped earlier, never rewritten) — " +
+        "OPTIMIZE or overwrite the table to purge it before re-adding")
+    evolveTo(table, StructType(cur.fields :+
+      StructField(column, dt, nullable = true)), txnTag)
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only, like [[addColumn]]: the new
+    * version hard-links the same files and declares a schema WITHOUT the
+    * column; readers project it away per-file (an explicit read schema is
+    * a projection, so the bytes are never even decoded). The data stays
+    * in the files until the next full rewrite — which is exactly what
+    * makes the drop O(files) instead of O(table) — and the [[addColumn]]
+    * resurrection guard keeps that residue from ever coming back under a
+    * re-declared name. Refused while a CHECK constraint references the
+    * column (future writes could no longer evaluate it). */
+  def dropColumn(table: String, column: String,
+      txnTag: Option[String] = None): Boolean = {
+    require(exists(table), s"dropColumn: table '$table' does not exist")
+    requireNoFeed(table, "ALTER TABLE DROP COLUMN")
+    val cur = read(table).schema
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"dropColumn($table): no column '$column' " +
+        s"(have ${cur.fieldNames.mkString(", ")})")
+    require(cur.fields.length > 1,
+      s"dropColumn($table): cannot drop the last column")
+    constraints(table).foreach { case (name, check) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(check)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      require(!refs.exists(_.equalsIgnoreCase(column)),
+        s"dropColumn($table, $column): CHECK constraint '$name' ($check) " +
+          "references it — drop the constraint first")
+    }
+    evolveTo(table, StructType(
+      cur.fields.filterNot(_.name.equalsIgnoreCase(column))), txnTag)
+  }
+
+  /** Commit a schema evolution: hard-link every current data file into a
+    * claimed version directory (subdirectories — hive layouts — kept),
+    * stage the `_schema.v<N>` sidecar, and publish strictly optimistically
+    * at seq+1 over the evolved version (the [[compact]] discipline: a
+    * layout/metadata change must never clobber a concurrent data commit).
+    * Returns false on a lost race — nothing changed; rerun. */
+  private def evolveTo(table: String, newSchema: StructType,
+      txnTag: Option[String]): Boolean = {
+    val base = resolve(table)
+    val (seq0, v0) = head(table)
+    val (v, claimed) = claimNext(table)
+    dataFiles(base).foreach { f =>
+      val dst = claimed.resolve(base.relativize(f).toString)
+      Files.createDirectories(dst.getParent)
+      Files.createLink(dst, f)
+    }
+    Files.writeString(schemaPath(table, v), newSchema.json)
+    if (publish(table, seq0 + 1, v, checkTag(txnTag))) {
+      commitPointer(table, v)
+      gc(table, v0)
+      maintainStats(table, v0)
+      true
+    } else {
+      deleteRecursive(claimed)
+      Files.deleteIfExists(schemaPath(table, v))
+      false
+    }
+  }
+
+  // --------------------------------------------------- file-level statistics
+
   private def statsPath(table: String, v: Int): Path =
     dir(table).resolve(s"_stats.v$v")
 
@@ -962,11 +1144,18 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     }
     if (kept.isEmpty)
       read(table).filter(org.apache.spark.sql.functions.lit(false))
-    else
+    else {
       // basePath keeps hive partition-column derivation intact when the
-      // surviving files sit under key=value directories.
-      spark.read.option("basePath", base.toString)
+      // surviving files sit under key=value directories. The declared
+      // schema (when the table has evolved) rides along so pruned reads
+      // see the same columns as read(table).
+      val rd = declaredSchema(table) match {
+        case Some(st) => spark.read.schema(st)
+        case None => spark.read
+      }
+      rd.option("basePath", base.toString)
         .parquet(kept.map(_.toString): _*).filter(residual)
+    }
   }
 
   /** Metadata-only COUNT(*): sum of footer row counts over the current
@@ -1023,16 +1212,100 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     val base = resolve(table)
     val (seq0, v0) = head(table)
     val (v, claimed) = claimNext(table)
-    spark.read.parquet(base.toString)
+    readSnapshot(table, v0, base)
       .repartitionByRange(partitions, col(column))
       .sortWithinPartitions(col(column))
       .write.mode(SaveMode.Append).parquet(claimed.toString)
     if (publish(table, seq0 + 1, v, checkTag(txnTag))) {
       commitPointer(table, v)
       gc(table, v0)
+      maintainSchema(table, v0)
       analyze(table)
       true
     } else { deleteRecursive(claimed); false }
+  }
+
+  /** ZORDER (OPTIMIZE … ZORDER BY): transactional rewrite of the table
+    * along a Morton curve over SEVERAL columns, so [[readWhere]] prunes
+    * files on a predicate over ANY of them — the multi-dimensional
+    * counterpart of [[cluster]], whose single-column range layout makes
+    * every other column's file ranges near-useless. Each column maps to a
+    * 4-bit bucket via its own approx-quantile boundaries (equi-DEPTH, so
+    * skewed distributions still spread across buckets; NULLs land in
+    * bucket 0), the bucket bits interleave into the Z-address, and the
+    * table range-partitions + sorts on it: files cover small hyper-
+    * rectangles of the key space, i.e. TIGHT footer min/max on every
+    * participating column at once.
+    *
+    * Cost: one approxQuantile pass per column (sampled, driver gets ~15
+    * doubles) + one full rewrite — the same budget as [[cluster]]; the
+    * Z-address itself is pure codegen'd arithmetic (no UDF, no shuffle
+    * beyond the range partitioning). Numeric, date, and timestamp
+    * columns only; strings have no quantile→locality mapping here and
+    * are refused loudly (hash-bucketing a string column would shred the
+    * very min/max locality the layout exists to create). Commit is
+    * strictly optimistic at seq+1, content-identical by construction;
+    * [[analyze]] runs on success — like [[cluster]], the layout exists
+    * FOR the stats. */
+  def clusterZ(table: String, columns: Seq[String], partitions: Int,
+      txnTag: Option[String] = None): Boolean = {
+    require(columns.length >= 2,
+      s"ZORDER needs at least 2 columns (single-column layout is cluster)")
+    import org.apache.spark.sql.functions.{aggregate => fAggregate, array,
+      datediff, lit, shiftleft, shiftright, when}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType,
+      TimestampType}
+    val base = resolve(table)
+    val (seq0, v0) = head(table)
+    val df = readSnapshot(table, v0, base)
+    val keyed = columns.foldLeft(df) { (d, c) =>
+      val key = d.schema(d.schema.fieldIndex(c)).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case DateType => datediff(col(c),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("double")
+        case TimestampType | TimestampNTZType =>
+          col(c).cast("long").cast("double")
+        case dt => throw new IllegalArgumentException(
+          s"clusterZ($table): column '$c' has type ${dt.sql} — ZORDER " +
+            "supports numeric/date/timestamp (strings have no " +
+            "quantile-to-range locality)")
+      }
+      d.withColumn(s"__zk_$c", key)
+    }.persist() // quantile pass + rewrite both read it; one materialization
+    try {
+      val bits = 4
+      val probs = (1 to (1 << bits) - 1)
+        .map(_.toDouble / (1 << bits)).toArray
+      // one sampling pass covers every column's boundaries
+      val bounds = keyed.stat.approxQuantile(
+        columns.map(c => s"__zk_$c").toArray, probs, 0.001).toSeq
+      val buckets = columns.zip(bounds).map { case (c, bs) =>
+        val k = col(s"__zk_$c")
+        // count of boundaries ≤ v — a 15-literal fold, fully codegen'd
+        when(k.isNull, lit(0)).otherwise(
+          fAggregate(array(bs.map(lit).toIndexedSeq: _*), lit(0),
+            (acc, b) => acc + when(k >= b, 1).otherwise(0)))
+      }
+      val n = columns.length
+      val z = (for {
+        i <- 0 until bits
+        (b, j) <- buckets.zipWithIndex
+      } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1)),
+        i * n + (n - 1 - j))).reduce(_ + _) // disjoint bits: + is OR
+      val (v, claimed) = claimNext(table)
+      keyed.withColumn("__z", z)
+        .repartitionByRange(partitions, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .select(df.columns.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Append).parquet(claimed.toString)
+      if (publish(table, seq0 + 1, v, checkTag(txnTag))) {
+        commitPointer(table, v)
+        gc(table, v0)
+        maintainSchema(table, v0)
+        analyze(table)
+        true
+      } else { deleteRecursive(claimed); false }
+    } finally keyed.unpersist()
   }
 
   def drop(table: String): Unit = deleteRecursive(dir(table)) // K5
