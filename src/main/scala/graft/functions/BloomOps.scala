@@ -60,4 +60,25 @@ object BloomOps {
     bf.writeTo(bos)
     bos.toByteArray
   }
+
+  /** Distributed Bloom CONSTRUCTION as an aggregate Column: one pass
+    * builds a filter over `key` (a long — e.g. `xxhash64(...)`) per
+    * group, returning the serialized bytes. This is Catalyst's own
+    * runtime-filter aggregate reused as a public building block — the
+    * store's per-file bloom sidecars ([[graft.psn.TableStore.analyzeBloom]])
+    * group by `input_file_name()` and build every file's filter in ONE
+    * job instead of one job per file. */
+  def bloom_build_agg(key: Column, expectedItems: Long,
+      fpp: Double): Column = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bloom_build_agg: need items > 0 and 0 < fpp < 1")
+    // optimalNumOfBits(n, p) = -n ln p / (ln 2)^2
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(key),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
 }

@@ -1154,19 +1154,28 @@ object Sql {
 
   private val AnalyzeStmt =
     """(?is)\s*ANALYZE\s+TABLE\s+`?([\w.-]+)`?\s*;?\s*""".r
+  private val AnalyzeBloomStmt =
+    """(?is)\s*ANALYZE\s+TABLE\s+`?([\w.-]+)`?\s+BLOOM\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
 
   /** Execute ANALYZE TABLE — publish footer-derived per-file stats for
     * the table's current version ([[graft.psn.TableStore.analyze]]), the
     * explicit stats refresh every warehouse exposes (BigQuery keeps
     * clustered-table metadata implicitly; ANSI engines spell it ANALYZE).
-    * O(files) metadata reads, no data scanned. */
+    * O(files) metadata reads, no data scanned. `ANALYZE TABLE t BLOOM
+    * (c1, …)` additionally opts the columns into per-file Bloom filters
+    * for equality skipping ([[graft.psn.TableStore.analyzeBloom]] — one
+    * grouped build job; maintained by every later analyze). */
   def runAnalyze(store: TableStore, sql: String): Unit = sql match {
+    case AnalyzeBloomStmt(target, colList) =>
+      val name = baseName(target)
+      require(store.exists(name), s"ANALYZE TABLE $name: table does not exist")
+      store.analyzeBloom(name, colList.split(",").toSeq.map(_.trim))
     case AnalyzeStmt(target) =>
       val name = baseName(target)
       require(store.exists(name), s"ANALYZE TABLE $name: table does not exist")
       store.analyze(name)
     case _ => throw new IllegalArgumentException(
-      "unsupported statement: expected ANALYZE TABLE <t>")
+      "unsupported statement: expected ANALYZE TABLE <t> [BLOOM (c1, …)]")
   }
 
   private val OptimizeStmt =

@@ -399,6 +399,50 @@ object Storage {
       |AND l_partkey <=
       |  (SELECT CAST(FLOOR(MAX(l_partkey) / 4) AS BIGINT) FROM lineitem)""".stripMargin
 
+  /** q77: Bloom-filter file skipping for POINT LOOKUPS — the case range
+    * stats provably cannot prune: the table is hash-distributed on
+    * `doc_id`, so every file's [min,max] spans the whole key domain and
+    * an equality predicate keeps all files on range stats alone (the
+    * first in-query require PINS that). After `ANALYZE TABLE … BLOOM
+    * (doc_id)` the same predicate opens only the file(s) whose filter
+    * might contain the key (second require). The gated answer is the
+    * looked-up row itself; the oracle replays the lookup over the raw
+    * table.
+    *
+    * Scale shape: "fetch document X" against a 100 TB corpus — with
+    * blooms it is O(files) driver-side bit probes + ~1 file read; with
+    * range stats it is a full scan in hash layouts. The filter build is
+    * ONE grouped job over the files missing filters, never a job per
+    * file, and filters ride the stats sidecar across commits. */
+  def q77BloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_bloom_wh").toString
+    val store = new TableStore(s, wh)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    store.overwrite("docs_b", docs.repartition(8, col("doc_id")))
+    Sql.runScript(s, store, dir,
+      "ANALYZE TABLE `graft-project.store.docs_b`;")
+    val target = docs.agg(max(col("doc_id"))).first.getLong(0) / 2
+    val pred = Seq(FileStats.eqTo("doc_id", FileStats.LLong(target)))
+    val (rangeKept, total) = store.pruneInfo("docs_b", pred)
+    require(total >= 4 && rangeKept == total,
+      s"hash layout should defeat range stats: kept $rangeKept of $total")
+    Sql.runScript(s, store, dir,
+      "ANALYZE TABLE `graft-project.store.docs_b` BLOOM (doc_id);")
+    val (bloomKept, _) = store.pruneInfo("docs_b", pred)
+    require(bloomKept >= 1 && bloomKept < total,
+      s"bloom skipping inert: kept $bloomKept of $total for doc_id = $target")
+    store.readWhere("docs_b", pred)
+      .sortedSmall("doc_id")
+  }
+
+  val q77Oracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id =
+      |  (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
@@ -407,5 +451,6 @@ object Storage {
     Q("q73_constraints", q73Constraints, Some(q73Oracle)),
     Q("q74_add_column", q74AddColumn, Some(q74Oracle)),
     Q("q75_drop_column", q75DropColumn, Some(q75Oracle)),
-    Q("q76_zorder", q76Zorder, Some(q76Oracle)))
+    Q("q76_zorder", q76Zorder, Some(q76Oracle)),
+    Q("q77_bloom_lookup", q77BloomLookup, Some(q77Oracle)))
 }

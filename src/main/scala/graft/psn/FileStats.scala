@@ -59,9 +59,13 @@ object FileStats {
       nullCount: Long)
 
   /** One data file: path relative to the snapshot root + row count +
-    * per-column stats (only columns with usable footer stats appear). */
+    * per-column stats (only columns with usable footer stats appear) +
+    * optional per-column Bloom filters over the CANONICAL-STRING hash of
+    * the value ([[canonEq]] — the equality-lookup skipping min/max cannot
+    * provide on high-cardinality keys). */
   final case class FileStat(relPath: String, rows: Long,
-      cols: Map[String, ColStats])
+      cols: Map[String, ColStats],
+      blooms: Map[String, Array[Byte]] = Map.empty)
 
   // ---------------------------------------------------------------- footer
 
@@ -239,8 +243,16 @@ object FileStats {
 
   /** Can any row of `fs` match `p`? Missing column stats, kind/literal
     * mismatch → true (keep the file): skipping is only ever an
-    * optimization, never a semantics change. */
+    * optimization, never a semantics change. Equality predicates
+    * additionally consult the file's Bloom filter when one exists —
+    * min/max is near-useless for a point lookup on a high-cardinality
+    * key in a hash-distributed layout (every file's range spans the
+    * domain); the bloom's "definitely absent" answer is what prunes. A
+    * false positive just keeps a file — conservative by construction. */
   def mightMatch(fs: FileStat, p: Pred): Boolean =
+    rangeMatch(fs, p) && bloomMatch(fs, p)
+
+  private def rangeMatch(fs: FileStat, p: Pred): Boolean =
     fs.cols.get(p.column) match {
       case None => true
       case Some(cs) =>
@@ -255,6 +267,37 @@ object FileStats {
           }
         }
     }
+
+  private def bloomMatch(fs: FileStat, p: Pred): Boolean =
+    if (p.op != Eq) true
+    else (fs.blooms.get(p.column), canonEq(p.value)) match {
+      case (Some(bytes), Some(s)) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(xx64(s))
+      case _ => true
+    }
+
+  /** The canonical string an equality literal hashes through — MUST agree
+    * with the build side's `xxhash64(CAST(col AS STRING))`
+    * ([[TableStore.analyzeBloom]]). Spark's integral→string cast is the
+    * plain decimal form, so int/long physical widths canonicalize
+    * identically; doubles/dates/timestamps have cast forms that vary by
+    * type and session and are NOT bloom-eligible (None → keep). */
+  private def canonEq(l: Lit): Option[String] = l match {
+    case LLong(v) => Some(v.toString)
+    case LString(v) => Some(v)
+    case _ => None
+  }
+
+  /** Driver-side xxhash64 (seed 42) of a string — the same expression the
+    * build job evaluates per row, evaluated on a literal. */
+  private[psn] def xx64(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    new XxHash64(Seq(Literal.create(s, StringType)))
+      .eval(null).asInstanceOf[Long]
+  }
 
   /** Literal → the column kind's canonical string form; None = can't
     * compare soundly (prune disabled for this conjunct on this file). */
@@ -296,16 +339,29 @@ object FileStats {
     b.toString
   }
 
-  /** Serialize to the sidecar's line format (header + `f` file lines +
-    * `c` column lines; tab-separated, escaped). Line-oriented so the
-    * format is append-tolerant and diff-able, like the commit markers. */
-  def render(stats: Seq[FileStat]): String = {
+  /** One table-level Bloom maintenance declaration: every file must carry
+    * a filter for `column`, sized for `items` expected values at `fpp`.
+    * Recorded in the sidecar so later analyzes rebuild with the SAME
+    * parameters the user chose. */
+  final case class BloomSpec(column: String, items: Long, fpp: Double)
+
+  /** Serialize to the sidecar's line format (header + `B` bloom-config
+    * lines + `f` file lines + `c` column lines + `b` per-file bloom
+    * lines, base64; tab-separated, escaped). Line-oriented so the format
+    * is append-tolerant and diff-able, like the commit markers. */
+  def render(stats: Seq[FileStat], bloomSpecs: Seq[BloomSpec] = Nil): String = {
     val b = new StringBuilder("graft-stats v1\n")
+    bloomSpecs.sortBy(_.column).foreach(s =>
+      b ++= s"B\t${esc(s.column)}\t${s.items}\t${s.fpp}\n")
     stats.sortBy(_.relPath).foreach { f =>
       b ++= s"f\t${esc(f.relPath)}\t${f.rows}\n"
       f.cols.toSeq.sortBy(_._1).foreach { case (n, cs) =>
         b ++= s"c\t${esc(f.relPath)}\t${esc(n)}\t${cs.kind.tag}\t" +
           s"${cs.nullCount}\t${esc(cs.min)}\t${esc(cs.max)}\n"
+      }
+      f.blooms.toSeq.sortBy(_._1).foreach { case (n, bytes) =>
+        b ++= s"b\t${esc(f.relPath)}\t${esc(n)}\t" +
+          s"${java.util.Base64.getEncoder.encodeToString(bytes)}\n"
       }
     }
     b.toString
@@ -313,28 +369,46 @@ object FileStats {
 
   def parse(content: String): Map[String, FileStat] = {
     val files = scala.collection.mutable.Map[String, (Long,
-      scala.collection.mutable.Map[String, ColStats])]()
+      scala.collection.mutable.Map[String, ColStats],
+      scala.collection.mutable.Map[String, Array[Byte]])]()
     content.linesIterator.foreach { line =>
       val parts = line.split('\t')
       parts(0) match {
         case "f" if parts.length == 3 =>
           files(unesc(parts(1))) =
-            (parts(2).toLong, scala.collection.mutable.Map())
+            (parts(2).toLong, scala.collection.mutable.Map(),
+              scala.collection.mutable.Map())
         case "c" if parts.length == 7 =>
           for (k <- kinds.get(parts(3)); f <- files.get(unesc(parts(1))))
             f._2(unesc(parts(2))) =
               ColStats(k, unesc(parts(5)), unesc(parts(6)), parts(4).toLong)
-        case _ => () // header / unknown record kinds: forward-compatible
+        case "b" if parts.length == 4 =>
+          files.get(unesc(parts(1))).foreach(f =>
+            f._3(unesc(parts(2))) =
+              java.util.Base64.getDecoder.decode(parts(3)))
+        case _ => () // header / config / unknown kinds: forward-compatible
       }
     }
-    files.map { case (p, (rows, cols)) =>
-      p -> FileStat(p, rows, cols.toMap) }.toMap
+    files.map { case (p, (rows, cols, blooms)) =>
+      p -> FileStat(p, rows, cols.toMap, blooms.toMap) }.toMap
   }
 
-  def write(path: Path, stats: Seq[FileStat]): Unit = {
+  /** Bloom maintenance declarations the table opted into
+    * ([[TableStore.analyzeBloom]]) — honored by every later analyze so
+    * filters survive commits. */
+  def parseBloomSpecs(content: String): Seq[BloomSpec] =
+    content.linesIterator.flatMap { line =>
+      val parts = line.split('\t')
+      if (parts(0) == "B" && parts.length == 4)
+        Some(BloomSpec(unesc(parts(1)), parts(2).toLong, parts(3).toDouble))
+      else None
+    }.toSeq.sortBy(_.column)
+
+  def write(path: Path, stats: Seq[FileStat],
+      bloomSpecs: Seq[BloomSpec] = Nil): Unit = {
     val staged = path.resolveSibling(
       path.getFileName.toString + s".staged.${System.nanoTime}")
-    Files.writeString(staged, render(stats))
+    Files.writeString(staged, render(stats, bloomSpecs))
     Files.move(staged, path,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -343,4 +417,8 @@ object FileStats {
   def load(path: Path): Map[String, FileStat] =
     if (!Files.exists(path)) Map.empty
     else parse(Files.readString(path))
+
+  def loadBloomSpecs(path: Path): Seq[BloomSpec] =
+    if (!Files.exists(path)) Nil
+    else parseBloomSpecs(Files.readString(path))
 }

@@ -1100,15 +1100,125 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * [[readWhere]] prunes with. Explicit like its SQL namesake: appends
     * after an analyze leave their new files uncovered, and uncovered
     * files are always kept, so a stale sidecar costs speed, never
-    * correctness. Returns the number of files covered. */
-  def analyze(table: String, parallelism: Int = 8): Int = {
+    * correctness. Once [[analyzeBloom]] opted columns in, every analyze
+    * also maintains their per-file Bloom filters: carried forward by
+    * relPath for files whose bytes survived the commit (links, appends),
+    * rebuilt in one grouped job for the rest. Returns the number of
+    * files covered. */
+  def analyze(table: String, parallelism: Int = 8): Int =
+    publishStats(table, Nil, parallelism)._1
+
+  /** Opt `columns` into per-file BLOOM FILTERS for equality skipping —
+    * the point-lookup complement of footer min/max, which is near-useless
+    * on a high-cardinality key in a hash-distributed layout (every
+    * file's range spans the domain; a bloom answers "definitely not in
+    * this file"). Filters are built over `xxhash64(CAST(col AS STRING))`
+    * in ONE grouped Spark job for every file missing one — never a job
+    * per file — and ride the stats sidecar; the spec (items, fpp) is
+    * recorded so later analyzes rebuild rewritten files identically.
+    * Integral and string columns only (their cast-to-string form is the
+    * canonical hash input; see [[FileStats.mightMatch]]). A false
+    * positive keeps a file — results never change, only cost. Returns
+    * the number of files fully covered.
+    *
+    * Scale shape: the build is one column-pruned scan at table-append
+    * cadence; the probe is O(files) driver-side metadata. At 100 TB a
+    * keyed point lookup ("fetch document X") opens ~1 file instead of
+    * every file whose [min,max] happens to straddle the key. */
+  def analyzeBloom(table: String, columns: Seq[String],
+      expectedItemsPerFile: Long = 1000000L, fpp: Double = 0.03,
+      parallelism: Int = 8): Int = {
+    require(columns.nonEmpty, s"analyzeBloom($table): no columns")
+    require(columns.distinct.length == columns.length,
+      s"analyzeBloom($table): duplicate columns in ${columns.mkString(",")}")
+    val schema = read(table).schema
+    columns.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"analyzeBloom($table): no column '$c'")
+      val dt = schema(schema.fieldIndex(c)).dataType
+      import org.apache.spark.sql.types._
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType || dt == StringType,
+        s"analyzeBloom($table): column '$c' is ${dt.sql} — equality " +
+          "blooms cover integral and string columns (their cast-to-string " +
+          "form is canonical across physical widths)")
+    }
+    publishStats(table,
+      columns.map(FileStats.BloomSpec(_, expectedItemsPerFile, fpp)),
+      parallelism)._2
+  }
+
+  /** Shared sidecar publisher: footer stats for every current file, prior
+    * blooms donated by relPath (immutable bytes — hard-linked and
+    * untouched files keep their filters for free), missing ones rebuilt
+    * per the union of recorded + newly added specs, then one atomic
+    * sidecar write. Returns (files covered, files fully bloom-covered). */
+  private def publishStats(table: String,
+      addSpecs: Seq[FileStats.BloomSpec], parallelism: Int): (Int, Int) = {
     val v = currentVersion(table)
     val base = resolve(table)
     val conf = spark.sessionState.newHadoopConf()
     val stats = pooled(dataFiles(base), parallelism)(
       FileStats.ofFile(conf, base, _))
-    FileStats.write(statsPath(table, v), stats)
-    stats.length
+    val prior = newestSidecar(table)
+    val priorSpecs = prior.map(FileStats.loadBloomSpecs).getOrElse(Nil)
+    val specs = (priorSpecs.filterNot(p =>
+      addSpecs.exists(_.column == p.column)) ++ addSpecs).sortBy(_.column)
+    val specCols = specs.map(_.column).toSet
+    val donated = prior.map(FileStats.load).getOrElse(Map.empty)
+    val carried = stats.map(fs => fs.copy(blooms =
+      donated.get(fs.relPath)
+        .map(_.blooms.view.filterKeys(specCols).toMap)
+        .getOrElse(Map.empty)))
+    val done =
+      if (specs.isEmpty) carried
+      else attachBlooms(table, v, base, carried, specs)
+    FileStats.write(statsPath(table, v), done, specs)
+    (done.length,
+      done.count(fs => specs.forall(s => fs.blooms.contains(s.column))))
+  }
+
+  private def newestSidecar(table: String): Option[Path] =
+    listDir(table)
+      .filter(_.getFileName.toString.matches("_stats\\.v\\d+"))
+      .sortBy(_.getFileName.toString.stripPrefix("_stats.v").toInt)
+      .lastOption
+
+  /** Build missing per-file blooms in ONE job: group the files' rows by
+    * `input_file_name()` and aggregate every configured column's filter
+    * at once ([[graft.functions.BloomOps.bloom_build_agg]]). An empty
+    * file yields no group → no filter → kept conservatively. */
+  private def attachBlooms(table: String, v: Int, base: Path,
+      stats: Seq[FileStats.FileStat],
+      specs: Seq[FileStats.BloomSpec]): Seq[FileStats.FileStat] = {
+    import org.apache.spark.sql.functions.{input_file_name, xxhash64}
+    val missing = stats.filter(fs =>
+      specs.exists(s => !fs.blooms.contains(s.column)))
+    if (missing.isEmpty) return stats
+    val rd = declaredSchemaOf(table, v) match {
+      case Some(st) => spark.read.schema(st)
+      case None => spark.read
+    }
+    val df = rd.option("basePath", base.toString)
+      .parquet(missing.map(fs => base.resolve(fs.relPath).toString): _*)
+    val aggs = specs.map(s => graft.functions.BloomOps.bloom_build_agg(
+      xxhash64(col(s.column).cast("string")), s.items, s.fpp)
+      .as(s"__b_${s.column}"))
+    val built = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val rel = base.relativize(
+          Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
+        rel -> specs.zipWithIndex.flatMap { case (s, i) =>
+          Option(r.get(i + 1))
+            .map(b => s.column -> b.asInstanceOf[Array[Byte]])
+        }.toMap
+      }.toMap
+    stats.map(fs => built.get(fs.relPath) match {
+      case Some(bs) => fs.copy(blooms = fs.blooms ++ bs)
+      case None => fs
+    })
   }
 
   /** (files kept, files total) under `preds` for the current version —
