@@ -595,6 +595,28 @@ object Sql {
     }
   }
 
+  private val DeleteWhereStmt =
+    """(?is)\s*DELETE\s+FROM\s+`?([\w.-]+)`?\s+WHERE\s+(.+?)\s*;?\s*""".r
+
+  /** Execute DELETE FROM t WHERE <predicate> as a DELETION-VECTOR commit
+    * ([[graft.psn.TableStore.deleteRows]]): one scan finds the condemned
+    * rows' (file, position) pairs, the commit hard-links every data file
+    * and publishes the merged vector — zero data rewritten, which is what
+    * a row-level DELETE must cost on a 100 TB table. The predicate is
+    * arbitrary Catalyst SQL over the table's own columns (subquery shapes
+    * route to [[runDelete]]'s tombstone anti-join rewrite instead — the
+    * two cover BigQuery's DELETE surface between them). Returns the
+    * deleted-row count. */
+  def runDeleteWhere(s: SparkSession, store: TableStore,
+      sql: String): Long = sql match {
+    case DeleteWhereStmt(target, cond) =>
+      val name = baseName(target)
+      require(store.exists(name), s"DELETE FROM $name: table does not exist")
+      store.deleteRows(name, expr(cond))
+    case _ => throw new IllegalArgumentException(
+      "unsupported DML: expected DELETE FROM <t> WHERE <predicate>")
+  }
+
   /** q59: the DELETE statement end-to-end through the versioned store —
     * stage a tombstone table (every order key divisible by 7: the
     * erasure-request batch), run the literal DELETE text through
@@ -1273,7 +1295,12 @@ object Sql {
         case "INSERT" => runInsert(s, store, dir, st)
         case "UPDATE" => runDml(s, store, st)
         case "MERGE" => runMerge(s, store, st)
-        case "DELETE" => runDelete(s, store, st)
+        case "DELETE" => st match {
+          // key-subquery shape → tombstone anti-join rewrite (q59);
+          // arbitrary predicate → deletion-vector commit (q78)
+          case DeleteStmt(_*) => runDelete(s, store, st)
+          case _ => runDeleteWhere(s, store, st): Unit
+        }
         case "DROP" => runDrop(store, st)
         case "ANALYZE" => runAnalyze(store, st)
         case "OPTIMIZE" => runOptimize(s, store, st)

@@ -443,6 +443,56 @@ object Storage {
       |  (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q78: row-level DELETE via DELETION VECTORS — the statement rewrites
+    * NOTHING: the commit hard-links every data file (the in-query require
+    * pins identical file counts and byte-identity via the store's link
+    * discipline) and publishes a (file, row-position) vector every read
+    * subtracts. Two successive DELETEs prove vector MERGING; the
+    * metadata-only COUNT is checked against the live read inside the
+    * query (footer rows minus vector rows); the oracle recomputes the
+    * survivor aggregate declaratively.
+    *
+    * Scale shape: DELETE on 100 TB costs one scan (to find positions) +
+    * O(files) links + O(deleted) vector bytes — not a table rewrite; the
+    * deletes materialize for free on the next natural rewrite (OPTIMIZE /
+    * merge), which also purges the vector. */
+  def q78DvDelete(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dv_wh").toString
+    val store = new TableStore(s, wh)
+    Sql.runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.order_state` AS
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders;""".stripMargin)
+    val filesBefore = store.fileCount("order_state")
+    Sql.runScript(s, store, dir,
+      """DELETE FROM `graft-project.store.order_state`
+        |  WHERE o_orderstatus = 'F';
+        |DELETE FROM `graft-project.store.order_state`
+        |  WHERE o_orderkey % 10 = 0;""".stripMargin)
+    require(store.fileCount("order_state") == filesBefore,
+      "DV delete rewrote data files — it must be link + vector only")
+    val live = store.read("order_state")
+    require(store.countRows("order_state") == live.count(),
+      "metadata COUNT must subtract the deletion vector")
+    live.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+          .cast("double").as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .sortedSmall("o_orderstatus")
+  }
+
+  val q78Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
@@ -452,5 +502,6 @@ object Storage {
     Q("q74_add_column", q74AddColumn, Some(q74Oracle)),
     Q("q75_drop_column", q75DropColumn, Some(q75Oracle)),
     Q("q76_zorder", q76Zorder, Some(q76Oracle)),
-    Q("q77_bloom_lookup", q77BloomLookup, Some(q77Oracle)))
+    Q("q77_bloom_lookup", q77BloomLookup, Some(q77Oracle)),
+    Q("q78_dv_delete", q78DvDelete, Some(q78Oracle)))
 }

@@ -195,19 +195,163 @@ final class TableStore(spark: SparkSession, warehouse: String) {
 
   /** Read one snapshot directory under its version's DECLARED schema when
     * a `_schema.v<N>` sidecar exists ([[addColumn]]/[[dropColumn]]), else
-    * under the physical footer schema. The injection is what makes
-    * metadata-only evolution sound: after an ADD COLUMN, one version
-    * directory legitimately holds files WITH and WITHOUT the new column
-    * (evolution hard-links old files; later appends write the full
-    * schema), and a plain parquet read samples ONE footer — it would
-    * silently drop the column or resurrect a dropped one depending on
-    * which file it sampled. With an explicit schema, Spark's reader
-    * null-fills missing columns and projects away undeclared ones,
-    * per-file, deterministically. */
-  private def readSnapshot(table: String, v: Int, path: Path): DataFrame =
-    declaredSchemaOf(table, v) match {
+    * under the physical footer schema — then subtract the version's
+    * DELETION VECTOR when one exists ([[deleteRows]]). The schema
+    * injection is what makes metadata-only evolution sound: after an ADD
+    * COLUMN, one version directory legitimately holds files WITH and
+    * WITHOUT the new column (evolution hard-links old files; later
+    * appends write the full schema), and a plain parquet read samples
+    * ONE footer — it would silently drop the column or resurrect a
+    * dropped one depending on which file it sampled. With an explicit
+    * schema, Spark's reader null-fills missing columns and projects away
+    * undeclared ones, per-file, deterministically. */
+  private def readSnapshot(table: String, v: Int, path: Path): DataFrame = {
+    val plain = declaredSchemaOf(table, v) match {
       case Some(st) => spark.read.schema(st).parquet(path.toString)
       case None => spark.read.parquet(path.toString)
+    }
+    if (!Files.isDirectory(dvDir(path))) plain
+    else withRowPos(path, plain).drop(DvRel, DvPos)
+  }
+
+  // ----------------------------------------------- deletion vectors (_dv/)
+
+  /** The version-local deletion vector: a parquet dataset of (relPath,
+    * row_index) pairs naming rows every read of this snapshot must
+    * subtract. Bookkeeping (underscore), so [[dataFiles]] never sees it. */
+  private def dvDir(versionDir: Path): Path = versionDir.resolve("_dv")
+  private val DvRel = "__dv_rel"
+  private val DvPos = "__dv_pos"
+
+  private def uriPrefix(versionDir: Path): String = {
+    // Hadoop's Path rendering ("file:/tmp/…"), because that is the format
+    // `_metadata.file_path` carries — java.nio's toUri ("file:///tmp/…")
+    // would silently mangle every stored relPath.
+    val u = new org.apache.hadoop.fs.Path(versionDir.toUri).toString
+    if (u.endsWith("/")) u else u + "/"
+  }
+
+  /** Attach the file-relative path + in-file row position to every row of
+    * a scan over `versionDir`, then anti-join the deletion vector (when
+    * present), KEEPING the position columns — [[deleteRows]] needs them;
+    * [[readSnapshot]] drops them. `_metadata.row_index` is stable for
+    * immutable files, and relPath (not the absolute URI) is the join key
+    * because hard-link commits move the same bytes between version
+    * directories. */
+  private def withRowPos(versionDir: Path, scan: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val p = uriPrefix(versionDir)
+    val pos = scan
+      .withColumn(DvRel,
+        expr(s"substring(_metadata.file_path, ${p.length + 1})"))
+      .withColumn(DvPos, expr("_metadata.row_index"))
+    if (!Files.isDirectory(dvDir(versionDir))) pos
+    else {
+      val dv = spark.read.parquet(dvDir(versionDir).toString)
+        .toDF("__del_rel", "__del_pos")
+      pos.join(dv,
+        pos(DvRel) === col("__del_rel") && pos(DvPos) === col("__del_pos"),
+        "left_anti")
+    }
+  }
+
+  /** Row-level DELETE WITHOUT rewriting data — deletion vectors, the
+    * lakehouse answer to "a DELETE on a 100 TB table must not rewrite the
+    * table". One scan finds the matching rows' (file, position) pairs;
+    * the commit hard-links every data file unchanged and writes the
+    * merged vector as `_dv/` parquet in the new version — O(files) link
+    * metadata + O(deleted) vector bytes, zero data rewritten. Every read
+    * path subtracts the vector (an anti-join on (relPath, row_index) —
+    * positions are stable because files are immutable); rewriting
+    * commits (merge, overwrite, cluster) read through the same paths, so
+    * they materialize the deletes physically and the new version carries
+    * no vector — the natural purge. Time travel keeps each snapshot's own
+    * vector: the pre-delete version still shows the rows, and
+    * [[diffVersions]] reports them as removed.
+    *
+    * Successive deletes union (the new scan runs on the already-filtered
+    * logical table, so entries never duplicate). A delete matching
+    * nothing commits nothing and returns 0. Refused on change-feed
+    * tables: the feed streams raw appended files and its consumers could
+    * not observe the subtraction.
+    *
+    * Returns the number of rows deleted. */
+  def deleteRows(table: String, condition: org.apache.spark.sql.Column,
+      txnTag: Option[String] = None): Long = {
+    require(exists(table), s"deleteRows: table '$table' does not exist")
+    requireNoFeed(table, "deleteRows")
+    checkTag(txnTag)
+    val base = resolve(table)
+    val (seq0, v0) = head(table)
+    val plain = declaredSchemaOf(table, v0) match {
+      case Some(st) => spark.read.schema(st).parquet(base.toString)
+      case None => spark.read.parquet(base.toString)
+    }
+    val hits = withRowPos(base, plain).filter(condition)
+      .select(col(DvRel).as("rel"), col(DvPos).as("pos"))
+      .persist()
+    try {
+      val n = hits.count()
+      if (n == 0) return 0L
+      // relPaths are join keys across commits (compact carry, reads after
+      // link commits) — a scheme-mangled prefix would be consistent within
+      // one version but break every cross-commit consumer. Fail loudly.
+      val sample = hits.first.getString(0)
+      require(!sample.contains(":") && !sample.startsWith("/"),
+        s"deleteRows($table): derived relPath '$sample' is not relative — " +
+          "file_path prefix mismatch")
+      val (v, claimed) = claimNext(table)
+      dataFiles(base).foreach { f =>
+        val dst = claimed.resolve(base.relativize(f).toString)
+        Files.createDirectories(dst.getParent)
+        Files.createLink(dst, f)
+      }
+      val merged =
+        if (Files.isDirectory(dvDir(base)))
+          spark.read.parquet(dvDir(base).toString).toDF("rel", "pos")
+            .union(hits)
+        else hits
+      merged.write.mode(SaveMode.Append).parquet(dvDir(claimed).toString)
+      if (publish(table, seq0 + 1, v, checkTag(txnTag))) {
+        commitPointer(table, v)
+        gc(table, v0)
+        maintainStats(table, v0)
+        maintainSchema(table, v0)
+        n
+      } else {
+        deleteRecursive(claimed)
+        throw new IllegalStateException(
+          s"deleteRows($table): lost the commit race — rerun")
+      }
+    } finally hits.unpersist()
+  }
+
+  /** Hard-link a version's deletion-vector parquet into a claimed dir —
+    * for commits that link every data file unchanged (schema evolution),
+    * where the vector stays valid verbatim. */
+  private def linkDvVerbatim(base: Path, claimed: Path): Unit =
+    if (Files.isDirectory(dvDir(base))) {
+      Files.createDirectories(dvDir(claimed))
+      val s = Files.list(dvDir(base))
+      try s.iterator().asScala.foreach { f =>
+        val n = f.getFileName.toString
+        if (Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith("."))
+          Files.createLink(dvDir(claimed).resolve(n), f)
+      } finally s.close()
+    }
+
+  /** Total rows named by the current version's deletion vector —
+    * metadata-only (DV parquet footers). */
+  private def dvRowCount(base: Path): Long =
+    if (!Files.isDirectory(dvDir(base))) 0L
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val s = Files.walk(dvDir(base))
+      val files = try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq finally s.close()
+      files.map(FileStats.rowCount(conf, _)).sum
     }
 
   /** Versions currently on disk and readable (committed or retained —
@@ -574,6 +718,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       enforced(table, next).write.mode(SaveMode.Append)
         .partitionBy(partitionCol).parquet(claimed.toString)
       linkUntouchedPartitions(basePath, claimed, partitionCol, touchedStr)
+      carryDvForUntouched(basePath, claimed, partitionCol, touchedStr)
       if (publish(table, baseSeq + 1, v, txnTag)) {
         commitPointer(table, v)
         gc(table, baseV)
@@ -589,6 +734,38 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       }
     }
   }
+
+  /** Untouched partitions were hard-linked: their relPaths and bytes are
+    * unchanged, so their deletion-vector entries stay valid — carry
+    * exactly those. Touched partitions were rewritten through the
+    * DV-aware read, which materialized their deletes. */
+  private def carryDvForUntouched(base: Path, claimed: Path,
+      partitionCol: String, touched: Set[String]): Unit =
+    if (Files.isDirectory(dvDir(base))) {
+      import spark.implicits._
+      val prefix = partitionCol + "="
+      val untouchedDirs = {
+        val s = Files.list(base)
+        try s.iterator().asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          if (Files.isDirectory(p) && n.startsWith(prefix) &&
+              !touched.contains(java.net.URLDecoder.decode(
+                n.substring(prefix.length), "UTF-8"))) Some(n)
+          else None
+        }.toSeq finally s.close()
+      }
+      if (untouchedDirs.nonEmpty) {
+        val keep = spark.read.parquet(dvDir(base).toString)
+          .toDF("rel", "pos")
+          .withColumn("__dir", org.apache.spark.sql.functions
+            .substring_index(col("rel"), "/", 1))
+          .join(org.apache.spark.sql.functions.broadcast(
+            untouchedDirs.toDF("__dir")), "__dir")
+          .select(col("rel"), col("pos"))
+        if (!keep.isEmpty)
+          keep.write.mode(SaveMode.Append).parquet(dvDir(claimed).toString)
+      }
+    }
 
   /** Hard-link every data file of every `partitionCol=` directory whose
     * value is NOT in `touched` from the base version dir into the claimed
@@ -663,6 +840,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     // COUNT. Each job is one bin → at most `targetBytes` of input — tiny
     // next to executor memory, so width 8 cannot oversubscribe.
     val rewrites = Seq.newBuilder[(Seq[Path], Path)]
+    val linkedRels = Seq.newBuilder[String] // keep their DV entries (below)
     byDir.foreach { case (srcDir, files) =>
       val dstDir = claimed.resolve(base.relativize(srcDir).toString)
       Files.createDirectories(dstDir)
@@ -679,10 +857,11 @@ final class TableStore(spark: SparkSession, warehouse: String) {
           }
       }
       binFiles.foreach { bin =>
-        if (bin.length == 1)
+        if (bin.length == 1) {
           Files.createLink(
             dstDir.resolve(bin.head.getFileName.toString), bin.head)
-        else rewrites += ((bin.toSeq, dstDir))
+          linkedRels += base.relativize(bin.head).toString
+        } else rewrites += ((bin.toSeq, dstDir))
       }
     }
     val jobs = rewrites.result()
@@ -715,7 +894,12 @@ final class TableStore(spark: SparkSession, warehouse: String) {
                     spark.read.schema(phys)
                   case None => spark.read
                 }
-                binRead.parquet(bin.map(_.toString): _*)
+                // Rewritten bins materialize row-level deletes: the same
+                // anti-join every read applies, so the deleted rows never
+                // reach the compacted file (their positions would be
+                // meaningless in it anyway).
+                withRowPos(base, binRead.parquet(bin.map(_.toString): _*))
+                  .drop(DvRel, DvPos)
                   .coalesce(1)
                   .write.mode(SaveMode.Append).parquet(tmp.toString)
                 Files.list(tmp).iterator().asScala.foreach { f =>
@@ -731,6 +915,20 @@ final class TableStore(spark: SparkSession, warehouse: String) {
           scala.concurrent.Future.sequence(fs),
           scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
+    }
+    // Hard-linked files keep their relPath AND their bytes, so their DV
+    // entries stay valid — carry exactly those into the new version.
+    if (Files.isDirectory(dvDir(base))) {
+      val linked = linkedRels.result()
+      if (linked.nonEmpty) {
+        import spark.implicits._
+        val keep = spark.read.parquet(dvDir(base).toString)
+          .toDF("rel", "pos")
+          .join(org.apache.spark.sql.functions.broadcast(
+            linked.toDF("rel")), "rel")
+        if (!keep.isEmpty)
+          keep.write.mode(SaveMode.Append).parquet(dvDir(claimed).toString)
+      }
     }
     if (publish(table, seq0 + 1, v)) {
       commitPointer(table, v)
@@ -789,6 +987,9 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     require(declaredSchema(table).isEmpty,
       s"'$table' has a declared (evolved) schema — feed readers scan raw " +
         "files and would mis-read mixed physical schemas")
+    require(!Files.isDirectory(dvDir(resolve(table))),
+      s"'$table' carries a deletion vector — feed consumers read raw " +
+        "files and cannot observe row-level deletes")
     val base = resolve(table)
     val files = dataFiles(base)
     require(files.forall(_.getParent == base),
@@ -1029,6 +1230,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       Files.createDirectories(dst.getParent)
       Files.createLink(dst, f)
     }
+    linkDvVerbatim(base, claimed) // relPaths unchanged → vector stays valid
     Files.writeString(schemaPath(table, v), newSchema.json)
     if (publish(table, seq0 + 1, v, checkTag(txnTag))) {
       commitPointer(table, v)
@@ -1263,8 +1465,13 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         case Some(st) => spark.read.schema(st)
         case None => spark.read
       }
-      rd.option("basePath", base.toString)
-        .parquet(kept.map(_.toString): _*).filter(residual)
+      val scan = rd.option("basePath", base.toString)
+        .parquet(kept.map(_.toString): _*)
+      val live = // pruned reads subtract the deletion vector too
+        if (Files.isDirectory(dvDir(base)))
+          withRowPos(base, scan).drop(DvRel, DvPos)
+        else scan
+      live.filter(residual)
     }
   }
 
@@ -1273,9 +1480,10 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * versioned layout makes this sound: a snapshot's files are immutable,
     * so footer counts ARE the row count. */
   def countRows(table: String, parallelism: Int = 8): Long = {
+    val base = resolve(table)
     val conf = spark.sessionState.newHadoopConf()
-    pooled(dataFiles(resolve(table)), parallelism)(
-      FileStats.rowCount(conf, _)).sum
+    pooled(dataFiles(base), parallelism)(
+      FileStats.rowCount(conf, _)).sum - dvRowCount(base)
   }
 
   /** Metadata-only MIN/MAX of one column over the current version:
@@ -1289,6 +1497,10 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def minMax(table: String, column: String,
       parallelism: Int = 8): Option[(FileStats.Kind, String, String)] = {
     val base = resolve(table)
+    // A deletion vector may have deleted the extreme row itself — footer
+    // stats still include it, so a metadata answer would be wrong, not
+    // just stale. Fall back to a scan (None).
+    if (Files.isDirectory(dvDir(base))) return None
     val sidecar = FileStats.load(statsPath(table, currentVersion(table)))
     val conf = spark.sessionState.newHadoopConf()
     val files = dataFiles(base)

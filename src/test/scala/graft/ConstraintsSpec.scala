@@ -75,8 +75,12 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(store.constraints("ct") == Seq("pos" -> "x > 0"))
     Sql.runAlter(store, "ALTER TABLE ct DROP CONSTRAINT pos")
     assert(store.constraints("ct").isEmpty)
+    // ADD COLUMN is a real verb now (metadata-only evolution)…
+    Sql.runAlter(store, "ALTER TABLE ct ADD COLUMN y INT")
+    assert(store.read("ct").columns.toSeq == Seq("k", "x", "y"))
+    // …but DDL outside the surface stays loud.
     intercept[IllegalArgumentException](
-      Sql.runAlter(store, "ALTER TABLE ct ADD COLUMN y INT"))
+      Sql.runAlter(store, "ALTER TABLE ct RENAME COLUMN x TO z"))
     intercept[IllegalArgumentException](
       Sql.runAlter(store, "ALTER TABLE ct ADD CONSTRAINT p-q CHECK (x > 0)"))
   }
