@@ -1200,6 +1200,24 @@ object Sql {
       "unsupported statement: expected ANALYZE TABLE <t> [BLOOM (c1, …)]")
   }
 
+  private val VacuumStmt =
+    """(?is)\s*VACUUM\s+`?([\w.-]+)`?(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+
+  /** Execute VACUUM — sweep orphaned claim directories left by crashed
+    * writers ([[graft.psn.TableStore.vacuum]]), age-gated by the RETAIN
+    * window (default 1 hour — the lease discipline: a writer silent for
+    * the TTL is dead, not slow). Delta's VACUUM shape; a no-op on a
+    * healthy table. */
+  def runVacuum(store: TableStore, sql: String): Unit = sql match {
+    case VacuumStmt(target, hours) =>
+      val name = baseName(target)
+      require(store.exists(name), s"VACUUM $name: table does not exist")
+      store.vacuum(name,
+        if (hours == null) 3600000L else hours.toLong * 3600000L)
+    case _ => throw new IllegalArgumentException(
+      "unsupported statement: expected VACUUM <t> [RETAIN <n> HOURS]")
+  }
+
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+`?([\w.-]+)`?(?:\s+CLUSTER\s+BY\s*\(\s*(\w+)\s*\)(?:\s+INTO\s+(\d+)\s+FILES)?)?\s*;?\s*""".r
   private val OptimizeZStmt =
@@ -1305,9 +1323,10 @@ object Sql {
         case "ANALYZE" => runAnalyze(store, st)
         case "OPTIMIZE" => runOptimize(s, store, st)
         case "ALTER" => runAlter(store, st)
+        case "VACUUM" => runVacuum(store, st)
         case verb => throw new IllegalArgumentException(
           s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
-            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE/ALTER")
+            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE/ALTER/VACUUM")
       }
     }
     stmts.length

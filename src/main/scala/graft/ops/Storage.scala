@@ -493,6 +493,46 @@ object Storage {
       |WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q79: MULTI-key point lookup — IN-list pruning through the per-file
+    * Bloom filters: a file survives iff ANY listed key might be in it
+    * (range and bloom per key, the one disjunction skipping can evaluate
+    * file-locally). Same hash layout as q77, so range stats provably keep
+    * everything and the blooms do the pruning; the in-query require pins
+    * that the three-key lookup still opens strictly fewer files than the
+    * table has. The oracle replays the IN over the raw table.
+    *
+    * Scale shape: a training-data pipeline's "fetch this batch of
+    * documents by id" against a 100 TB corpus — K bit-probes per file
+    * driver-side, then only the files that might hold any of the K. */
+  def q79MultiLookup(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_in_wh").toString
+    val store = new TableStore(s, wh)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    store.overwrite("docs_m", docs.repartition(8, col("doc_id")))
+    store.analyzeBloom("docs_m", Seq("doc_id"),
+      expectedItemsPerFile = 65536L, fpp = 0.01)
+    val m = docs.agg(max(col("doc_id"))).first.getLong(0)
+    val keys = Seq(m / 4, m / 2, 3 * (m / 4)) // 3*FLOOR(m/4), oracle-exact
+    val pred = Seq(FileStats.in("doc_id", keys.map(FileStats.LLong(_))))
+    val (kept, total) = store.pruneInfo("docs_m", pred)
+    require(kept >= 1 && kept < total,
+      s"IN-list bloom skipping inert: kept $kept of $total files")
+    store.readWhere("docs_m", pred)
+      .sortedSmall("doc_id")
+  }
+
+  val q79Oracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (
+      |  SELECT CAST(FLOOR(MAX(doc_id) / 4) AS BIGINT) FROM documents
+      |  UNION ALL
+      |  SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) FROM documents
+      |  UNION ALL
+      |  SELECT CAST(3 * FLOOR(MAX(doc_id) / 4) AS BIGINT) FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
@@ -503,5 +543,6 @@ object Storage {
     Q("q75_drop_column", q75DropColumn, Some(q75Oracle)),
     Q("q76_zorder", q76Zorder, Some(q76Oracle)),
     Q("q77_bloom_lookup", q77BloomLookup, Some(q77Oracle)),
-    Q("q78_dv_delete", q78DvDelete, Some(q78Oracle)))
+    Q("q78_dv_delete", q78DvDelete, Some(q78Oracle)),
+    Q("q79_multi_lookup", q79MultiLookup, Some(q79Oracle)))
 }

@@ -202,6 +202,8 @@ object FileStats {
   final case class LString(v: String) extends Lit
   final case class LDate(v: java.time.LocalDate) extends Lit
   final case class LTs(v: java.time.Instant) extends Lit
+  /** IN-list literal — only meaningful under [[In]]. */
+  final case class LSet(vs: Seq[Lit]) extends Lit
 
   sealed trait Op
   case object Eq extends Op
@@ -209,9 +211,14 @@ object FileStats {
   case object Le extends Op
   case object Gt extends Op
   case object Ge extends Op
+  /** Multi-key point lookup: the ONE disjunction pruning can evaluate
+    * per-file without per-disjunct file sets — a file survives iff ANY
+    * listed key might be in it (range AND bloom per key). */
+  case object In extends Op
 
-  /** One conjunct: `col op lit`. Conjunction-only by design — OR pruning
-    * needs per-disjunct file sets and is a different operator. */
+  /** One conjunct: `col op lit`. Conjunction-only by design (the [[In]]
+    * disjunction is file-local) — general OR pruning needs per-disjunct
+    * file sets and is a different operator. */
   final case class Pred(column: String, op: Op, value: Lit)
 
   /** Convenience constructors mirroring Column operators. */
@@ -220,24 +227,33 @@ object FileStats {
   def le(c: String, v: Lit): Pred = Pred(c, Le, v)
   def gt(c: String, v: Lit): Pred = Pred(c, Gt, v)
   def ge(c: String, v: Lit): Pred = Pred(c, Ge, v)
+  def in(c: String, vs: Seq[Lit]): Pred = {
+    require(vs.nonEmpty && !vs.exists(_.isInstanceOf[LSet]),
+      "IN-list must be non-empty scalars")
+    Pred(c, In, LSet(vs))
+  }
 
   /** The predicate as the equivalent Spark Column — the residual filter
     * [[TableStore.readWhere]] always applies, so pruning is invisible to
     * results by construction. */
   def toColumn(p: Pred): Column = {
-    val l = p.value match {
+    def one(x: Lit): Column = x match {
       case LLong(v) => lit(v)
       case LDouble(v) => lit(v)
       case LString(v) => lit(v)
       case LDate(v) => lit(java.sql.Date.valueOf(v))
       case LTs(v) => lit(java.sql.Timestamp.from(v))
+      case LSet(_) => throw new IllegalArgumentException(
+        "LSet is only valid under the In op")
     }
-    p.op match {
-      case Eq => col(p.column) === l
-      case Lt => col(p.column) < l
-      case Le => col(p.column) <= l
-      case Gt => col(p.column) > l
-      case Ge => col(p.column) >= l
+    (p.op, p.value) match {
+      case (In, LSet(vs)) => col(p.column).isin(vs.map(one): _*)
+      case (In, v) => col(p.column) === one(v) // single-key IN
+      case (Eq, v) => col(p.column) === one(v)
+      case (Lt, v) => col(p.column) < one(v)
+      case (Le, v) => col(p.column) <= one(v)
+      case (Gt, v) => col(p.column) > one(v)
+      case (Ge, v) => col(p.column) >= one(v)
     }
   }
 
@@ -249,8 +265,12 @@ object FileStats {
     * key in a hash-distributed layout (every file's range spans the
     * domain); the bloom's "definitely absent" answer is what prunes. A
     * false positive just keeps a file — conservative by construction. */
-  def mightMatch(fs: FileStat, p: Pred): Boolean =
-    rangeMatch(fs, p) && bloomMatch(fs, p)
+  def mightMatch(fs: FileStat, p: Pred): Boolean = p match {
+    case Pred(c, In, LSet(vs)) =>
+      vs.exists(v => mightMatch(fs, Pred(c, Eq, v)))
+    case Pred(_, In, _) => true // malformed IN: keep (never a wrong skip)
+    case _ => rangeMatch(fs, p) && bloomMatch(fs, p)
+  }
 
   private def rangeMatch(fs: FileStat, p: Pred): Boolean =
     fs.cols.get(p.column) match {

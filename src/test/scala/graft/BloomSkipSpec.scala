@@ -74,6 +74,26 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(kept < total && store.readWhere("t", eqPred(2050L)).count() == 1)
   }
 
+  test("IN-list lookups prune per key and keep the union of survivors") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bl5").toString
+    val store = new TableStore(spark, wh)
+    store.overwrite("t",
+      (1L to 4096L).map(k => (k, k % 3)).toDF("k", "m")
+        .repartition(8, col("k")))
+    store.analyzeBloom("t", Seq("k"), expectedItemsPerFile = 4096L,
+      fpp = 0.01)
+    val pred = Seq(FileStats.in("k",
+      Seq(100L, 2000L, 3999L).map(FileStats.LLong(_))))
+    val (kept, total) = store.pruneInfo("t", pred)
+    assert(kept >= 1 && kept < total)
+    assert(store.readWhere("t", pred).select("k")
+      .as[Long].collect().sorted.toSeq == Seq(100L, 2000L, 3999L))
+    // absent keys in the list never lose present ones
+    val mixed = Seq(FileStats.in("k",
+      Seq(100L, 999999L).map(FileStats.LLong(_))))
+    assert(store.readWhere("t", mixed).count() == 1)
+  }
+
   test("string keys bloom; ineligible types are loud") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bl4").toString
     val store = new TableStore(spark, wh)

@@ -567,4 +567,24 @@ class SqlDmlSpec extends AnyFunSuite {
       Sql.runScript(spark, store, sf, "  ;; ")
     }
   }
+
+  test("VACUUM verb sweeps aged orphan claims; content untouched") {
+    import TestSpark.spark.implicits._
+    val store = freshStore()
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // fake a crashed writer: a claimed-but-unpublished version directory
+    val wh = java.nio.file.Paths.get(
+      store.read("t").inputFiles.head.stripPrefix("file:"))
+      .getParent.getParent
+    val orphan = wh.resolve("v99")
+    java.nio.file.Files.createDirectory(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk.parquet"), "x")
+    // young orphan survives the default window, RETAIN 0 sweeps it
+    Sql.runVacuum(store, "VACUUM `graft-project.store.t`")
+    assert(java.nio.file.Files.exists(orphan))
+    Sql.runVacuum(store, "VACUUM t RETAIN 0 HOURS")
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(store.read("t").count() == 2)
+    intercept[IllegalArgumentException](Sql.runVacuum(store, "VACUUM"))
+  }
 }
