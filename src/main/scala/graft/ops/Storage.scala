@@ -533,6 +533,58 @@ object Storage {
       |  SELECT CAST(3 * FLOOR(MAX(doc_id) / 4) AS BIGINT) FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q80: the round's DDL features COMPOSE under time travel — one
+    * lineage runs overwrite → deletion-vector DELETE → metadata-only ADD
+    * COLUMN, then a single SQL statement joins two SYSTEM_TIME pins: the
+    * post-delete snapshot (its own vector, pre-evolution schema) against
+    * the post-evolution head (vector carried verbatim by the link
+    * commit, new column null-filled). Hash-matching the oracle proves
+    * every pairwise contract at once: the DV survives the evolution
+    * commit, each snapshot keeps ITS schema, and both pins resolve to
+    * the right commit stamps. In-query requires pin the schema shapes.
+    *
+    * Scale shape: three commits, zero data rewritten after the initial
+    * stage (links + vector + sidecar); the audit query scans two pinned
+    * directories like any other parquet. */
+  def q80TravelAcrossDdl(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sql
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_ddl_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("ord_t", s.read.parquet(s"$dir/orders.parquet") // v1
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    store.deleteRows("ord_t", col("o_orderstatus") === "F") // v2: DV
+    Thread.sleep(30)
+    val tDel = System.currentTimeMillis()
+    Thread.sleep(30)
+    require(store.addColumn("ord_t", "note", "STRING"), // v3: evolution
+      "ADD COLUMN lost its CAS race on a fresh private store")
+    Thread.sleep(30)
+    val tEvo = System.currentTimeMillis()
+    val old = store.readAsOf("ord_t", tDel)
+    require(old.columns.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus"),
+      s"post-delete snapshot leaked the evolved schema: ${old.columns.toSeq}")
+    require(store.read("ord_t").columns.contains("note"),
+      "head lost the evolved column")
+    Sql.runTimeTravel(s, store, dir,
+      s"""SELECT cur.o_orderkey, cur.o_orderstatus, cur.note,
+         |  old.o_totalprice AS price
+         |FROM `graft-project.store.ord_t`
+         |  FOR SYSTEM_TIME AS OF $tEvo cur
+         |JOIN `graft-project.store.ord_t`
+         |  FOR SYSTEM_TIME AS OF $tDel old
+         |  ON cur.o_orderkey = old.o_orderkey
+         |""".stripMargin)
+      .sortedWide("o_orderkey")
+  }
+
+  val q80Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS note,
+      |  o_totalprice AS price
+      |FROM orders WHERE o_orderstatus <> 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
@@ -544,5 +596,6 @@ object Storage {
     Q("q76_zorder", q76Zorder, Some(q76Oracle)),
     Q("q77_bloom_lookup", q77BloomLookup, Some(q77Oracle)),
     Q("q78_dv_delete", q78DvDelete, Some(q78Oracle)),
-    Q("q79_multi_lookup", q79MultiLookup, Some(q79Oracle)))
+    Q("q79_multi_lookup", q79MultiLookup, Some(q79Oracle)),
+    Q("q80_travel_across_ddl", q80TravelAcrossDdl, Some(q80Oracle)))
 }
