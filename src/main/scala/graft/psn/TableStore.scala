@@ -1505,11 +1505,15 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     val conf = spark.sessionState.newHadoopConf()
     val files = dataFiles(base)
     if (files.isEmpty) return None
+    // A ZERO-ROW file (Spark writes one for an empty partition) carries no
+    // chunk stats for any column, but it also provably contributes nothing
+    // to MIN/MAX — skip it instead of letting it poison the
+    // complete-or-None contract.
     val per = pooled(files, parallelism) { p =>
       sidecar.getOrElse(base.relativize(p).toString,
-        FileStats.ofFile(conf, base, p)).cols.get(column)
-    }
-    if (per.exists(_.isEmpty)) None
+        FileStats.ofFile(conf, base, p))
+    }.filter(_.rows > 0).map(_.cols.get(column))
+    if (per.isEmpty || per.exists(_.isEmpty)) None
     else {
       val cs = per.flatten
       if (cs.map(_.kind).distinct.length != 1) None
