@@ -1200,6 +1200,23 @@ object Sql {
       "unsupported statement: expected ANALYZE TABLE <t> [BLOOM (c1, …)]")
   }
 
+  private val RestoreStmt =
+    """(?is)\s*RESTORE\s+TABLE\s+`?([\w.-]+)`?\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  /** Execute RESTORE TABLE … TO VERSION AS OF <v> — rollback as a
+    * link-only commit ([[graft.psn.TableStore.restore]]): the snapshot's
+    * files, declared schema, and deletion vector become the new head;
+    * the rolled-back commits stay readable until GC. */
+  def runRestore(store: TableStore, sql: String): Unit = sql match {
+    case RestoreStmt(target, v) =>
+      val name = baseName(target)
+      require(store.exists(name), s"RESTORE $name: table does not exist")
+      require(store.restore(name, v.toInt),
+        s"RESTORE $name lost its commit race — rerun")
+    case _ => throw new IllegalArgumentException(
+      "unsupported statement: expected RESTORE TABLE <t> TO VERSION AS OF <v>")
+  }
+
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+`?([\w.-]+)`?(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
 
@@ -1324,9 +1341,10 @@ object Sql {
         case "OPTIMIZE" => runOptimize(s, store, st)
         case "ALTER" => runAlter(store, st)
         case "VACUUM" => runVacuum(store, st)
+        case "RESTORE" => runRestore(store, st)
         case verb => throw new IllegalArgumentException(
           s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
-            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE/ALTER/VACUUM")
+            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE/ALTER/VACUUM/RESTORE")
       }
     }
     stmts.length

@@ -585,6 +585,51 @@ object Storage {
       |FROM orders WHERE o_orderstatus <> 'F'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q81: RESTORE — the recover-from-a-bad-write verb. A CTAS seeds the
+    * table, a (deliberately wrong) row-level DELETE commits a deletion
+    * vector, and RESTORE TO VERSION AS OF rolls the head back as a
+    * LINK-ONLY commit (the in-query require pins zero files rewritten).
+    * The oracle recomputes the full original aggregate — hash equality
+    * proves the rollback erased the delete's effect exactly, while the
+    * bad commit stays a retained, inspectable version.
+    *
+    * Scale shape: rollback on 100 TB is O(files) link(2) + sidecar
+    * copies, never a data rewrite; BigQuery spells the same recovery
+    * CREATE TABLE AS SELECT … FOR SYSTEM_TIME AS OF (which re-writes),
+    * Delta spells it RESTORE — the store gives Delta's cost. */
+  def q81Restore(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_rst_wh").toString
+    val store = new TableStore(s, wh)
+    Sql.runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.order_state` AS
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders;
+        |DELETE FROM `graft-project.store.order_state`
+        |  WHERE o_orderstatus = 'F';""".stripMargin)
+    val v1 = store.versions("order_state").min
+    val filesBefore = store.fileCount("order_state")
+    Sql.runScript(s, store, dir,
+      s"RESTORE TABLE `graft-project.store.order_state` " +
+        s"TO VERSION AS OF $v1;")
+    require(store.fileCount("order_state") == filesBefore,
+      "RESTORE rewrote data files — it must be link + sidecar only")
+    require(store.countRows("order_state") ==
+      store.read("order_state").count(),
+      "restored head's metadata COUNT must match the live read")
+    store.read("order_state")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+          .cast("double").as("total"))
+      .sortedSmall("o_orderstatus")
+  }
+
+  val q81Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
@@ -597,5 +642,6 @@ object Storage {
     Q("q77_bloom_lookup", q77BloomLookup, Some(q77Oracle)),
     Q("q78_dv_delete", q78DvDelete, Some(q78Oracle)),
     Q("q79_multi_lookup", q79MultiLookup, Some(q79Oracle)),
-    Q("q80_travel_across_ddl", q80TravelAcrossDdl, Some(q80Oracle)))
+    Q("q80_travel_across_ddl", q80TravelAcrossDdl, Some(q80Oracle)),
+    Q("q81_restore", q81Restore, Some(q81Oracle)))
 }

@@ -340,6 +340,52 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       } finally s.close()
     }
 
+  /** RESTORE (rollback): republish a RETAINED snapshot as the new head —
+    * the recover-from-a-bad-write verb (Delta's RESTORE TABLE). The
+    * commit hard-links the snapshot's data files and carries ITS
+    * sidecars (declared schema, deletion vector) verbatim, so the head
+    * becomes byte- and semantics-identical to the snapshot — including
+    * UNDOING later schema evolution (a restore to a pre-ADD-COLUMN
+    * snapshot has no declared schema again) and later deletes. O(files)
+    * link metadata, zero data moved; history is append-only (the
+    * restore is a NEW version — the bad commits stay inspectable until
+    * GC ages them). Bounded by the retention window like every
+    * time-travel read; restoring the current head is a no-op (true).
+    * Refused on change-feed tables: the feed streams appends and its
+    * consumers could not observe the rollback. */
+  def restore(table: String, v: Int, txnTag: Option[String] = None): Boolean = {
+    requireNoFeed(table, "restore")
+    checkTag(txnTag)
+    val have = versions(table)
+    require(have.contains(v),
+      s"restore($table): version v$v not retained (readable: " +
+        s"${have.mkString(",")})")
+    val (seq0, v0) = head(table)
+    if (v == v0) return true
+    val src = if (v == 0) dir(table) else dir(table).resolve(s"v$v")
+    val (nv, claimed) = claimNext(table)
+    dataFiles(src).foreach { f =>
+      val dst = claimed.resolve(src.relativize(f).toString)
+      Files.createDirectories(dst.getParent)
+      Files.createLink(dst, f)
+    }
+    linkDvVerbatim(src, claimed)
+    declaredSchemaOf(table, v).foreach(st =>
+      Files.writeString(schemaPath(table, nv), st.json))
+    if (publish(table, seq0 + 1, nv, checkTag(txnTag))) {
+      commitPointer(table, nv)
+      gc(table, v0)
+      maintainStats(table, v0)
+      // NO maintainSchema: the head's declaration is the SNAPSHOT's (set
+      // above, or absent), never carried forward from the rolled-back v0.
+      true
+    } else {
+      deleteRecursive(claimed)
+      Files.deleteIfExists(schemaPath(table, nv))
+      false
+    }
+  }
+
   /** Total rows named by the current version's deletion vector —
     * metadata-only (DV parquet footers). */
   private def dvRowCount(base: Path): Long =
