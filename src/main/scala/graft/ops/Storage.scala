@@ -630,6 +630,43 @@ object Storage {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q82: DESCRIBE HISTORY — the commit log as a queryable DataFrame:
+    * (seq, version, txn_tag) per retained marker, here joined with each
+    * version's time-travel row count, so the oracle pins BOTH the log's
+    * content (tags land on the right commits, in order) and that every
+    * listed version actually serves its snapshot. Wall-clock stamps are
+    * excluded from the gate (non-deterministic) but carried by the API.
+    *
+    * Scale shape: the log walk is driver-side and bounded by retention;
+    * the only Spark work is the tiny local DataFrame and the per-version
+    * counts the gate adds for evidence. */
+  def q82History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_hist_wh").toString
+    val store = new TableStore(s, wh)
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    store.overwrite("h", ord, txnTag = Some("load:1"))
+    store.mergeWith("h", txnTag = Some("prune:2"))(
+      df => df.filter(col("o_orderstatus") =!= "F"))
+    val counts = store.versions("h")
+      .map(v => (v, store.readVersion("h", v).count()))
+      .toDF("version", "n_rows")
+    store.history("h").select(col("seq"), col("version"), col("txn_tag"))
+      .join(counts, "version")
+      .select(col("seq"), col("version"), col("txn_tag"), col("n_rows"))
+      .sortedSmall("seq")
+  }
+
+  val q82Oracle: String =
+    """SELECT 1 AS seq, 1 AS version, 'load:1' AS txn_tag,
+      |  (SELECT COUNT(*) FROM orders) AS n_rows
+      |UNION ALL
+      |SELECT 2, 2, 'prune:2',
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F')
+      |ORDER BY seq""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
@@ -643,5 +680,6 @@ object Storage {
     Q("q78_dv_delete", q78DvDelete, Some(q78Oracle)),
     Q("q79_multi_lookup", q79MultiLookup, Some(q79Oracle)),
     Q("q80_travel_across_ddl", q80TravelAcrossDdl, Some(q80Oracle)),
-    Q("q81_restore", q81Restore, Some(q81Oracle)))
+    Q("q81_restore", q81Restore, Some(q81Oracle)),
+    Q("q82_history", q82History, Some(q82Oracle)))
 }

@@ -340,6 +340,22 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       } finally s.close()
     }
 
+  /** DESCRIBE HISTORY: the live commit log as a DataFrame — one row per
+    * retained marker with (seq, version, ts_millis, txn_tag), newest
+    * last. Driver-side marker reads (bounded by retention, like every
+    * log walk here), then a local DataFrame: the audit surface Delta
+    * spells DESCRIBE HISTORY and BigQuery hides in INFORMATION_SCHEMA.
+    * ts falls back to the marker file's mtime for pre-metadata commits
+    * (link(2) publishes atomically at commit time, so mtime IS commit
+    * time there). */
+  def history(table: String): DataFrame = {
+    require(exists(table), s"history: table '$table' does not exist")
+    val rows = markerLog(table).map(m =>
+      (m.seq, m.version, markerTime(table, m), m.tag.orNull))
+    import spark.implicits._
+    rows.toDF("seq", "version", "ts_millis", "txn_tag")
+  }
+
   /** RESTORE (rollback): republish a RETAINED snapshot as the new head —
     * the recover-from-a-bad-write verb (Delta's RESTORE TABLE). The
     * commit hard-links the snapshot's data files and carries ITS
