@@ -17,7 +17,11 @@ date
 SPARK_GRAFT_SF_DIR=/tmp/sf1_10x SPARK_GRAFT_BENCH_OUT=/tmp/r12_spark_10x.json \
   sbt -batch 'runMain graft.Bench' > /tmp/r12_bench_10x.log 2>&1
 date
-python3 tools/bench_duck.py /tmp/sf1_10x "$ORACLES" /tmp/r12_duck_10x.json \
+# DUCK_MEM_LIMIT: without it, t26's 10x query gets the process OOM-killed
+# at ~130 GB RSS and every query after it is silently lost; with it,
+# DuckDB raises and the DNF is recorded (t23/t26 are the expected two).
+DUCK_MEM_LIMIT=100GB \
+  python3 tools/bench_duck.py /tmp/sf1_10x "$ORACLES" /tmp/r12_duck_10x.json \
   > /tmp/r12_duck_10x.log 2>&1
 date
 python3 tools/make_bench_10x.py /tmp/r12_spark_1x.json /tmp/r12_spark_10x.json \
