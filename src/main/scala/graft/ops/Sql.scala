@@ -698,8 +698,117 @@ object Sql {
     finally storeViews.foreach(t => s.catalog.dropTempView(t))
   }
 
+  private val CloneStmt = (
+    """(?is)\s*CREATE\s+(SNAPSHOT\s+)?TABLE\s+`?([\w.-]+)`?\s+CLONE\s+""" +
+    """`?([\w.-]+)`?(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)""" +
+    """|\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+'([^']+)'""" +
+    """|(\d{10,})))?\s*;?\s*""").r
+
+  /** Execute `CREATE [SNAPSHOT] TABLE <t> CLONE <src> [FOR VERSION AS OF
+    * <v> | FOR SYSTEM_TIME AS OF …]` — the zero-copy clone verb
+    * ([[TableStore.cloneTable]]): BigQuery's table clone (writable) and
+    * snapshot table (read-only), optionally pinned to a retained version
+    * or a commit timestamp (resolved like every SYSTEM_TIME reference).
+    * O(files) hard links, no data copied, no SELECT executed. */
+  def runClone(store: TableStore, sql: String): String = sql match {
+    case CloneStmt(snap, target, source, ver, tsLit, epoch) =>
+      val name = baseName(target)
+      val src = baseName(source)
+      val asOf =
+        if (ver != null) Some(ver.toInt)
+        else if (tsLit != null || epoch != null)
+          Some(store.versionAsOf(src, parseTsMillis(tsLit, epoch)))
+        else None
+      store.cloneTable(src, name, asOf, snapshot = snap != null)
+      name
+    case _ => throw new IllegalArgumentException(
+      "unsupported DDL: expected CREATE [SNAPSHOT] TABLE <t> CLONE <src> " +
+        "[FOR VERSION AS OF <v> | FOR SYSTEM_TIME AS OF TIMESTAMP '<ts>']")
+  }
+
+  private val CreateMvStmt = (
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?([\w.-]+)`?\s+AS\s+""" +
+    """SELECT\s+(.+?)\s+FROM\s+`?([\w.-]+)`?\s+GROUP\s+BY\s+""" +
+    """([\w\s,]+?)\s*;?\s*""").r
+  private val MvAggItem =
+    """(?i)\s*(COUNT|SUM|MIN|MAX)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val MvKeyItem = """\s*(\w+)\s*""".r
+
+  /** Execute `CREATE MATERIALIZED VIEW <mv> AS SELECT <keys, aggs> FROM
+    * <base> GROUP BY <keys>` — BigQuery's aggregate materialized view,
+    * with BigQuery's own restriction surfaced loudly: the select list
+    * may hold only the GROUP BY keys and COUNT(*)/SUM/MIN/MAX aggregates
+    * (the self-merging class that makes query-time freshness and
+    * incremental REFRESH sound — [[TableStore.createMaterializedView]]).
+    * `COUNT(*)` needs no argument column; aggregates need an `AS` alias
+    * (they name stored columns). */
+  def runCreateMv(store: TableStore, sql: String): String = sql match {
+    case CreateMvStmt(target, selectList, base, groupBy) =>
+      val mv = baseName(target)
+      val keys = groupBy.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      require(keys.nonEmpty && keys.forall(_.matches("\\w+")),
+        s"GROUP BY must list plain columns, got '$groupBy'")
+      val items = splitTopLevel(selectList)
+      val (keyItems, aggItems) = items.partition {
+        case MvKeyItem(_) => true
+        case _ => false
+      }
+      val keyCols = keyItems.map { case MvKeyItem(k) => k }
+      require(keyCols.sorted == keys.sorted,
+        s"materialized-view select list keys ${keyCols.mkString(",")} " +
+          s"must equal GROUP BY ${keys.mkString(",")}")
+      val aggs = aggItems.map {
+        case MvAggItem(f, in, out) =>
+          val func = f.toUpperCase
+          require(func != "COUNT" || in == "*",
+            "materialized views support COUNT(*) (not COUNT(col))")
+          require(func == "COUNT" || in != "*",
+            s"$func(*) is not an aggregate — name a column")
+          graft.psn.MvAgg(out, func, in)
+        case other => throw new IllegalArgumentException(
+          s"unsupported materialized-view select item '$other': expected " +
+            "a GROUP BY key or COUNT(*)/SUM(c)/MIN(c)/MAX(c) AS alias " +
+            "(BigQuery's aggregate-MV restriction, enforced loudly)")
+      }
+      store.createMaterializedView(mv, baseName(base), keys, aggs)
+      mv
+    case _ => throw new IllegalArgumentException(
+      "unsupported DDL: expected CREATE MATERIALIZED VIEW <mv> AS SELECT " +
+        "<keys, aggs> FROM <base> GROUP BY <keys>")
+  }
+
+  /** Split a select list on top-level commas (not inside parens). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val RefreshMvStmt =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+`?([\w.-]+)`?\s*;?\s*""".r
+
+  /** Execute REFRESH MATERIALIZED VIEW — re-materialize and re-pin
+    * ([[TableStore.refreshMaterializedView]]): incremental when the base
+    * only grew in place, full recompute when it was rewritten. */
+  def runRefreshMv(store: TableStore, sql: String): Unit = sql match {
+    case RefreshMvStmt(target) =>
+      store.refreshMaterializedView(baseName(target))
+    case _ => throw new IllegalArgumentException(
+      "unsupported statement: expected REFRESH MATERIALIZED VIEW <mv>")
+  }
+
   def runCtas(s: SparkSession, store: TableStore, dir: String,
       sql: String): String = sql match {
+    case CloneStmt(_*) => runClone(store, sql)
+    case CreateMvStmt(_*) => runCreateMv(store, sql)
     case CtasStmt(orReplace, target, select) =>
       val name = baseName(target)
       require(orReplace != null || !store.exists(name),
@@ -708,7 +817,8 @@ object Sql {
       withStatementViews(s, store, dir)(store.overwrite(name, s.sql(select)))
       name
     case _ => throw new IllegalArgumentException(
-      "unsupported DDL: expected CREATE [OR REPLACE] TABLE <t> AS SELECT …")
+      "unsupported DDL: expected CREATE [OR REPLACE] TABLE <t> AS SELECT … " +
+        "or CREATE [SNAPSHOT] TABLE <t> CLONE <src>")
   }
 
   /** q60: CREATE TABLE AS SELECT end-to-end through the versioned store —
@@ -1342,9 +1452,13 @@ object Sql {
         case "ALTER" => runAlter(store, st)
         case "VACUUM" => runVacuum(store, st)
         case "RESTORE" => runRestore(store, st)
+        case "EXPORT" => runExport(s, store, dir, st)
+        case "LOAD" => runLoad(s, store, st)
+        case "REFRESH" => runRefreshMv(store, st)
         case verb => throw new IllegalArgumentException(
           s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
-            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE/ALTER/VACUUM/RESTORE")
+            "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE/ALTER/VACUUM/" +
+            "RESTORE/EXPORT/LOAD/REFRESH")
       }
     }
     stmts.length
@@ -1429,6 +1543,256 @@ object Sql {
       |FROM orders WHERE o_orderstatus <> 'O' AND o_orderkey % 7 = 0
       |ORDER BY o_orderkey, status""".stripMargin
 
+  /** A wildcard table reference — BigQuery requires the backticks:
+    * `` `proj.ds.orders_*` ``. The captured group excludes the `*`. */
+  private val WildcardRef = """`([\w.-]+)\*`""".r
+
+  /** Execute a SELECT whose FROM items use BigQuery wildcard tables:
+    * every `` `prefix*` `` reference becomes a statement-scoped view over
+    * [[TableStore.readWildcard]] — the union of all matching store
+    * tables, each branch carrying its `_TABLE_SUFFIX` literal. The rest
+    * of the statement is arbitrary Catalyst SQL over corpus views + the
+    * wildcard views; `_TABLE_SUFFIX` predicates in the WHERE clause
+    * constant-fold per branch, so non-matching shards' scans are PRUNED
+    * from the plan by the optimizer (see readWildcard's contract — q84
+    * asserts it on the optimized plan).
+    *
+    * Scale shape: shard elimination happens at plan time; the surviving
+    * branches scan like any parquet table (pushdown, pruning intact).
+    * The union is by name with null-fill, so a schema-drifted shard
+    * cannot silently misalign columns. */
+  def runWildcard(s: SparkSession, store: TableStore, dir: String,
+      sql: String): DataFrame = {
+    require(sql.trim.toUpperCase.startsWith("SELECT"),
+      "wildcard-table statements are SELECT-only")
+    registerViews(s, dir)
+    val views = scala.collection.mutable.LinkedHashSet[String]()
+    val rewritten = WildcardRef.replaceAllIn(sql, m => {
+      val prefix = baseName(m.group(1))
+      val v = s"${prefix}_wild_"
+      if (!views.contains(v)) {
+        store.readWildcard(prefix).createOrReplaceTempView(v)
+        views += v
+      }
+      v
+    })
+    require(views.nonEmpty,
+      "no wildcard `<prefix>*` table reference in the statement")
+    try s.sql(rewritten)
+    finally views.foreach(s.catalog.dropTempView(_))
+  }
+
+  /** q84: wildcard tables end-to-end — the orders table sharded by year
+    * into `orders_<yyyy>` store tables (the BigQuery date-shard layout
+    * that predates partitioned tables and still dominates public
+    * datasets), then ONE statement over `` `orders_*` `` filtering
+    * `_TABLE_SUFFIX` to the middle years. The in-query require proves
+    * the optimizer ELIMINATED the out-of-range shards from the plan
+    * (per-branch literal suffix → constant-folded filter → pruned scan);
+    * the hash gate proves the suffix routing and the union semantics
+    * against a declarative recompute over the unsharded table.
+    *
+    * Scale shape: pruning is plan-time, so a 10-year × daily-shard
+    * corpus answers a one-month question by scanning ~30 shards; with
+    * huge shard counts the metadata-level `suffixPred` arm of
+    * [[TableStore.readWildcard]] bounds plan cost too. */
+  def q84WildcardTables(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_wild_wh").toString
+    val store = new TableStore(s, wh)
+    val ord = orders(s, dir).select(col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("yr"))
+    // bounded collect: |distinct calendar years| (7 in this corpus)
+    val years = ord.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(years.length >= 3,
+      s"need >= 3 year shards for a strict middle band, got ${years.length}")
+    years.foreach(y =>
+      store.overwrite(s"orders_$y", ord.filter(col("yr") === y).drop("yr")))
+    val (lo, hi) = (years(1), years(years.length - 2))
+    val out = runWildcard(s, store, dir,
+      s"""SELECT _TABLE_SUFFIX AS yr, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+         |    AS total
+         |FROM `graft-project.store.orders_*`
+         |WHERE _TABLE_SUFFIX BETWEEN '$lo' AND '$hi'
+         |GROUP BY _TABLE_SUFFIX""".stripMargin)
+    val scanned = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.length
+    val wanted = years.count(y => y >= lo && y <= hi)
+    require(scanned == wanted,
+      s"shard pruning inert: plan scans $scanned relations for a " +
+        s"$wanted-shard suffix range (of ${years.length} shards)")
+    out.sortedSmall("yr")
+  }
+
+  val q84Oracle: String =
+    """WITH yrs AS (SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate)
+      |    AS BIGINT) AS y FROM orders),
+      |b AS (SELECT
+      |  (SELECT y FROM yrs ORDER BY y LIMIT 1 OFFSET 1) AS lo,
+      |  (SELECT y FROM yrs ORDER BY y DESC LIMIT 1 OFFSET 1) AS hi)
+      |SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS yr,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders, b
+      |WHERE EXTRACT(year FROM o_orderdate) BETWEEN b.lo AND b.hi
+      |GROUP BY 1 ORDER BY yr""".stripMargin
+
+  private val ExportStmt = (
+    """(?is)\s*EXPORT\s+DATA\s+OPTIONS\s*\(\s*uri\s*=\s*'([^']+)'\s*,""" +
+    """\s*format\s*=\s*'(\w+)'\s*\)\s*AS\s*(SELECT\b.+?)\s*;?\s*""").r
+
+  /** Execute `EXPORT DATA OPTIONS(uri='…', format='PARQUET'|'CSV'|'JSON')
+    * AS SELECT …` — BigQuery's bulk-export statement: the SELECT runs
+    * over corpus views + statement-scoped store views and its result
+    * lands as files at the uri (a BigQuery-style wildcard tail — slash,
+    * star, extension — names the directory). The write is the plan's LAST stage — one
+    * distributed pass, files written per partition in parallel, no
+    * driver materialization; exactly how a 100 TB result leaves the
+    * warehouse. Re-running replaces the target (mode overwrite): an
+    * export is a publication, not a ledger. Returns the directory. */
+  def runExport(s: SparkSession, store: TableStore, dir: String,
+      sql: String): String = sql match {
+    case ExportStmt(uri, fmt, select) =>
+      val path = uri.replaceFirst("/\\*[^/]*$", "")
+      val f = fmt.toUpperCase
+      withStatementViews(s, store, dir) {
+        val w = s.sql(select).write.mode("overwrite")
+        f match {
+          case "PARQUET" => w.parquet(path)
+          case "CSV" => w.option("header", "true").csv(path)
+          case "JSON" => w.json(path)
+          case other => throw new IllegalArgumentException(
+            s"EXPORT DATA format '$other' unsupported: PARQUET, CSV, JSON")
+        }
+      }
+      path
+    case _ => throw new IllegalArgumentException(
+      "unsupported statement: expected EXPORT DATA OPTIONS(uri='…', " +
+        "format='…') AS SELECT …")
+  }
+
+  private val LoadStmt = (
+    """(?is)\s*LOAD\s+DATA\s+(INTO|OVERWRITE)\s+`?([\w.-]+)`?\s+FROM\s+""" +
+    """FILES\s*\(\s*uris\s*=\s*\[([^\]]+)\]\s*,\s*format\s*=\s*'(\w+)'""" +
+    """\s*\)\s*;?\s*""").r
+
+  /** Execute `LOAD DATA INTO|OVERWRITE <t> FROM FILES(uris=[…],
+    * format='PARQUET'|'CSV'|'JSON')` — BigQuery's file-ingestion
+    * statement (the reference's pipeline is load-then-query:
+    * load_data_first.py's load jobs and main.py:62's `to_gbq`). INTO
+    * appends through the store's schema-asserted in-place append;
+    * OVERWRITE truncate-loads a new version. CSV reads with header +
+    * schema inference (BigQuery's autodetect). Returns the row count
+    * loaded — the statement's job statistics.
+    *
+    * Scale shape: the read is a parquet/CSV scan like any other source
+    * (splittable, parallel), the sink is the store's append — one pass,
+    * no driver staging. */
+  def runLoad(s: SparkSession, store: TableStore, sql: String): Long =
+    sql match {
+      case LoadStmt(mode, target, uriList, fmt) =>
+        val name = baseName(target)
+        val uris = uriList.split(",").toSeq.map(_.trim)
+          .map { u =>
+            require(u.length > 2 && u.head == '\'' && u.last == '\'',
+              s"LOAD DATA uris must be quoted strings, got $u")
+            u.substring(1, u.length - 1)
+          }
+        require(uris.nonEmpty, "LOAD DATA needs at least one uri")
+        val df = fmt.toUpperCase match {
+          case "PARQUET" => s.read.parquet(uris: _*)
+          case "CSV" => s.read.option("header", "true")
+            .option("inferSchema", "true").csv(uris: _*)
+          case "JSON" => s.read.json(uris: _*)
+          case other => throw new IllegalArgumentException(
+            s"LOAD DATA format '$other' unsupported: PARQUET, CSV, JSON")
+        }
+        val n = df.count()
+        if (mode.equalsIgnoreCase("OVERWRITE")) store.overwrite(name, df)
+        else store.append(name, df)
+        n
+      case _ => throw new IllegalArgumentException(
+        "unsupported statement: expected LOAD DATA INTO|OVERWRITE <t> " +
+          "FROM FILES(uris=['…'], format='…')")
+    }
+
+  /** q85: EXPORT DATA end-to-end — one statement aggregates lineitem and
+    * publishes the result as parquet files; the gate READS THE EXPORT
+    * BACK, so the hash proves parse → SELECT → distributed file write →
+    * re-scan equals the declarative answer (a broken exporter that
+    * wrote, say, the pre-aggregation rows or lost a partition cannot
+    * pass). */
+  def q85SqlExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_exp_wh").toString
+    val store = new TableStore(s, wh)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_exp_out").toString
+    Sql.runExport(s, store, dir,
+      s"""EXPORT DATA OPTIONS(uri='$out/flag_rollup/*.parquet',
+         |  format='PARQUET') AS
+         |SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+         |    AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |""".stripMargin)
+    s.read.parquet(s"$out/flag_rollup")
+      .sortedSmall("l_returnflag", "l_linestatus")
+  }
+
+  val q85Oracle: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q86: LOAD DATA end-to-end — the reference's load-then-query pipeline
+    * as statements: the order file is split into two halves, the first
+    * LOAD creates the table, the second APPENDS (INTO), and a third
+    * statement OVERWRITE-loads a scratch table to prove truncate-load
+    * too; the gate aggregates the loaded table, so the hash proves both
+    * load modes composed losslessly with the store's commit protocol. */
+  def q86SqlLoad(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_load_wh").toString
+    val store = new TableStore(s, wh)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_load_src").toString
+    val ord = orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    ord.filter(col("o_orderkey") % 2 === 0).write.parquet(s"$stage/even")
+    ord.filter(col("o_orderkey") % 2 =!= 0).write.parquet(s"$stage/odd")
+    Sql.runLoad(s, store,
+      s"LOAD DATA INTO `graft-project.store.orders_ld` FROM FILES(" +
+        s"uris=['$stage/even'], format='PARQUET');")
+    Sql.runLoad(s, store,
+      s"LOAD DATA INTO `graft-project.store.orders_ld` FROM FILES(" +
+        s"uris=['$stage/odd'], format='PARQUET');")
+    Sql.runLoad(s, store,
+      s"LOAD DATA OVERWRITE `graft-project.store.orders_ld` FROM FILES(" +
+        s"uris=['$stage/even', '$stage/odd'], format='PARQUET');")
+    store.read("orders_ld")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+          .cast("double").as("total"))
+      .sortedSmall("o_orderstatus")
+  }
+
+  val q86Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
@@ -1440,5 +1804,8 @@ object Sql {
     graft.Q("q64_sql_time_travel", q64SqlTimeTravel, Some(q64Oracle)),
     graft.Q("q66_sql_nightly_script", q66SqlNightlyScript, Some(q66Oracle)),
     graft.Q("q67_sql_system_time", q67SqlSystemTime, Some(q67Oracle)),
-    graft.Q("q68_sql_merge_expr", q68SqlMergeExpr, Some(q68Oracle)))
+    graft.Q("q68_sql_merge_expr", q68SqlMergeExpr, Some(q68Oracle)),
+    graft.Q("q84_wildcard_tables", q84WildcardTables, Some(q84Oracle)),
+    graft.Q("q85_sql_export", q85SqlExport, Some(q85Oracle)),
+    graft.Q("q86_sql_load", q86SqlLoad, Some(q86Oracle)))
 }

@@ -667,6 +667,181 @@ object Storage {
       |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F')
       |ORDER BY seq""".stripMargin
 
+  /** q83: CREATE SNAPSHOT TABLE … CLONE — the zero-copy clone verb
+    * ([[TableStore.cloneTable]]; BigQuery table snapshots, Delta SHALLOW
+    * CLONE). The script stages a working table, snapshots it, then
+    * DELETEs from the working table; the gate reads BOTH tables back, so
+    * the hash proves the snapshot PINNED the pre-delete state while the
+    * source kept evolving — and the in-query requires prove the clone
+    * commit linked rather than copied (identical file count, zero Spark
+    * jobs would be the plan-level view) and that the snapshot refuses
+    * writes (the read-only half of the contract; without it a misrouted
+    * writer silently corrupts the backup it was meant to protect).
+    *
+    * Scale shape: the clone is O(files) hard links — on a 100 TB table
+    * an instant metadata commit where a copy would be a cluster-day;
+    * independent evolution afterwards is free because committed version
+    * directories are immutable and GC is per-table (shared inodes live
+    * until the LAST referrer ages out). */
+  def q83SnapshotClone(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_clone_wh").toString
+    val store = new TableStore(s, wh)
+    Sql.runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.orders_live` AS
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders;
+        |CREATE SNAPSHOT TABLE `graft-project.store.orders_backup`
+        |  CLONE `graft-project.store.orders_live`;""".stripMargin)
+    require(store.fileCount("orders_backup") ==
+      store.fileCount("orders_live"),
+      "clone must carry the source snapshot's files one-to-one")
+    Sql.runScript(s, store, dir,
+      """DELETE FROM `graft-project.store.orders_live`
+        |  WHERE o_orderstatus = 'F';""".stripMargin)
+    val refused =
+      try { store.deleteRows("orders_backup", lit(true)); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "snapshot table accepted a write — it must be " +
+      "read-only for life")
+    def sideAgg(table: String, side: String) = store.read(table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2)))
+          .cast("double").as("total"))
+      .select(lit(side).as("side"), col("o_orderstatus"), col("n"),
+        col("total"))
+    sideAgg("orders_live", "live")
+      .unionByName(sideAgg("orders_backup", "snapshot"))
+      .sortedSmall("side", "o_orderstatus")
+  }
+
+  val q83Oracle: String =
+    """SELECT 'live' AS side, o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'snapshot', o_orderstatus, COUNT(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY side, o_orderstatus""".stripMargin
+
+  /** q87: MATERIALIZED VIEW with query-time freshness — BigQuery's
+    * aggregate MV end-to-end: CTAS stages half the orders, CREATE
+    * MATERIALIZED VIEW aggregates them, INSERT appends the other half
+    * IN PLACE (no new base version), and the gated read combines the
+    * now-stale stored rows with a partial aggregate over ONLY the
+    * appended files ([[TableStore.readMaterialized]] — the in-query
+    * require proves a real delta existed, so the combine path cannot be
+    * skipped). REFRESH then re-materializes incrementally and the
+    * second read must serve the stored rows verbatim (delta count back
+    * to zero — also required). Both reads ride into the gate against
+    * ONE declarative recompute, so hash equality proves the MV algebra:
+    * combine(stale, delta) = refresh(…) = full aggregate.
+    *
+    * Scale shape: the stale read costs O(|view| + |delta|), never
+    * O(|base|) — the entire reason warehouses grew MVs; the decimal
+    * cast in the CTAS keeps SUM exact so freshness is hash-provable. */
+  def q87MaterializedView(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_mv_wh").toString
+    val store = new TableStore(s, wh)
+    Sql.runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.mv_base` AS
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(30,2)) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0;
+        |CREATE MATERIALIZED VIEW `graft-project.store.status_mv` AS
+        |  SELECT o_orderstatus, COUNT(*) AS n_orders, SUM(price) AS total,
+        |    MAX(o_orderkey) AS max_key
+        |  FROM `graft-project.store.mv_base` GROUP BY o_orderstatus;
+        |INSERT INTO `graft-project.store.mv_base`
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(30,2)) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 1;""".stripMargin)
+    require(store.mvDeltaFiles("status_mv") >= 1,
+      "the append left no uncovered file — the combine path is untested")
+    val live = store.readMaterialized("status_mv")
+    Sql.runScript(s, store, dir,
+      "REFRESH MATERIALIZED VIEW `graft-project.store.status_mv`;")
+    require(store.mvDeltaFiles("status_mv") == 0,
+      "REFRESH must leave the view covering every base file")
+    val refreshed = store.readMaterialized("status_mv")
+    def shape(df: DataFrame, side: String) = df.select(lit(side).as("side"),
+      col("o_orderstatus"), col("n_orders"),
+      col("total").cast("double").as("total"), col("max_key"))
+    shape(live, "combined").unionByName(shape(refreshed, "refreshed"))
+      .sortedSmall("side", "o_orderstatus")
+  }
+
+  val q87Oracle: String =
+    """WITH a AS (SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+      |      AS total,
+      |    MAX(o_orderkey) AS max_key
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT 'combined' AS side, * FROM a
+      |UNION ALL
+      |SELECT 'refreshed', * FROM a
+      |ORDER BY side, o_orderstatus""".stripMargin
+
+  /** q88: INFORMATION_SCHEMA — the catalog itself as a gated query: a
+    * base table staged as overwrite + in-place append (so the metadata
+    * row count provably sums across files), a read-only SNAPSHOT clone,
+    * and a MATERIALIZED VIEW, all listed by
+    * [[TableStore.informationSchemaTables]] with BigQuery's table_type
+    * vocabulary, the committed version, footer-only row counts, and
+    * declared column counts. The COLUMNS view is gated structurally in
+    * the same query (ordinal/type of the view's own columns must match
+    * its read schema). The oracle recomputes every cell declaratively —
+    * a catalog that lies about a row count or misclassifies a snapshot
+    * fails the hash.
+    *
+    * Scale shape: the catalog walk is driver-side metadata (footers +
+    * flag files), never a scan — INFORMATION_SCHEMA must answer in
+    * seconds on a 10 000-table warehouse. */
+  def q88InformationSchema(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_is_wh").toString
+    val store = new TableStore(s, wh)
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    store.overwrite("orders_is", ord.filter(col("o_orderkey") % 2 === 0))
+    store.append("orders_is", ord.filter(col("o_orderkey") % 2 =!= 0))
+    store.cloneTable("orders_is", "orders_snap", snapshot = true)
+    store.createMaterializedView("status_mv", "orders_is",
+      Seq("o_orderstatus"), Seq(graft.psn.MvAgg("n", "COUNT", "*")))
+    // COLUMNS gates structurally: the catalog's types must be the read
+    // schema's, in ordinal order, for every listed table
+    val cols = store.informationSchemaColumns().collect()
+    store.informationSchemaTables().collect().foreach { t =>
+      val name = t.getString(0)
+      val declared = cols.filter(_.getString(0) == name)
+        .sortBy(_.getInt(2)).map(c => (c.getString(1), c.getString(3)))
+      val actual = store.read(name).schema.fields
+        .map(f => (f.name, f.dataType.sql))
+      require(declared.toSeq == actual.toSeq,
+        s"INFORMATION_SCHEMA.COLUMNS disagrees with the read schema of " +
+          s"'$name'")
+    }
+    store.informationSchemaTables()
+      .select(col("table_name"), col("table_type"), col("version"),
+        col("n_rows"), col("n_columns"))
+      .sortedSmall("table_name")
+  }
+
+  val q88Oracle: String =
+    """SELECT 'orders_is' AS table_name, 'BASE TABLE' AS table_type,
+      |  1 AS version, (SELECT COUNT(*) FROM orders) AS n_rows,
+      |  3 AS n_columns
+      |UNION ALL
+      |SELECT 'orders_snap', 'SNAPSHOT', 1,
+      |  (SELECT COUNT(*) FROM orders), 3
+      |UNION ALL
+      |SELECT 'status_mv', 'MATERIALIZED VIEW', 1,
+      |  (SELECT COUNT(DISTINCT o_orderstatus) FROM orders), 2
+      |ORDER BY table_name""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
@@ -681,5 +856,8 @@ object Storage {
     Q("q79_multi_lookup", q79MultiLookup, Some(q79Oracle)),
     Q("q80_travel_across_ddl", q80TravelAcrossDdl, Some(q80Oracle)),
     Q("q81_restore", q81Restore, Some(q81Oracle)),
-    Q("q82_history", q82History, Some(q82Oracle)))
+    Q("q82_history", q82History, Some(q82Oracle)),
+    Q("q83_snapshot_clone", q83SnapshotClone, Some(q83Oracle)),
+    Q("q87_materialized_view", q87MaterializedView, Some(q87Oracle)),
+    Q("q88_information_schema", q88InformationSchema, Some(q88Oracle)))
 }

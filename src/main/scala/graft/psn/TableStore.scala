@@ -6,7 +6,7 @@ import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, struct, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct, sum, when}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Sink abstraction (SURVEY §2.2 K1-K6) over a parquet warehouse directory.
@@ -69,6 +69,13 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * The empty-append guard the reference needs (main.py:184) is a no-op here:
   * appending an empty DataFrame writes no row files.
   */
+/** One aggregate of a materialized view: `out` = FUNC(`in`), FUNC ∈
+  * COUNT(*) | SUM | MIN | MAX — exactly the incrementally-combinable
+  * class BigQuery's aggregate MVs restrict to (each merges with itself:
+  * counts and sums add, min/max re-min/max), which is what makes the
+  * stale-rows + delta combine in [[TableStore.readMaterialized]] sound. */
+final case class MvAgg(out: String, func: String, in: String)
+
 final class TableStore(spark: SparkSession, warehouse: String) {
 
   private def dir(table: String): Path = Paths.get(warehouse, table)
@@ -193,6 +200,34 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def read(table: String): DataFrame =
     readSnapshot(table, currentVersion(table), resolve(table))
 
+  /** Wildcard table read — BigQuery's `FROM ds.events_*` idiom: the union
+    * of every store table whose name extends `prefix`, each branch tagged
+    * with a `_TABLE_SUFFIX` pseudo-column holding the name remainder as a
+    * per-branch LITERAL. That literal is the whole pruning design: a
+    * WHERE over `_TABLE_SUFFIX` constant-folds inside each branch, so
+    * Catalyst's PruneFilters collapses non-matching branches to empty
+    * relations and their parquet scans vanish from the plan — shard
+    * pruning as an optimizer consequence, not bespoke code. Branch
+    * schemas union BY NAME with null-fill (BigQuery's wildcard contract:
+    * shards may drift by added columns).
+    *
+    * `suffixPred` additionally prunes at METADATA time — with 10 000
+    * date shards, planning a 10 000-branch union just to fold most away
+    * is wasted driver work; callers that already know the suffix range
+    * pass it here and the union is built over survivors only. */
+  def readWildcard(prefix: String,
+      suffixPred: String => Boolean = _ => true): DataFrame = {
+    val matched = tables()
+      .filter(t => t.startsWith(prefix) && t.length > prefix.length)
+      .filter(t => suffixPred(t.stripPrefix(prefix)))
+    require(matched.nonEmpty,
+      s"wildcard '$prefix*' matches no store table")
+    matched.map { t =>
+      read(t).withColumn("_TABLE_SUFFIX",
+        org.apache.spark.sql.functions.lit(t.stripPrefix(prefix)))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Read one snapshot directory under its version's DECLARED schema when
     * a `_schema.v<N>` sidecar exists ([[addColumn]]/[[dropColumn]]), else
     * under the physical footer schema — then subtract the version's
@@ -279,6 +314,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def deleteRows(table: String, condition: org.apache.spark.sql.Column,
       txnTag: Option[String] = None): Long = {
     require(exists(table), s"deleteRows: table '$table' does not exist")
+    requireWritable(table) // loud before the scan, not after it
     requireNoFeed(table, "deleteRows")
     checkTag(txnTag)
     val base = resolve(table)
@@ -370,6 +406,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * Refused on change-feed tables: the feed streams appends and its
     * consumers could not observe the rollback. */
   def restore(table: String, v: Int, txnTag: Option[String] = None): Boolean = {
+    requireWritable(table) // loud before the no-op short circuit
     requireNoFeed(table, "restore")
     checkTag(txnTag)
     val have = versions(table)
@@ -427,6 +464,283 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     if (onDisk.isEmpty && legacyData(table)) Seq(0) else onDisk
   }
 
+  // ------------------------------------------------- clones + snapshots
+
+  private def snapshotFlag(table: String): Path =
+    dir(table).resolve("_snapshot")
+
+  /** True when `table` was created read-only (CREATE SNAPSHOT TABLE). */
+  def isSnapshot(table: String): Boolean = Files.exists(snapshotFlag(table))
+
+  /** Every mutating path funnels through here (committing rewrites via
+    * [[claimNext]]; in-place appends check explicitly): a SNAPSHOT table
+    * refuses all writes for its whole life — the read-only half of the
+    * BigQuery snapshot contract. DROP stays allowed (deleting a snapshot
+    * is how BigQuery retires one; the data it shares with the source
+    * lives on through the hard-link counts). */
+  private def requireWritable(table: String): Unit =
+    require(!isSnapshot(table),
+      s"'$table' is a read-only snapshot table (CREATE SNAPSHOT TABLE) — " +
+        "writes are refused; clone it writable (CREATE TABLE … CLONE) or " +
+        "drop it")
+
+  /** Zero-copy table clone — BigQuery's `CREATE TABLE … CLONE` (Delta's
+    * SHALLOW CLONE): materialize a retained snapshot of `source` (the
+    * head, or a pinned earlier version) as a NEW table whose v1
+    * hard-links the snapshot's data files and carries its sidecars —
+    * declared schema, deletion vector, CHECK constraints — verbatim.
+    * O(files) link metadata, zero bytes of data copied; from then on the
+    * two tables evolve independently, because committed version
+    * directories are immutable by protocol and every rewrite allocates
+    * new files — hard links share BYTES, never mutable state. The GC of
+    * either table unlinks only its own directory entries; the shared
+    * inodes survive until the last referrer ages out.
+    *
+    * `snapshot = true` additionally marks the clone read-only for life
+    * (BigQuery's CREATE SNAPSHOT TABLE — the cheap audit/backup verb):
+    * every later write, including RESTORE and OPTIMIZE, is refused loudly.
+    *
+    * At 100 TB this is the difference between an instant metadata
+    * operation and a cluster-day of copying — the reason warehouses grew
+    * a CLONE verb at all. Returns the clone's version number (1). */
+  def cloneTable(source: String, target: String,
+      asOfVersion: Option[Int] = None, snapshot: Boolean = false,
+      txnTag: Option[String] = None): Int = {
+    require(exists(source), s"clone: source table '$source' does not exist")
+    require(!exists(target),
+      s"clone: target table '$target' already exists in the store")
+    checkTag(txnTag)
+    val v = asOfVersion.getOrElse(currentVersion(source))
+    val have = versions(source)
+    require(have.contains(v),
+      s"clone($source): version v$v not retained (readable: " +
+        s"${have.mkString(",")})")
+    val src = if (v == 0) dir(source) else dir(source).resolve(s"v$v")
+    val (nv, claimed) = claimNext(target)
+    dataFiles(src).foreach { f =>
+      val dst = claimed.resolve(src.relativize(f).toString)
+      Files.createDirectories(dst.getParent)
+      Files.createLink(dst, f)
+    }
+    linkDvVerbatim(src, claimed)
+    declaredSchemaOf(source, v).foreach(st =>
+      Files.writeString(schemaPath(target, nv), st.json))
+    val cs = constraints(source)
+    if (cs.nonEmpty) writeConstraints(target, cs)
+    // The flag precedes the commit: a clone that crashes mid-create leaves
+    // an unreadable claim either way, and a committed snapshot is
+    // read-only from its very first visible instant.
+    if (snapshot) Files.writeString(snapshotFlag(target), "")
+    commitClaimed(target, nv, checkTag(txnTag))
+    nv
+  }
+
+  // ---------------------------------------------------- INFORMATION_SCHEMA
+
+  /** INFORMATION_SCHEMA.TABLES — the warehouse's own catalog as a
+    * queryable DataFrame: every readable table with its kind (BASE
+    * TABLE / SNAPSHOT / MATERIALIZED VIEW — BigQuery's table_type
+    * vocabulary), committed version, metadata-only row count (parquet
+    * footers, zero data read — [[countRows]]), data-file count, and
+    * column count. Driver-side directory + footer walk: O(tables ×
+    * files) metadata I/O, no Spark job for the stats themselves — the
+    * catalog must stay readable even when the cluster is saturated. */
+  def informationSchemaTables(): DataFrame = {
+    import spark.implicits._
+    tables().map { t =>
+      val tpe =
+        if (isSnapshot(t)) "SNAPSHOT"
+        else if (isMaterializedView(t)) "MATERIALIZED VIEW"
+        else "BASE TABLE"
+      (t, tpe, currentVersion(t), countRows(t), fileCount(t),
+        read(t).schema.fields.length)
+    }.toDF("table_name", "table_type", "version", "n_rows", "n_files",
+      "n_columns")
+  }
+
+  /** INFORMATION_SCHEMA.COLUMNS — (table, column, ordinal, type) for
+    * every readable table, under each table's DECLARED schema (so
+    * metadata-only ADD/DROP COLUMN show their post-evolution shape,
+    * not a sampled footer's). */
+  def informationSchemaColumns(): DataFrame = {
+    import spark.implicits._
+    tables().flatMap { t =>
+      read(t).schema.fields.zipWithIndex.map { case (f, i) =>
+        (t, f.name, i + 1, f.dataType.sql)
+      }
+    }.toDF("table_name", "column_name", "ordinal_position", "data_type")
+  }
+
+  // ---------------------------------------------------- materialized views
+
+  private final case class MvDef(base: String, keys: Seq[String],
+      aggs: Seq[MvAgg], baseVersion: Int, covered: Set[String])
+
+  private def mvDefPath(mv: String): Path = dir(mv).resolve("_mvdef")
+
+  def isMaterializedView(mv: String): Boolean = Files.exists(mvDefPath(mv))
+
+  /** Sidecar format (line-oriented like the marker log): base, keys,
+    * aggs (`out:func:in`), pinned base version, then one covered relPath
+    * per line. Rewritten atomically on refresh. */
+  private def writeMvDef(mv: String, d: MvDef): Unit = {
+    val staged = dir(mv).resolve(s"_mvdef.staged.${System.nanoTime}")
+    Files.writeString(staged,
+      (Seq(d.base, d.keys.mkString("\t"),
+        d.aggs.map(a => s"${a.out}:${a.func}:${a.in}").mkString("\t"),
+        d.baseVersion.toString) ++ d.covered.toSeq.sorted)
+        .mkString("", "\n", "\n"))
+    Files.move(staged, mvDefPath(mv), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readMvDef(mv: String): MvDef = {
+    require(isMaterializedView(mv),
+      s"'$mv' is not a materialized view (no _mvdef sidecar)")
+    val lines = Files.readString(mvDefPath(mv)).linesIterator.toSeq
+    MvDef(lines.head, lines(1).split("\t").toSeq,
+      lines(2).split("\t").toSeq.map { s =>
+        val Array(o, f, i) = s.split(":", 3); MvAgg(o, f, i)
+      },
+      lines(3).toInt, lines.drop(4).filter(_.nonEmpty).toSet)
+  }
+
+  private def mvAggExprs(aggs: Seq[MvAgg]) = aggs.map {
+    case MvAgg(out, "COUNT", _) => count(lit(1)).as(out)
+    case MvAgg(out, "SUM", c) => sum(col(c)).as(out)
+    case MvAgg(out, "MIN", c) => min(col(c)).as(out)
+    case MvAgg(out, "MAX", c) => max(col(c)).as(out)
+    case MvAgg(_, f, _) => throw new IllegalArgumentException(
+      s"materialized views support COUNT(*)/SUM/MIN/MAX, got $f")
+  }
+
+  /** The self-merge of each MV aggregate — counts/sums ADD, min/max
+    * re-minimize/maximize — applied over stored ∪ delta partials. */
+  private def mvCombineExprs(aggs: Seq[MvAgg]) = aggs.map {
+    case MvAgg(out, "COUNT" | "SUM", _) => sum(col(out)).as(out)
+    case MvAgg(out, "MIN", _) => min(col(out)).as(out)
+    case MvAgg(out, "MAX", _) => max(col(out)).as(out)
+    case MvAgg(_, f, _) => throw new IllegalArgumentException(
+      s"materialized views support COUNT(*)/SUM/MIN/MAX, got $f")
+  }
+
+  /** Aggregate the base's CURRENT snapshot and record what it covered:
+    * (pinned version, covered data-file relPaths, aggregated rows). */
+  private def mvSnapshotAgg(d: MvDef): (Int, Set[String], DataFrame) = {
+    val v = currentVersion(d.base)
+    val baseDir = resolve(d.base)
+    val files = dataFiles(baseDir)
+      .map(f => baseDir.relativize(f).toString).toSet
+    val rows = readSnapshot(d.base, v, baseDir)
+      .groupBy(d.keys.map(col): _*)
+      .agg(mvAggExprs(d.aggs).head, mvAggExprs(d.aggs).tail: _*)
+    (v, files, rows)
+  }
+
+  /** CREATE MATERIALIZED VIEW — BigQuery's aggregate MV: a store table
+    * holding `SELECT keys, aggs FROM base GROUP BY keys`, plus a sidecar
+    * pinning WHAT it covered (base version + data-file relPaths). The
+    * restriction to COUNT/SUM/MIN/MAX is the point, not a shortcut: it
+    * is the class whose partials merge associatively, so a read can
+    * combine the stored rows with a partial aggregate over just the
+    * files appended since — BigQuery's "smart tuning" freshness — and a
+    * REFRESH can advance the view incrementally. At 100 TB the MV turns
+    * a full-table aggregate into a tiny-table read plus a delta scan. */
+  def createMaterializedView(mv: String, base: String, keys: Seq[String],
+      aggs: Seq[MvAgg]): Unit = {
+    require(exists(base), s"materialized view base '$base' does not exist")
+    require(!exists(mv) && !isMaterializedView(mv),
+      s"CREATE MATERIALIZED VIEW $mv: name already exists in the store")
+    require(keys.nonEmpty && aggs.nonEmpty,
+      "a materialized view needs >= 1 GROUP BY key and >= 1 aggregate")
+    val d = MvDef(base, keys, aggs, 0, Set.empty)
+    val (v, files, rows) = mvSnapshotAgg(d)
+    overwrite(mv, rows)
+    writeMvDef(mv, d.copy(baseVersion = v, covered = files))
+  }
+
+  /** Data files of the MV's base that the stored rows do NOT cover —
+    * in-place appends since the last (re)materialization. Freshness
+    * evidence for gates; empty right after REFRESH. Meaningful only
+    * while the base version is unchanged (a rewrite invalidates the
+    * file algebra wholesale — see [[readMaterialized]]). */
+  def mvDeltaFiles(mv: String): Int = {
+    val d = readMvDef(mv)
+    if (currentVersion(d.base) != d.baseVersion) 0
+    else {
+      val baseDir = resolve(d.base)
+      dataFiles(baseDir)
+        .count(f => !d.covered(baseDir.relativize(f).toString))
+    }
+  }
+
+  /** Read the view AT FULL FRESHNESS without rewriting it — the
+    * BigQuery query-time combine:
+    *   - base version unchanged, no new files → the stored rows as-is;
+    *   - base version unchanged, files appended in place → stored rows
+    *     ∪ a partial aggregate over ONLY the delta files, merged per
+    *     key (counts/sums add, min/max fold) — cost scales with the
+    *     APPEND, not the base;
+    *   - base version changed (merge / delete / overwrite / compact
+    *     rewrote or relinked files) → transparent full recompute from
+    *     the base: append-only file algebra no longer applies, and a
+    *     wrong-but-fast answer is worse than a slow-but-right one.
+    *     REFRESH re-pins the view and restores the cheap path.
+    * Delta files read with the base directory as `basePath`, so
+    * hive-partitioned bases keep their partition columns. Aggregate
+    * columns are cast back to the STORED schema — combining widens
+    * sums (decimal precision growth) and the view's schema must not
+    * drift with freshness. */
+  def readMaterialized(mv: String): DataFrame = {
+    val d = readMvDef(mv)
+    val stored = read(mv)
+    if (currentVersion(d.base) != d.baseVersion) mvConform(mvSnapshotAgg(d)._3, stored)
+    else {
+      val baseDir = resolve(d.base)
+      val delta = dataFiles(baseDir)
+        .filter(f => !d.covered(baseDir.relativize(f).toString))
+      if (delta.isEmpty) stored
+      else {
+        val fresh = spark.read
+          .option("basePath", baseDir.toString)
+          .parquet(delta.map(_.toString): _*)
+          .groupBy(d.keys.map(col): _*)
+          .agg(mvAggExprs(d.aggs).head, mvAggExprs(d.aggs).tail: _*)
+        val merged = stored.unionByName(mvConform(fresh, stored))
+          .groupBy(d.keys.map(col): _*)
+          .agg(mvCombineExprs(d.aggs).head, mvCombineExprs(d.aggs).tail: _*)
+        mvConform(merged, stored)
+      }
+    }
+  }
+
+  /** Cast a combined/recomputed frame to the stored MV schema (column
+    * order and types), so freshness never changes the view's shape. */
+  private def mvConform(df: DataFrame, stored: DataFrame): DataFrame =
+    df.select(stored.schema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+
+  /** REFRESH MATERIALIZED VIEW — materialize [[readMaterialized]]'s
+    * answer and re-pin the sidecar: incremental (stored + delta merge)
+    * when the base only grew in place, full recompute when it was
+    * rewritten. No-op when already fresh. */
+  def refreshMaterializedView(mv: String): Unit = {
+    val d = readMvDef(mv)
+    if (currentVersion(d.base) == d.baseVersion && mvDeltaFiles(mv) == 0)
+      return
+    val next = readMaterialized(mv)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      next.count() // materialize BEFORE the overwrite drops the old rows
+      val v = currentVersion(d.base)
+      val baseDir = resolve(d.base)
+      val files = dataFiles(baseDir)
+        .map(f => baseDir.relativize(f).toString).toSet
+      overwrite(mv, next)
+      writeMvDef(mv, d.copy(baseVersion = v, covered = files))
+    } finally next.unpersist()
+  }
+
   /** Time-travel read of a retained snapshot: the table exactly as some
     * earlier commit left it. Bounded by the GC retention window (one
     * version behind the pointer by default) — the versioned layout makes
@@ -455,7 +769,13 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * before the oldest retained commit — or before the table existed —
     * is LOUD, never a silent empty scan: a vanished snapshot must fail
     * the audit query, not fabricate one. */
-  def readAsOf(table: String, tsMillis: Long): DataFrame = {
+  def readAsOf(table: String, tsMillis: Long): DataFrame =
+    readVersion(table, versionAsOf(table, tsMillis))
+
+  /** Resolve a wall-clock timestamp to the newest committed version at or
+    * before it — the shared resolution step of [[readAsOf]] and
+    * timestamp-pinned clones. Loud outside the retention window. */
+  def versionAsOf(table: String, tsMillis: Long): Int = {
     val log = markerLog(table)
     require(log.nonEmpty,
       s"$table has no commit log — SYSTEM_TIME time travel needs " +
@@ -464,7 +784,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     require(at.nonEmpty,
       s"no commit of $table at or before ts=$tsMillis (oldest retained: " +
         s"ts=${markerTime(table, log.head)}) — outside the retention window")
-    readVersion(table, at.last.version)
+    at.last.version
   }
 
   /** Highest committed transaction version for application `appId` among
@@ -513,6 +833,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   /** Atomically claim the next free version directory (≥ committed + 1,
     * skipping orphaned claims from crashed or in-flight writers). */
   private def claimNext(table: String): (Int, Path) = {
+    requireWritable(table) // every committing rewrite claims first
     Files.createDirectories(dir(table))
     val taken = listDir(table).map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
@@ -626,6 +947,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
 
   def append(table: String, df: DataFrame): Unit =
     if (exists(table)) {
+      requireWritable(table) // in-place: no claim, so check here
       assertSchemaMatches(table, df)
       val base = resolve(table)
       val before = dataFiles(base).map(_.getFileName.toString).toSet
@@ -653,6 +975,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       require(!feedEnabled(table),
         s"'$table' has the change feed enabled; hive-partitioned appends " +
           "cannot feed (files lack the partition column)")
+      requireWritable(table) // in-place: no claim, so check here
       assertSchemaMatches(table, df, relaxed = Set(partitionCol))
       enforced(table, df).write.mode(SaveMode.Append)
         .partitionBy(partitionCol).parquet(resolve(table).toString)

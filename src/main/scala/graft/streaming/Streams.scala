@@ -586,11 +586,256 @@ object Streams {
     readTotals(store, "user_totals")
   }
 
+  /** s21: WATERMARKED WINDOWED AGGREGATION in APPEND mode — the stateful
+    * streaming operator s18–s20 leave ungated: a day-window count + sum
+    * per event type that emits a window ONLY when the watermark closes
+    * it, replayed from four time-quartile chunks delivered OUT OF ORDER
+    * (Q1 before Q0 — bounded lateness of half the corpus span). The
+    * delay is derived from the data as span/2 + 3600 s: large enough
+    * that the swapped chunk is never late-dropped (the gate must be
+    * EXACT), small enough that the closed half of the windows actually
+    * emits. The oracle recomputes the same epoch-aligned day buckets
+    * declaratively and keeps exactly those with
+    * `window_end <= max_ts - delay` — Spark's append-mode eviction rule
+    * — so the hash gate proves both watermark contracts at once: nothing
+    * below the horizon is dropped, nothing above it is emitted.
+    *
+    * Scale shape: state is O(open windows × event types) — bounded by
+    * the watermark horizon, never the stream length; the file sink only
+    * receives FINALIZED rows, so downstream needs no dedup/upsert. */
+  def s21WindowedAppend(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val ev = graft.tables.Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        expr("ts div 1000000000").as("sec"))
+    val r = ev.agg(min(col("sec")), max(col("sec"))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val span = mx - mn
+    val delaySec = span / 2 + 3600
+    val base = java.nio.file.Files.createTempDirectory("graft_s21")
+    val srcDir = base.resolve("src").toString
+    // time-quartile chunks, replayed with ONE bounded swap (1,0,2,3):
+    // disorder = maxQ1 - minQ0 ≈ span/2 < delay, so nothing late-drops
+    Seq(1, 0, 2, 3).foreach { qt =>
+      ev.filter(((col("sec") - mn) * 4 / (span + 1)).cast("int") === qt)
+        .repartition(1) // one file per chunk → one micro-batch per chunk
+        .write.mode("append").parquet(srcDir)
+    }
+    val outDir = base.resolve("out").toString
+    val agg = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withColumn("event_ts", timestamp_seconds(col("sec")))
+      .withWatermark("event_ts", s"$delaySec seconds")
+      .groupBy(window(col("event_ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 2))).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+    val q = agg.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).sortedSmall("bucket_start", "event_type")
+  }
+
+  val s21Oracle: String =
+    """WITH e AS (SELECT event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |d AS (SELECT MAX(sec) AS mx,
+      |    CAST(FLOOR((MAX(sec) - MIN(sec)) / 2) AS BIGINT) + 3600 AS delay
+      |  FROM e)
+      |SELECT sec - sec % 86400 AS bucket_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |FROM e, d
+      |GROUP BY 1, 2, d.mx, d.delay
+      |HAVING bucket_start + 86400 <= d.mx - d.delay
+      |ORDER BY bucket_start, event_type""".stripMargin
+
+  /** s22: STREAM-STREAM INTERVAL JOIN — two live streams joined with
+    * keyed + time-range state, the last stateful operator family the
+    * suite leaves ungated: every purchase matched to the same user's
+    * clicks within the preceding hour (the streaming twin of s05's
+    * batch as-of attribution), both sides replayed from pinned shuffled
+    * chunks in DIFFERENT orders, so matches routinely arrive click-first
+    * in one batch and purchase-first in another — the buffered-state
+    * path, not the lucky same-batch path. Inner join in append mode
+    * emits each matched pair EXACTLY ONCE as it becomes joinable; the
+    * watermark delay is the corpus span + margin so no pair is ever
+    * state-evicted before its partner arrives (the gate must be exact;
+    * production sets the delay to the business lateness horizon and
+    * state shrinks to horizon × rate — the documented trade, same as
+    * s19). The oracle recomputes the interval join declaratively; hash
+    * equality proves cross-batch buffering, the range condition, and
+    * once-only emission.
+    *
+    * Scale shape: the join state is keyed on user_id and range-bounded
+    * by the time condition — at the production horizon it holds
+    * (horizon × arrival rate) rows per side, independent of stream
+    * length; the file sink receives only final pairs, and the read-back
+    * aggregation is a plain batch plan. */
+  def s22StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val ev = graft.tables.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts div 1000000000").as("sec"))
+    val r = ev.agg(min(col("sec")), max(col("sec"))).head()
+    val span = r.getLong(1) - r.getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("graft_s22")
+    def stage(name: String, etype: String, order: Seq[Int]): String = {
+      val d = base.resolve(name).toString
+      order.foreach { c =>
+        ev.filter(col("event_type") === etype &&
+            pmod(col("event_id"), lit(4)) === c)
+          .repartition(1) // one file per chunk → one micro-batch each
+          .write.mode("append").parquet(d)
+      }
+      d
+    }
+    // different pinned orders per side: partners land in different
+    // batches in both directions, forcing the buffered-state path
+    val clickDir = stage("clicks", "click", Seq(2, 0, 3, 1))
+    val purchDir = stage("purch", "purchase", Seq(1, 3, 0, 2))
+    def src(d: String) = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val clicks = src(clickDir)
+      .select(col("user_id").as("c_user"),
+        timestamp_seconds(col("sec")).as("click_ts"))
+      .withWatermark("click_ts", s"${span + 3600} seconds")
+    val purchases = src(purchDir)
+      .select(col("user_id").as("p_user"), col("value"),
+        timestamp_seconds(col("sec")).as("purch_ts"))
+      .withWatermark("purch_ts", s"${span + 3600} seconds")
+    val pairs = clicks.join(purchases,
+      expr("c_user = p_user AND " +
+        "click_ts BETWEEN purch_ts - INTERVAL 1 HOUR AND purch_ts"))
+      .select(col("c_user").as("user_id"), col("value"))
+    val outDir = base.resolve("out").toString
+    val q = pairs.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast(DecimalType(30, 2)))
+          .cast("double").as("total_value"))
+      .sortedSmall("user_id")
+  }
+
+  val s22Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |c AS (SELECT user_id, sec AS csec FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, sec AS psec, value FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT c.user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND c.csec BETWEEN p.psec - 3600 AND p.psec
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
+  /** s23: SESSION WINDOWS in append mode — data-driven windows (extent
+    * decided by the data's own gaps, unlike s21's fixed grid): per-user
+    * sessions split on >30-minute inactivity, emitted only when the
+    * watermark proves no further event can extend them (a session's
+    * window closes at last-event + gap). Same bounded-disorder replay
+    * harness as s21 (time quartiles, Q1 before Q0, delay = span/2 +
+    * 3600 s). The oracle rebuilds the sessions declaratively — lag +
+    * running break-sum, merging iff the gap is STRICTLY under 30 min,
+    * Spark's session-merge rule — and keeps those with
+    * `last_event + gap <= max_ts - delay` (the same eviction horizon
+    * s21 pins). Hash equality proves session assembly ACROSS
+    * micro-batches: a session whose events span chunks must merge in
+    * state before it can emit.
+    *
+    * Scale shape: state is one open session per (user, gap-run) below
+    * the horizon — arrival-rate bounded; emitted sessions leave state
+    * forever (append, no rewrites downstream). */
+  def s23SessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val ev = graft.tables.Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"))
+    val r = ev.agg(min(col("sec")), max(col("sec"))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val span = mx - mn
+    val delaySec = span / 2 + 3600
+    val base = java.nio.file.Files.createTempDirectory("graft_s23")
+    val srcDir = base.resolve("src").toString
+    Seq(1, 0, 2, 3).foreach { qt =>
+      ev.filter(((col("sec") - mn) * 4 / (span + 1)).cast("int") === qt)
+        .repartition(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val outDir = base.resolve("out").toString
+    val agg = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .withColumn("event_ts", timestamp_seconds(col("sec")))
+      .withWatermark("event_ts", s"$delaySec seconds")
+      .groupBy(session_window(col("event_ts"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        (unix_timestamp(col("session_window.end")) - 1800)
+          .as("session_last"),
+        col("n_events"))
+    val q = agg.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).sortedSmall("user_id", "session_start")
+  }
+
+  val s23Oracle: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |d AS (SELECT MAX(sec) AS mx,
+      |    CAST(FLOOR((MAX(sec) - MIN(sec)) / 2) AS BIGINT) + 3600 AS delay
+      |  FROM e),
+      |o AS (SELECT user_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER
+      |        (PARTITION BY user_id ORDER BY sec) >= 1800
+      |      OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (SELECT user_id, sec,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, MIN(sec) AS session_start, MAX(sec) AS session_last,
+      |  COUNT(*) AS n_events
+      |FROM g, d
+      |GROUP BY user_id, sid, d.mx, d.delay
+      |HAVING MAX(sec) + 1800 <= d.mx - d.delay
+      |ORDER BY user_id, session_start""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("s18_stream_merge_replay", s18StreamMergeReplay,
       Some(s18Oracle)),
     graft.Q("s19_stream_disorder_replay", s19StreamDisorderReplay,
       Some(s18Oracle)),
     graft.Q("s20_store_feed_stream", s20StoreFeedStream,
-      Some(s18Oracle)))
+      Some(s18Oracle)),
+    graft.Q("s21_windowed_append", s21WindowedAppend,
+      Some(s21Oracle)),
+    graft.Q("s22_stream_stream_join", s22StreamStreamJoin,
+      Some(s22Oracle)),
+    graft.Q("s23_session_windows", s23SessionWindows,
+      Some(s23Oracle)))
 }

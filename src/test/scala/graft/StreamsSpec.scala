@@ -596,3 +596,57 @@ class TotalsSinkSpec extends AnyFunSuite {
     assert(store.read("t").agg(sum(col("n_events"))).head.getLong(0) == 65L)
   }
 }
+
+/** The watermark-semantics gates (s21 append eviction, s22 stream-stream
+  * buffering): each streaming result must equal its batch recompute
+  * EXACTLY — the cross-check the oracle repeats at verify time. */
+class WatermarkGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("s21 append emits exactly the watermark-closed windows, " +
+      "none dropped below the horizon") {
+    val got = Streams.s21WindowedAppend(spark, sf)
+    // batch recompute of the SAME rule: day windows with
+    // end <= max_ts - (span/2 + 3600); counts/sums over ALL events
+    // (nothing may have been late-dropped)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        expr("ts div 1000000000").as("sec"))
+    val r = ev.agg(min(col("sec")), max(col("sec"))).head()
+    val horizon = r.getLong(1) - (r.getLong(1) - r.getLong(0)) / 2 - 3600
+    val want = ev
+      .groupBy((col("sec") - col("sec") % 86400).as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,2)"))
+          .cast("double").as("total_value"))
+      .filter(col("bucket_start") + 86400 <= horizon)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // the watermark actually WITHHELD the open half: strictly fewer
+    // emitted windows than exist in the data
+    val allWindows = ev.select((col("sec") - col("sec") % 86400).as("b"),
+      col("event_type")).distinct().count()
+    assert(got.count() < allWindows)
+  }
+
+  test("s22 stream-stream join buffers partners across batches and " +
+      "emits each pair exactly once") {
+    val got = Streams.s22StreamStreamJoin(spark, sf)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000").as("sec"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("sec").as("csec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("sec").as("psec"), col("value"))
+    val want = c.join(p, col("cu") === col("pu") &&
+        col("csec").between(col("psec") - 3600, col("psec")))
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast("decimal(30,2)"))
+          .cast("double").as("total_value"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+}
