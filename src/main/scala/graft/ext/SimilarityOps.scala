@@ -281,23 +281,51 @@ object SimilarityOps {
     * the lowest vec_ids, two decimal-exact Lloyd rounds). Returns
     * (codebook (cid, cvec, cn), final assignment (vec_id, embedding,
     * cid)) — shared by e06 and the IVF-PQ composition (e14). */
+  // minimize |c|^2 - 2 a·c (== L2 distance up to the constant |a|^2);
+  // nearest-cell election is the partial-aggregable min(struct) argmin
+  // (the pqModel recipe): same (dist, cid) tie-break as a row_number
+  // window, no sort, map-side combine over the K-scored stream. The
+  // shared IVF assignment kernel: training rounds, probe-time
+  // assignment, and e37's frozen-centroid increment add all route here.
+  private[ext] def ivfAssign(vecs: DataFrame,
+      cents: DataFrame): DataFrame =
+    vecs.join(broadcast(cents))
+      .select(col("vec_id"),
+        struct(
+          (col("cn") * col("cn") -
+            dot(col("embedding"), col("cvec")) * 2).as("dist"),
+          col("cid"), col("embedding")).as("scored"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("scored")).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cid"))
+
+  /** Decimal-exact centroid means of an assignment — the shared Lloyd
+    * recompute. One shared count + 64 decimal sums, NOT 64 davg's: davg
+    * embeds its own count, and 129 aggregate buffers would blow the
+    * whole-stage codegen field limit (spark.sql.codegen.maxFields =
+    * 100) — the aggregate silently falls back to the interpreted path,
+    * ~1 s per Lloyd round (JobProbe-measured). 65 buffers stay
+    * codegen'd; the per-dim sum/count quotient is bit-identical to davg
+    * (embeddings are non-null, so COUNT(dim) == COUNT(*)). */
+  private[ext] def ivfRecompute(assigned: DataFrame): DataFrame = {
+    val sums = (0 until 64).map(p =>
+      graft.expr.Exprs.dsum(
+        element_at(col("embedding"), p + 1).cast("double"), 12)
+        .as(s"s$p"))
+    assigned
+      .groupBy(col("cid"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
+      .select(col("cid"),
+        array((0 until 64).map(p =>
+          (col(s"s$p") / col("cnt")).cast("float")): _*).as("cvec"))
+      .withColumn("cn", norm2(col("cvec")))
+  }
+
   private[ext] def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val kCells = 16
-    // minimize |c|^2 - 2 a·c (== L2 distance up to the constant |a|^2);
-    // nearest-cell election is the partial-aggregable min(struct) argmin
-    // (the pqModel recipe): same (dist, cid) tie-break as a row_number
-    // window, no sort, map-side combine over the K-scored stream.
     def assignOver(vecs: DataFrame, cents: DataFrame): DataFrame =
-      vecs.join(broadcast(cents))
-        .select(col("vec_id"),
-          struct(
-            (col("cn") * col("cn") -
-              dot(col("embedding"), col("cvec")) * 2).as("dist"),
-            col("cid"), col("embedding")).as("scored"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("scored")).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.cid").as("cid"))
+      ivfAssign(vecs, cents)
     // Exact decimal means (order-independent across partitions AND
     // engines) — a double avg() would be float-summation-order
     // dependent, which is what kept e06 oracle-less in round 2. One
@@ -306,26 +334,7 @@ object SimilarityOps {
     // exchange is a whole AQE stage-job, and job count is what these
     // 5k-vector training chains actually pay for (JobProbe: 59 jobs
     // per e14 execution before this rewrite).
-    def recompute(assigned: DataFrame): DataFrame = {
-      // One shared count + 64 decimal sums, NOT 64 davg's: davg embeds its
-      // own count, and 129 aggregate buffers would blow the whole-stage
-      // codegen field limit (spark.sql.codegen.maxFields = 100) — the
-      // aggregate silently falls back to the interpreted path, ~1 s per
-      // Lloyd round (JobProbe-measured). 65 buffers stay codegen'd; the
-      // per-dim sum/count quotient is bit-identical to davg (embeddings
-      // are non-null, so COUNT(dim) == COUNT(*)).
-      val sums = (0 until 64).map(p =>
-        graft.expr.Exprs.dsum(
-          element_at(col("embedding"), p + 1).cast("double"), 12)
-          .as(s"s$p"))
-      assigned
-        .groupBy(col("cid"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
-        .select(col("cid"),
-          array((0 until 64).map(p =>
-            (col(s"s$p") / col("cnt")).cast("float")): _*).as("cvec"))
-        .withColumn("cn", norm2(col("cvec")))
-    }
+    def recompute(assigned: DataFrame): DataFrame = ivfRecompute(assigned)
 
     // The trained codebook is a once-per-corpus artifact (memoized,
     // 16×64 floats on the driver). Training caches the vectors
@@ -410,16 +419,21 @@ object SimilarityOps {
     * a3 = the final (vec_id, v, cid) assignment. Shared by e06's probe
     * oracle and e26's cluster-balanced sampler so both gates replay ONE
     * model. */
-  private[ext] val ivfAssignCtes: String = {
-    def dist(v: String, c: String): String = ivfDistSql(v, c)
-    def assign(src: String, cents: String, out: String): String =
-      s"""$out AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT e.vec_id, e.v, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${dist("e.v", "c.cv")} ASC, c.cid ASC) AS rn
-         |    FROM $src e CROSS JOIN $cents c)
-         |  WHERE rn = 1)""".stripMargin
+  private[ext] def ivfAssignSql(src: String, cents: String,
+      out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${ivfDistSql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM $src e CROSS JOIN $cents c)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The CTE chain parameterized by the training population (`eWhere`)
+    * and seed election (`seedWhere`) — the default replays e06's
+    * full-corpus model; e37 trains on the base partition only. */
+  private[ext] def ivfAssignCtesFor(eWhere: String,
+      seedWhere: String): String = {
     def recompute(assigned: String, out: String): String =
       s"""$out AS (
          |  SELECT cid, CAST(list(mf ORDER BY pos) AS DOUBLE[]) AS cv FROM (
@@ -430,14 +444,18 @@ object SimilarityOps {
          |    GROUP BY cid, pos)
          |  GROUP BY cid)""".stripMargin
     s"""e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-       |${assign("e", "c0", "a1")},
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings $eWhere),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e $seedWhere),
+       |${ivfAssignSql("e", "c0", "a1")},
        |${recompute("a1", "c1")},
-       |${assign("e", "c1", "a2")},
+       |${ivfAssignSql("e", "c1", "a2")},
        |${recompute("a2", "c2")},
-       |${assign("e", "c2", "a3")}""".stripMargin
+       |${ivfAssignSql("e", "c2", "a3")}""".stripMargin
   }
+
+  private[ext] val ivfAssignCtes: String =
+    ivfAssignCtesFor("", "WHERE vec_id < 16")
 
   val e06Oracle: String = {
     def dist(v: String, c: String): String = ivfDistSql(v, c)
@@ -1539,6 +1557,70 @@ object SimilarityOps {
        |FROM vol JOIN hit ON vol.bits = hit.bits ORDER BY vol.bits""".stripMargin
   }
 
+  /** e37: INCREMENTAL IVF ADD — extend the index without retraining, the
+    * production path every vector store runs daily: centroids train on
+    * the BASE partition only (vec_id % 5 ≠ 0 — two decimal-exact Lloyd
+    * rounds, 16 seeds = the lowest base ids), then the increment
+    * (vec_id % 5 = 0) is ASSIGNED to those FROZEN centroids with one
+    * broadcast argmin — no Lloyd round touches the base again. The gate
+    * emits per-cell (base count, increment count, increment id-sum):
+    * the id-sum makes every individual assignment part of the hash (two
+    * swapped assignments cannot cancel), and the DuckDB oracle replays
+    * the base-only training + frozen add bit-for-bit through the shared
+    * CTE chain.
+    *
+    * Scale shape: the add costs one narrow map over the INCREMENT only
+    * (codebook broadcast, argmin partial-aggregated) — at 100 TB the
+    * daily index add is O(|new vectors|), the whole point of freezing;
+    * re-training stays a scheduled, not per-ingest, event (drift is
+    * e32/e33's audit surface). */
+  def e37IvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val frozen = localizedCached(s, s"ivf_base:$dir", {
+      val base = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 5 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .persist()
+      var cents = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        .withColumn("cn", norm2(col("cvec")))
+      cents = ivfRecompute(ivfAssign(base, cents)).persist()
+      ivfRecompute(ivfAssign(base, cents))
+    })
+    val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val baseCounts = ivfAssign(e.filter(col("vec_id") % 5 =!= 0), frozen)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val incAgg = ivfAssign(e.filter(col("vec_id") % 5 === 0), frozen)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_inc"),
+        sum(col("vec_id")).as("sum_inc_ids"))
+    baseCounts.join(incAgg, Seq("cid"), "full")
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_inc"), lit(0L)).as("n_inc"),
+        coalesce(col("sum_inc_ids"), lit(0L)).as("sum_inc_ids"))
+      .sortedSmall("cid")
+  }
+
+  val e37Oracle: String =
+    s"""WITH ${ivfAssignCtesFor("WHERE vec_id % 5 <> 0",
+         "WHERE vec_id < 20")},
+       |inc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings WHERE vec_id % 5 = 0),
+       |${ivfAssignSql("inc", "c2", "ia")},
+       |b AS (SELECT cid, COUNT(*) AS n_base FROM a3 GROUP BY cid),
+       |i AS (SELECT cid, COUNT(*) AS n_inc,
+       |        CAST(SUM(vec_id) AS BIGINT) AS sum_inc_ids
+       |      FROM ia GROUP BY cid)
+       |SELECT COALESCE(b.cid, i.cid) AS cid,
+       |  COALESCE(b.n_base, 0) AS n_base,
+       |  COALESCE(i.n_inc, 0) AS n_inc,
+       |  COALESCE(i.sum_inc_ids, 0) AS sum_inc_ids
+       |FROM b FULL OUTER JOIN i ON b.cid = i.cid
+       |ORDER BY cid""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -1557,5 +1639,6 @@ object SimilarityOps {
     Q("e15_embedding_clusters", e15EmbeddingClusters, Some(e15Oracle)),
     Q("e16_knn_graph", e16KnnGraph, Some(e16Oracle)),
     Q("e17_knn_graph_wide", e17KnnGraphWide, Some(e17Oracle)),
-    Q("e35_bits_curve", e35BitsCurve, Some(e35Oracle)))
+    Q("e35_bits_curve", e35BitsCurve, Some(e35Oracle)),
+    Q("e37_ivf_incremental", e37IvfIncremental, Some(e37Oracle)))
 }

@@ -263,6 +263,10 @@ object TextOps {
 
   private val sigSql: String = sigSqlFrom("documents")
 
+  /** The documents-table MinHash signature SQL, for oracles outside this
+    * file that replay the t06 banding (s24's streaming ingest gate). */
+  private[graft] def minhashSigSql: String = sigSql
+
   val t06Oracle: String = s"$sigSql ORDER BY doc_id"
 
   /** Candidate pairs (a, b) sharing any LSH band bucket, with the MinHash

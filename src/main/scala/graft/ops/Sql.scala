@@ -1793,6 +1793,109 @@ object Sql {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  private val TableChangesRef = (
+    """(?i)TABLE_CHANGES\s*\(\s*`?([\w.-]+)`?\s*,\s*(\d+)\s*,\s*(\d+)""" +
+    """\s*,\s*'(\w+)'\s*\)""").r
+
+  /** Execute a SELECT over `TABLE_CHANGES(<t>, <fromV>, <toV>, '<key>')`
+    * references — the change-data-feed table function (Delta's
+    * table_changes, keyed like [[TableStore.diffVersions]] because the
+    * store's row identity is the caller's key, not a hidden rowid). Each
+    * reference becomes a statement-scoped view of the version diff:
+    * (key, change ∈ added|removed|changed, before, after) with the
+    * non-key columns packed as two structs, so `before.col` / `after.col`
+    * work in the surrounding SQL. Audit queries compose from there —
+    * "what did the nightly commit actually do", grouped, joined, summed.
+    *
+    * Scale shape: the diff is ONE full-outer join on the key between two
+    * retained snapshots (null-safe struct compare drops unchanged rows);
+    * both sides scan like any parquet version directory. */
+  def runTableChanges(s: SparkSession, store: TableStore, dir: String,
+      sql: String): DataFrame = {
+    require(sql.trim.toUpperCase.startsWith("SELECT"),
+      "TABLE_CHANGES statements are SELECT-only")
+    registerViews(s, dir)
+    val views = scala.collection.mutable.LinkedHashSet[String]()
+    val rewritten = TableChangesRef.replaceAllIn(sql, m => {
+      val (t, from, to, key) =
+        (baseName(m.group(1)), m.group(2).toInt, m.group(3).toInt,
+          m.group(4))
+      val v = s"${t}__chg${from}_$to"
+      if (!views.contains(v)) {
+        store.diffVersions(t, from, to, key).createOrReplaceTempView(v)
+        views += v
+      }
+      v
+    })
+    require(views.nonEmpty,
+      "no TABLE_CHANGES(<t>, <from>, <to>, '<key>') reference in the " +
+        "statement")
+    try s.sql(rewritten)
+    finally views.foreach(s.catalog.dropTempView(_))
+  }
+
+  /** q89: the change data feed end-to-end — commit v1 (raw orders), then
+    * ONE transactional rewrite that updates (doubles open orders'
+    * prices), deletes (drops fulfilled rows), and inserts (re-keys the
+    * dropped rows as fresh arrivals) in a single commit; the gated
+    * statement groups TABLE_CHANGES(v1→v2) by change kind with
+    * decimal-exact before/after sums. The oracle derives all three
+    * classes declaratively from the raw table, so hash equality proves
+    * the diff classifies every row movement correctly — the audit
+    * query a 100 TB nightly pipeline runs instead of replaying the
+    * transform. */
+  def q89TableChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cdc_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_cdc", orders(s, dir).select(col("o_orderkey"),
+      col("o_totalprice").cast(
+        org.apache.spark.sql.types.DataTypes.createDecimalType(30, 2))
+        .as("price"),
+      col("o_orderstatus").as("st")))
+    store.mergeWith("orders_cdc") { cur =>
+      val kept = cur.filter(col("st") =!= "F")
+        .select(col("o_orderkey"),
+          when(col("st") === "O", col("price") * 2)
+            .otherwise(col("price"))
+            .cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(30, 2)).as("price"),
+          col("st"))
+      val arrivals = cur.filter(col("st") === "F")
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("price"), col("st"))
+      kept.unionByName(arrivals)
+    }
+    runTableChanges(s, store, dir,
+      """SELECT change, COUNT(*) AS n,
+        |  CAST(SUM(before.price) AS DOUBLE) AS sum_before,
+        |  CAST(SUM(after.price) AS DOUBLE) AS sum_after
+        |FROM TABLE_CHANGES(`graft-project.store.orders_cdc`, 1, 2,
+        |  'o_orderkey')
+        |GROUP BY change""".stripMargin)
+      .sortedSmall("change")
+  }
+
+  val q89Oracle: String =
+    """WITH b AS (SELECT o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(30,2)) AS p, o_orderstatus AS st
+      |  FROM orders)
+      |SELECT 'added' AS change, COUNT(*) AS n,
+      |  CAST(NULL AS DOUBLE) AS sum_before,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_after
+      |FROM b WHERE st = 'F'
+      |UNION ALL
+      |SELECT 'changed', COUNT(*), CAST(SUM(p) AS DOUBLE),
+      |  CAST(SUM(p * 2) AS DOUBLE)
+      |FROM b WHERE st = 'O'
+      |UNION ALL
+      |SELECT 'removed', COUNT(*), CAST(SUM(p) AS DOUBLE),
+      |  CAST(NULL AS DOUBLE)
+      |FROM b WHERE st = 'F'
+      |ORDER BY change""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
@@ -1807,5 +1910,6 @@ object Sql {
     graft.Q("q68_sql_merge_expr", q68SqlMergeExpr, Some(q68Oracle)),
     graft.Q("q84_wildcard_tables", q84WildcardTables, Some(q84Oracle)),
     graft.Q("q85_sql_export", q85SqlExport, Some(q85Oracle)),
-    graft.Q("q86_sql_load", q86SqlLoad, Some(q86Oracle)))
+    graft.Q("q86_sql_load", q86SqlLoad, Some(q86Oracle)),
+    graft.Q("q89_table_changes", q89TableChanges, Some(q89Oracle)))
 }

@@ -444,6 +444,27 @@ object Streams {
     * state lives in the versioned table, not executor memory, so a year
     * of replays holds |users| rows, not |events|, and a quiet batch
     * rewrites almost nothing. */
+  /** Run `body` (a streaming query start + await) with
+    * `spark.sql.shuffle.partitions` pinned to `n`, restoring the session
+    * value after. Stateful operators allocate ONE state store per
+    * shuffle partition per operator and commit every one of them each
+    * micro-batch — at the gate corpus (1e5 rows, 4–8 batches) the
+    * default 32 partitions spend more wall time on empty state-store
+    * commits than on data (measured: s22 19.4 s → state bookkeeping, not
+    * the join). 8 partitions is sized to the gate; production sizes this
+    * to the cluster — the knob is per-query because Spark pins the state
+    * partitioning in the checkpoint at first start. Queries run
+    * sequentially through one session, so the set/restore cannot race;
+    * results are partition-count independent (everything downstream is
+    * re-aggregated or re-sorted). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   def s18StreamMergeReplay(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.tables.Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"))
@@ -458,15 +479,17 @@ object Streams {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyTotalsBatch(store, "user_totals", "s18",
-          perUserPartials(batch), batchId)
-      }
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyTotalsBatch(store, "user_totals", "s18",
+            perUserPartials(batch), batchId)
+        }
+        .start()
+      q.awaitTermination()
+    }
     readTotals(store, "user_totals")
   }
 
@@ -522,15 +545,17 @@ object Streams {
       .parquet(srcDir)
       .withWatermark("event_ts", s"${span + 3600} seconds")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = stream.writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyTotalsBatch(store, "user_totals", "s19",
-          perUserPartials(batch), batchId)
-      }
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyTotalsBatch(store, "user_totals", "s19",
+            perUserPartials(batch), batchId)
+        }
+        .start()
+      q.awaitTermination()
+    }
     readTotals(store, "user_totals")
   }
 
@@ -574,15 +599,17 @@ object Streams {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(store.feedPath("ev_log"))
-    val q = stream.writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyTotalsBatch(store, "user_totals", "s20",
-          perUserPartials(batch), batchId)
-      }
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyTotalsBatch(store, "user_totals", "s20",
+            perUserPartials(batch), batchId)
+        }
+        .start()
+      q.awaitTermination()
+    }
     readTotals(store, "user_totals")
   }
 
@@ -633,14 +660,16 @@ object Streams {
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n_events"),
         col("total_value").cast("double").as("total_value"))
-    val q = agg.writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(outDir).sortedSmall("bucket_start", "event_type")
   }
 
@@ -717,14 +746,16 @@ object Streams {
         "click_ts BETWEEN purch_ts - INTERVAL 1 HOUR AND purch_ts"))
       .select(col("c_user").as("user_id"), col("value"))
     val outDir = base.resolve("out").toString
-    val q = pairs.writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = pairs.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(outDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -791,14 +822,16 @@ object Streams {
         (unix_timestamp(col("session_window.end")) - 1800)
           .as("session_last"),
         col("n_events"))
-    val q = agg.writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(outDir).sortedSmall("user_id", "session_start")
   }
 
@@ -825,6 +858,132 @@ object Streams {
       |HAVING MAX(sec) + 1800 <= d.mx - d.delay
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** s24: STREAMING INGEST DEDUP WITH A GROWING INDEX — t60's
+    * daily-crawl probe turned into the live loop it models: the
+    * increment (doc_id % 4 = 0) arrives as four pinned micro-batches;
+    * each batch is decided (`exact` / `near` / `new`, the t60 rules:
+    * md5 match, or any t06 LSH band-bucket collision) against the
+    * store-managed ingest index — which starts as the CORPUS index
+    * artifact and GROWS: every batch's ACCEPTED (`new`) documents
+    * append their (hash, band-bucket) rows before the next batch
+    * probes. So a batch-3 document that near-dups a batch-1 acceptance
+    * is caught — the cross-batch self-dedup a stateless per-batch probe
+    * silently misses. The oracle unrolls the four stages as CTEs
+    * (i0 = corpus; i_{k+1} = i_k ∪ new_k), so the hash gate proves the
+    * sequential-ingest semantics, not just one probe.
+    *
+    * Scale shape: per batch, one shingle pass over the INCREMENT only
+    * plus two left-semi joins against the index table (never a corpus
+    * re-shingle, never a pair join); the index grows by exactly the
+    * accepted rows — the production contract where the index is a
+    * store table the nightly job appends to. */
+  def s24StreamIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    streamIngestOf(s, graft.tables.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars")))
+      .sortedWide("doc_id")
+  }
+
+  /** The s24 loop over any (doc_id, text, n_chars) frame — public for
+    * the spec, which pins the GROWTH semantics on a crafted corpus
+    * (a later chunk's copy of an earlier chunk's acceptance must decide
+    * `exact`; same-chunk twins both decide `new` — a chunk is judged
+    * against the index BEFORE it, exactly like the unrolled oracle). */
+  private[graft] def streamIngestOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import graft.ext.TextOps
+    import graft.functions.Md5Hex.graft_md5
+    val base = java.nio.file.Files.createTempDirectory("graft_s24")
+    val store = new graft.psn.TableStore(s, base.resolve("wh").toString)
+    store.overwrite("ingest_index",
+      TextOps.ingestIndexOf(docs.filter(col("doc_id") % 4 =!= 0)))
+    val incDocs = docs.filter(col("doc_id") % 4 === 0)
+    val srcDir = base.resolve("src").toString
+    (0 until 4).foreach { c =>
+      incDocs.filter(expr("(doc_id div 4) % 4") === c)
+        .repartition(1).write.mode("append").parquet(srcDir)
+    }
+    def bandsOf(df: DataFrame) = (0 until 2).map(i =>
+      df.select(col("doc_id"), lit(i).as("band"),
+        col(s"band$i").as("bkt"))).reduce(_ unionByName _)
+    val stream = s.readStream.schema(incDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStatePartitions(s, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val idx = store.read("ingest_index").persist()
+            val sig = TextOps.minhashSigOf(batch).persist()
+            val inc = batch
+              .select(col("doc_id"), graft_md5(col("text")).as("th"))
+            try {
+              val exact = inc
+                .join(idx.select(col("th")), Seq("th"), "left_semi")
+                .select(col("doc_id")).withColumn("is_exact", lit(true))
+              val near = bandsOf(sig)
+                .join(bandsOf(idx).select(col("band"), col("bkt")),
+                  Seq("band", "bkt"), "left_semi")
+                .select(col("doc_id")).distinct()
+                .withColumn("is_near", lit(true))
+              val decisions = inc.select(col("doc_id"))
+                .join(exact, Seq("doc_id"), "left")
+                .join(near, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  when(col("is_exact"), "exact")
+                    .when(col("is_near"), "near")
+                    .otherwise("new").as("decision"))
+                .persist()
+              decisions.count() // pin ONE evaluation across both appends
+              store.append("decisions", decisions)
+              store.append("ingest_index", inc
+                .join(decisions.filter(col("decision") === "new")
+                  .select(col("doc_id")), Seq("doc_id"), "left_semi")
+                .join(sig.select(col("doc_id"), col("band0"),
+                  col("band1")), Seq("doc_id")))
+              decisions.unpersist(): Unit
+            } finally { sig.unpersist(); idx.unpersist() }
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    store.read("decisions")
+  }
+
+  val s24Oracle: String = {
+    val stages = (0 until 4).map { k =>
+      s"""c$k AS (SELECT doc_id FROM documents
+         |  WHERE doc_id % 4 = 0 AND (doc_id // 4) % 4 = $k),
+         |e$k AS (SELECT DISTINCT t.doc_id FROM th t
+         |  WHERE t.doc_id IN (SELECT doc_id FROM c$k)
+         |    AND t.th IN (SELECT th FROM th
+         |                 WHERE doc_id IN (SELECT doc_id FROM i$k))),
+         |n$k AS (SELECT DISTINCT b.doc_id FROM bands b
+         |  WHERE b.doc_id IN (SELECT doc_id FROM c$k)
+         |    AND EXISTS (SELECT 1 FROM bands y
+         |      WHERE y.doc_id IN (SELECT doc_id FROM i$k)
+         |        AND y.band = b.band AND y.bkt = b.bkt)),
+         |d$k AS (SELECT c.doc_id,
+         |  CASE WHEN c.doc_id IN (SELECT doc_id FROM e$k) THEN 'exact'
+         |       WHEN c.doc_id IN (SELECT doc_id FROM n$k) THEN 'near'
+         |       ELSE 'new' END AS decision FROM c$k c),
+         |i${k + 1} AS (SELECT doc_id FROM i$k UNION ALL
+         |  SELECT doc_id FROM d$k WHERE decision = 'new')""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sig AS (${graft.ext.TextOps.minhashSigSql}),
+       |th AS (SELECT doc_id, md5(text) AS th FROM documents),
+       |bands AS (SELECT doc_id, 0 AS band, band0 AS bkt FROM sig
+       |  UNION ALL SELECT doc_id, 1, band1 FROM sig),
+       |i0 AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0),
+       |$stages
+       |SELECT doc_id, decision FROM (
+       |  SELECT * FROM d0 UNION ALL SELECT * FROM d1
+       |  UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("s18_stream_merge_replay", s18StreamMergeReplay,
       Some(s18Oracle)),
@@ -837,5 +996,7 @@ object Streams {
     graft.Q("s22_stream_stream_join", s22StreamStreamJoin,
       Some(s22Oracle)),
     graft.Q("s23_session_windows", s23SessionWindows,
-      Some(s23Oracle)))
+      Some(s23Oracle)),
+    graft.Q("s24_stream_ingest_dedup", s24StreamIngestDedup,
+      Some(s24Oracle)))
 }

@@ -649,4 +649,27 @@ class WatermarkGateSpec extends AnyFunSuite {
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
+
+  test("s24 ingest index GROWS: a later chunk's copy of an earlier " +
+      "acceptance is exact; same-chunk twins are both new") {
+    import spark.implicits._
+    // chunk of an increment id: id % 4 == 0, chunk = (id / 4) % 4.
+    // corpus: id 1. chunk0: id 0 (fresh text B). chunk2: id 8 (copy of
+    // B — only catchable if batch 0's acceptance joined the index).
+    // chunk3: ids 12 and 28 (twins of fresh text T2 — judged against
+    // the index BEFORE their own chunk, so BOTH decide new).
+    val docs = Seq(
+      (1L, "alpha corpus document body with words"),
+      (0L, "bravo fresh increment text body"),
+      (8L, "bravo fresh increment text body"),
+      (12L, "tango twin text arriving together"),
+      (28L, "tango twin text arriving together"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val got = Streams.streamIngestOf(spark, docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((0L, "new"), (8L, "exact"),
+      (12L, "new"), (28L, "new")))
+  }
 }
