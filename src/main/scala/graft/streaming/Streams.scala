@@ -783,8 +783,10 @@ object Streams {
     * window closes at last-event + gap). Same bounded-disorder replay
     * harness as s21 (time quartiles, Q1 before Q0, delay = span/2 +
     * 3600 s). The oracle rebuilds the sessions declaratively — lag +
-    * running break-sum, merging iff the gap is STRICTLY under 30 min,
-    * Spark's session-merge rule — and keeps those with
+    * running break-sum, merging iff the gap is AT MOST 30 min (a
+    * boundary pinned by data: sf0.1 holds exactly one 1800-s-exact gap,
+    * and Spark's session_window merges it — an event extends a session
+    * whose end it touches, `event <= start + gap`) — and keeps those with
     * `last_event + gap <= max_ts - delay` (the same eviction horizon
     * s21 pins). Hash equality proves session assembly ACROSS
     * micro-batches: a session whose events span chunks must merge in
@@ -843,7 +845,7 @@ object Streams {
       |  FROM e),
       |o AS (SELECT user_id, sec,
       |    CASE WHEN sec - lag(sec) OVER
-      |        (PARTITION BY user_id ORDER BY sec) >= 1800
+      |        (PARTITION BY user_id ORDER BY sec) > 1800
       |      OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
       |      THEN 1 ELSE 0 END AS brk
       |  FROM e),
@@ -984,6 +986,91 @@ object Streams {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** s25: STREAMING MATERIALIZED-VIEW MAINTENANCE — the round's two new
+    * subsystems composed: the base table's APPEND CHANGE FEED (s20) is
+    * the trigger transport, and each arriving micro-batch drives an
+    * INCREMENTAL refresh of an aggregate materialized view (q87) over
+    * the base. Five rounds: append a chunk in place (no version bump —
+    * the in-query require pins it), wait for the feed batch, then
+    * require the view's delta is back to ZERO — i.e. the refresh
+    * consumed exactly the appended files through the stored-rows +
+    * delta-partials combine, never a base rescan. The gate emits the
+    * view's content AFTER EVERY ROUND, so the oracle (a per-round
+    * prefix aggregation) hash-pins the full maintenance trajectory,
+    * not just the final state.
+    *
+    * Scale shape: each round's refresh costs O(|view| + |append|); the
+    * stream adds exactly-once file transport (checkpointed source) —
+    * the wiring a production pipeline uses to keep a 100 TB table's
+    * rollup fresh without ever re-aggregating the base. */
+  def s25StreamMvMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val ev = graft.tables.Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(30, 2)).as("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_s25")
+    val store = new graft.psn.TableStore(s, base.resolve("wh").toString)
+    def chunk(c: Int) = ev.filter(pmod(col("event_id"), lit(5)) === c)
+      .repartition(1) // one file per append -> one feed batch per round
+    store.append("ev_log", chunk(0)) // creates v1
+    store.enableFeed("ev_log")
+    store.createMaterializedView("totals_mv", "ev_log", Seq("event_type"),
+      Seq(graft.psn.MvAgg("n_events", "COUNT", "*"),
+        graft.psn.MvAgg("total_value", "SUM", "value"),
+        graft.psn.MvAgg("max_id", "MAX", "event_id")))
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, Long, BigDecimal, Long)]
+    def snapshot(round: Int): Unit =
+      store.readMaterialized("totals_mv").collect().foreach { r =>
+        snaps += ((round, r.getString(0), r.getLong(1),
+          BigDecimal(r.getDecimal(2)), r.getLong(3)))
+      }
+    snapshot(0)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(store.feedPath("ev_log"))
+    withStatePartitions(s, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          store.refreshMaterializedView("totals_mv")
+        }
+        .start()
+      try {
+        q.processAllAvailable() // drain the bootstrap chunk-0 feed file
+        (1 to 4).foreach { c =>
+          store.append("ev_log", chunk(c)) // in place: version stays 1
+          require(store.versions("ev_log").max == 1,
+            "append bumped the base version — the incremental path is " +
+              "not being exercised")
+          require(store.mvDeltaFiles("totals_mv") >= 1,
+            s"round $c append left no view delta")
+          q.processAllAvailable()
+          require(store.mvDeltaFiles("totals_mv") == 0,
+            s"round $c refresh did not consume the appended files")
+          snapshot(c)
+        }
+      } finally q.stop()
+    }
+    import s.implicits._
+    snaps.toSeq
+      .toDF("round", "event_type", "n_events", "total_value", "max_id")
+      .select(col("round"), col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"), col("max_id"))
+      .sortedSmall("round", "event_type")
+  }
+
+  val s25Oracle: String =
+    """SELECT r.round, e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE)
+      |    AS total_value,
+      |  MAX(e.event_id) AS max_id
+      |FROM events e
+      |JOIN (VALUES (0),(1),(2),(3),(4)) r(round)
+      |  ON e.event_id % 5 <= r.round
+      |GROUP BY r.round, e.event_type
+      |ORDER BY r.round, e.event_type""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("s18_stream_merge_replay", s18StreamMergeReplay,
       Some(s18Oracle)),
@@ -998,5 +1085,7 @@ object Streams {
     graft.Q("s23_session_windows", s23SessionWindows,
       Some(s23Oracle)),
     graft.Q("s24_stream_ingest_dedup", s24StreamIngestDedup,
-      Some(s24Oracle)))
+      Some(s24Oracle)),
+    graft.Q("s25_stream_mv_maintenance", s25StreamMvMaintenance,
+      Some(s25Oracle)))
 }
