@@ -1573,10 +1573,14 @@ object SimilarityOps {
     * (codebook broadcast, argmin partial-aggregated) — at 100 TB the
     * daily index add is O(|new vectors|), the whole point of freezing;
     * re-training stays a scheduled, not per-ingest, event (drift is
-    * e32/e33's audit surface). */
+    * e32/e33's audit surface). Per-cell BASE occupancy is index
+    * METADATA: it rides in the frozen artifact (computed once at freeze
+    * time, (cid, n_base) next to the centroids — what a production
+    * store keeps in the codebook sidecar), so the gate's base arm is a
+    * projection of the artifact, never a re-assignment of the base. */
   def e37IvfIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Out._
-    val frozen = localizedCached(s, s"ivf_base:$dir", {
+    val frozen = localizedCached(s, s"ivf_base2:$dir", {
       val base = embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") % 5 =!= 0)
@@ -1586,13 +1590,21 @@ object SimilarityOps {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         .withColumn("cn", norm2(col("cvec")))
       cents = ivfRecompute(ivfAssign(base, cents)).persist()
-      ivfRecompute(ivfAssign(base, cents))
+      val fin = ivfRecompute(ivfAssign(base, cents)).persist()
+      // Freeze-time occupancy: one assignment of the base to the FINAL
+      // centroids — the same pass a builder runs to lay out the cells —
+      // aggregated to 16 (cid, n_base) rows stored with the codebook.
+      val occ = ivfAssign(base, fin)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+      fin.join(occ, Seq("cid"), "left")
+        .select(col("cid"), col("cvec"), col("cn"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"))
     })
+    val cents = frozen.select(col("cid"), col("cvec"), col("cn"))
+    val baseCounts = frozen.select(col("cid"), col("n_base"))
     val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    val baseCounts = ivfAssign(e.filter(col("vec_id") % 5 =!= 0), frozen)
-      .groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
-    val incAgg = ivfAssign(e.filter(col("vec_id") % 5 === 0), frozen)
+    val incAgg = ivfAssign(e.filter(col("vec_id") % 5 === 0), cents)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_inc"),
         sum(col("vec_id")).as("sum_inc_ids"))

@@ -36,73 +36,295 @@ object Sql {
     * assignments). Table ids keep only their last dotted segment — the
     * store is the single-namespace analog of `project.dataset`. */
   final case class UpdateFrom(target: String, source: String,
-      targetKey: String, sourceKey: String, sets: Seq[(String, SrcExpr)])
+      targetKey: String, sourceKey: String, sets: Seq[(String, ValExpr)],
+      residuals: Seq[MergePred] = Nil)
 
-  /** A source-side value expression in SET / INSERT VALUES: a source
-    * column, optionally combined with one numeric literal
-    * (`s.col * 1.05`, `s.col + 7`). This is the arithmetic surface
-    * BigQuery statement users actually ship for repricing/adjustment
-    * jobs; anything richer stays loud-on-unsupported (the front-end
-    * covers the statement surface, not general SQL expressions). */
-  final case class SrcExpr(srcCol: String, op: Option[String] = None,
-      literal: Option[String] = None) {
-    /** Apply the arithmetic to the (already resolved) source column. */
-    def apply(c: Column): Column = op match {
-      case None => c
-      case Some(o) =>
-        val l = literal.getOrElse(throw new IllegalStateException(
-          s"operator '$o' without literal"))
-        val rhs =
-          if (l.matches("-?\\d+")) lit(l.toLong) else lit(l.toDouble)
-        o match {
-          case "+" => c + rhs
-          case "-" => c - rhs
-          case "*" => c * rhs
-          case "/" => c / rhs
-        }
+  /** A value expression in SET assignments / INSERT VALUES — the
+    * statement-surface expression language: aliased columns (target OR
+    * source side), numeric / string / DATE literals, `+ - * /`
+    * arithmetic with the usual precedence and parentheses, and a single
+    * `CASE WHEN <cmp> THEN <expr> ELSE <expr> END`. This is the surface
+    * BigQuery statement users actually ship for adjustment jobs —
+    * running balances (`SET t.bal = t.bal - s.amt`), guarded reprices
+    * (`CASE WHEN s.d > 0.04 THEN t.p * 0.9 ELSE t.p END`). Anything
+    * richer (function calls, nested CASE, AND/OR in the CASE condition)
+    * stays loud-on-unsupported: the front-end covers the statement
+    * surface, not general SQL expressions. */
+  sealed trait ValExpr {
+    /** Resolve to a Column given target-/source-side column resolvers
+      * (the executors bind these to the current snapshot and the
+      * collision-renamed source). */
+    def toColumn(tgt: String => Column, src: String => Column): Column
+    /** Source columns referenced — what the executor carries through the
+      * source rename. */
+    def srcCols: Set[String]
+    /** Target columns referenced (INSERT VALUES rejects these — no
+      * target row exists on the insert path). */
+    def tgtCols: Set[String]
+  }
+  final case class VCol(onTarget: Boolean, column: String) extends ValExpr {
+    def toColumn(tgt: String => Column, src: String => Column): Column =
+      if (onTarget) tgt(column) else src(column)
+    def srcCols: Set[String] = if (onTarget) Set.empty else Set(column)
+    def tgtCols: Set[String] = if (onTarget) Set(column) else Set.empty
+  }
+  final case class VNum(raw: String) extends ValExpr {
+    def toColumn(tgt: String => Column, src: String => Column): Column =
+      if (raw.matches("-?\\d+")) lit(raw.toLong) else lit(raw.toDouble)
+    def srcCols: Set[String] = Set.empty
+    def tgtCols: Set[String] = Set.empty
+  }
+  final case class VStr(value: String) extends ValExpr {
+    def toColumn(tgt: String => Column, src: String => Column): Column =
+      lit(value)
+    def srcCols: Set[String] = Set.empty
+    def tgtCols: Set[String] = Set.empty
+  }
+  final case class VDate(iso: String) extends ValExpr {
+    def toColumn(tgt: String => Column, src: String => Column): Column =
+      lit(java.sql.Date.valueOf(iso))
+    def srcCols: Set[String] = Set.empty
+    def tgtCols: Set[String] = Set.empty
+  }
+  final case class VBin(l: ValExpr, op: String, r: ValExpr) extends ValExpr {
+    def toColumn(tgt: String => Column, src: String => Column): Column = {
+      val (a, b) = (l.toColumn(tgt, src), r.toColumn(tgt, src))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+      }
     }
+    def srcCols: Set[String] = l.srcCols ++ r.srcCols
+    def tgtCols: Set[String] = l.tgtCols ++ r.tgtCols
+  }
+  final case class VCase(cmpL: ValExpr, cmpOp: String, cmpR: ValExpr,
+      thn: ValExpr, els: ValExpr) extends ValExpr {
+    def toColumn(tgt: String => Column, src: String => Column): Column =
+      when(cmpColumn(cmpL.toColumn(tgt, src), cmpOp,
+        cmpR.toColumn(tgt, src)), thn.toColumn(tgt, src))
+        .otherwise(els.toColumn(tgt, src))
+    def srcCols: Set[String] =
+      cmpL.srcCols ++ cmpR.srcCols ++ thn.srcCols ++ els.srcCols
+    def tgtCols: Set[String] =
+      cmpL.tgtCols ++ cmpR.tgtCols ++ thn.tgtCols ++ els.tgtCols
+  }
+
+  private def cmpColumn(lhs: Column, op: String, rhs: Column): Column =
+    op match {
+      case "=" => lhs === rhs
+      case "<>" => lhs =!= rhs
+      case "<" => lhs < rhs
+      case ">" => lhs > rhs
+      case "<=" => lhs <= rhs
+      case ">=" => lhs >= rhs
+    }
+
+  /** One comparison literal as a Column: `DATE '…'`, `'…'`, or numeric
+    * (integral → long, else double) — the shared typing rule for WHEN
+    * predicates and WHERE residuals. */
+  private def litColumn(l: String): Column = {
+    val t = l.trim
+    if (t.length > 4 && t.substring(0, 4).equalsIgnoreCase("DATE")) {
+      val q = t.substring(4).trim
+      lit(java.sql.Date.valueOf(q.substring(1, q.length - 1)))
+    } else if (t.startsWith("'")) lit(t.substring(1, t.length - 1))
+    else if (t.matches("-?\\d+")) lit(t.toLong)
+    else lit(t.toDouble)
+  }
+
+  private def predColumn(p: MergePred, res: String => Column): Column =
+    cmpColumn(res(p.column), p.op, litColumn(p.literal))
+
+  /** Tokenizer + recursive-descent parser for [[ValExpr]] — ~40 lines
+    * because the grammar is deliberately small (see the ValExpr doc).
+    * Every dead end throws with the offending text: a statement surface
+    * must be loud, never silently partial. */
+  private object ExprParser {
+    private val TokRe =
+      ("""\s*(?:(<=|>=|<>|[=<>+\-*/().])|([A-Za-z_]\w*)|""" +
+        """(\d+(?:\.\d+)?)|'([^']*)')""").r
+
+    def parse(text: String, tAlias: String, sAlias: String): ValExpr = {
+      // tokens: Left(op/punct) | Right(ident) | numbers/strings tagged
+      val toks = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var pos = 0
+      while (pos < text.length && text.substring(pos).trim.nonEmpty) {
+        TokRe.findPrefixMatchOf(text.substring(pos)) match {
+          case Some(m) =>
+            if (m.group(1) != null) toks += (("op", m.group(1)))
+            else if (m.group(2) != null) toks += (("id", m.group(2)))
+            else if (m.group(3) != null) toks += (("num", m.group(3)))
+            else toks += (("str", m.group(4)))
+            pos += m.end
+          case None => throw new IllegalArgumentException(
+            s"unsupported expression '$text': cannot read token at " +
+              s"'${text.substring(pos).trim.take(20)}'")
+        }
+      }
+      var i = 0
+      def fail(msg: String): Nothing = throw new IllegalArgumentException(
+        s"unsupported expression '$text': $msg")
+      def peek: Option[(String, String)] =
+        if (i < toks.length) Some(toks(i)) else None
+      def isKw(t: (String, String), kw: String): Boolean =
+        t._1 == "id" && t._2.equalsIgnoreCase(kw)
+      def expectKw(kw: String): Unit = peek match {
+        case Some(t) if isKw(t, kw) => i += 1
+        case other => fail(s"expected $kw, got '${other.map(_._2).orNull}'")
+      }
+      def expectCmp(): String = peek match {
+        case Some(("op", o))
+            if Set("=", "<>", "<", ">", "<=", ">=")(o) => i += 1; o
+        case other =>
+          fail(s"expected comparison, got '${other.map(_._2).orNull}'")
+      }
+      def prim(): ValExpr = peek match {
+        case Some(("op", "(")) =>
+          i += 1; val e = add()
+          peek match {
+            case Some(("op", ")")) => i += 1; e
+            case _ => fail("unbalanced '('")
+          }
+        case Some(("op", "-")) if i + 1 < toks.length &&
+            toks(i + 1)._1 == "num" =>
+          i += 2; VNum("-" + toks(i - 1)._2)
+        case Some(("num", n)) => i += 1; VNum(n)
+        case Some(("str", v)) => i += 1; VStr(v)
+        case Some(t) if isKw(t, "DATE") && i + 1 < toks.length &&
+            toks(i + 1)._1 == "str" =>
+          i += 2; VDate(toks(i - 1)._2)
+        case Some(("id", alias)) if i + 2 < toks.length &&
+            toks(i + 1) == (("op", ".")) && toks(i + 2)._1 == "id" =>
+          val c = toks(i + 2)._2; i += 3
+          if (alias.equalsIgnoreCase(tAlias)) VCol(onTarget = true, c)
+          else if (alias.equalsIgnoreCase(sAlias)) VCol(onTarget = false, c)
+          else fail(s"alias '$alias' is neither '$tAlias' nor '$sAlias'")
+        case Some(("id", bare)) =>
+          fail(s"unqualified identifier '$bare': qualify columns with " +
+            s"'$tAlias.' or '$sAlias.'")
+        case other => fail(s"expected a value, got '${other.map(_._2).orNull}'")
+      }
+      def mul(): ValExpr = {
+        var e = prim()
+        while (peek.exists(t => t._1 == "op" && (t._2 == "*" || t._2 == "/"))) {
+          val o = toks(i)._2; i += 1; e = VBin(e, o, prim())
+        }
+        e
+      }
+      def add(): ValExpr = {
+        var e = mul()
+        while (peek.exists(t => t._1 == "op" && (t._2 == "+" || t._2 == "-"))) {
+          val o = toks(i)._2; i += 1; e = VBin(e, o, mul())
+        }
+        e
+      }
+      val result = peek match {
+        case Some(t) if isKw(t, "CASE") =>
+          i += 1; expectKw("WHEN")
+          val cl = add(); val co = expectCmp(); val cr = add()
+          expectKw("THEN"); val thn = add()
+          expectKw("ELSE"); val els = add()
+          expectKw("END")
+          VCase(cl, co, cr, thn, els)
+        case _ => add()
+      }
+      if (i != toks.length)
+        fail(s"trailing tokens from '${toks(i)._2}'")
+      result
+    }
+  }
+
+  /** Split on a top-level separator, single-quote-aware (a literal
+    * containing the separator never missplits), parens-aware for ','. */
+  private def splitTop(s: String, onAnd: Boolean): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQ = !inQ; cur += c; i += 1 }
+      else if (!inQ && !onAnd && c == '(') { depth += 1; cur += c; i += 1 }
+      else if (!inQ && !onAnd && c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (!inQ && !onAnd && depth == 0 && c == ',') {
+        parts += cur.toString; cur.clear(); i += 1
+      } else if (!inQ && onAnd && s.regionMatches(true, i, "AND", 0, 3) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + 3 >= s.length || s.charAt(i + 3).isWhitespace)) {
+        parts += cur.toString; cur.clear(); i += 3
+      } else { cur += c; i += 1 }
+    }
+    parts += cur.toString
+    parts.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private val Stmt = (
     """(?is)\s*UPDATE\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
     """SET\s+(.+?)\s+FROM\s+`?([\w.-]+)`?\s+(?:AS\s+)?(\w+)\s+""" +
-    """WHERE\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*;?\s*""").r
-  private val Assign = ("""(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(\w+)\.(\w+)""" +
-    """\s*(?:([*+/-])\s*(-?\d+(?:\.\d+)?))?\s*""").r
+    """WHERE\s+(.+?)\s*;?\s*""").r
+  private val SetItem = """(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(.+?)\s*""".r
+  private val JoinEq = """(?is)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+  private val ResidPred = ("""(?is)\s*(\w+)\.(\w+)\s*(<=|>=|<>|=|<|>)\s*""" +
+    """(DATE\s*'[^']*'|'[^']*'|-?\d+(?:\.\d+)?)\s*""").r
 
   private def baseName(qualified: String): String =
     qualified.split('.').last
 
-  /** Parse the UPDATE-FROM statement; loud on anything outside the shape
-    * (arbitrary SET expressions, multi-predicate WHERE) — this front-end
-    * covers exactly the reference's DML surface, not general SQL DML. */
+  /** Parse the UPDATE-FROM statement. The WHERE is a conjunction:
+    * exactly ONE `t.k = s.k` alias-equality (the join key) plus any
+    * number of `alias.col <op> literal` residuals — the guarded-upsert
+    * shape (`WHERE t.id = s.id AND t.o_orderdate >= DATE '…'`). Loud on
+    * anything outside the shape — this front-end covers the statement
+    * surface BigQuery DML users ship, not general SQL DML. */
   def parseUpdateFrom(sql: String): UpdateFrom = sql match {
-    case Stmt(target, tAlias, setList, source, sAlias, wa1, wc1, wa2, wc2) =>
-      val (tKey, sKey) =
-        if (wa1.equalsIgnoreCase(tAlias) && wa2.equalsIgnoreCase(sAlias))
-          (wc1, wc2)
-        else if (wa1.equalsIgnoreCase(sAlias) && wa2.equalsIgnoreCase(tAlias))
-          (wc2, wc1)
-        else throw new IllegalArgumentException(
-          s"WHERE must equate the two aliases '$tAlias'/'$sAlias', " +
-            s"got '$wa1.$wc1 = $wa2.$wc2'")
-      val sets = setList.split(",").toSeq.map {
-        case Assign(lAlias, lCol, rAlias, rCol, op, litV) =>
+    case Stmt(target, tAlias, setList, source, sAlias, whereText) =>
+      def aliasSide(a: String): Option[Boolean] =
+        if (a.equalsIgnoreCase(tAlias)) Some(true)
+        else if (a.equalsIgnoreCase(sAlias)) Some(false)
+        else None
+      val conjs = splitTop(whereText, onAnd = true)
+      val keys = conjs.collect {
+        case JoinEq(a1, c1, a2, c2)
+            if aliasSide(a1).isDefined && aliasSide(a2).isDefined &&
+              aliasSide(a1) != aliasSide(a2) =>
+          if (aliasSide(a1).get) (c1, c2) else (c2, c1)
+      }
+      require(keys.length == 1,
+        s"WHERE needs exactly one '$tAlias.k = $sAlias.k' join equality, " +
+          s"got ${keys.length} in '$whereText'")
+      val (tKey, sKey) = keys.head
+      val residuals = conjs.filterNot {
+        case JoinEq(a1, _, a2, _) =>
+          aliasSide(a1).isDefined && aliasSide(a2).isDefined &&
+            aliasSide(a1) != aliasSide(a2)
+        case _ => false
+      }.map {
+        case ResidPred(a, c, op, l) =>
+          val side = aliasSide(a).getOrElse(
+            throw new IllegalArgumentException(
+              s"residual predicate alias '$a' is neither " +
+                s"'$tAlias' nor '$sAlias'"))
+          MergePred(side, c, op, l)
+        case other => throw new IllegalArgumentException(
+          s"unsupported WHERE conjunct '$other': expected the join " +
+            "equality or <alias>.<col> <op> <literal>")
+      }
+      val sets = splitTop(setList, onAnd = false).map {
+        case SetItem(lAlias, lCol, rhs) =>
           require(lAlias == null || lAlias.equalsIgnoreCase(tAlias),
             s"SET column '$lAlias.$lCol' must belong to target '$tAlias'")
-          require(rAlias.equalsIgnoreCase(sAlias),
-            s"SET source '$rAlias.$rCol' must come from '$sAlias' " +
-              "(assignments read the source row, optionally with one " +
-              "numeric-literal operation)")
-          lCol -> SrcExpr(rCol, Option(op), Option(litV))
+          lCol -> ExprParser.parse(rhs, tAlias, sAlias)
         case other => throw new IllegalArgumentException(
-          s"unsupported SET item '$other': expected t.col = s.col " +
-            "[<+-*/> <numeric literal>]")
+          s"unsupported SET item '$other': expected t.col = <expression>")
       }
-      UpdateFrom(baseName(target), baseName(source), tKey, sKey, sets)
+      UpdateFrom(baseName(target), baseName(source), tKey, sKey, sets,
+        residuals)
     case _ => throw new IllegalArgumentException(
-      "unsupported DML: expected UPDATE <t> a SET a.c = b.c, ... " +
-        "FROM <s> b WHERE a.k = b.k")
+      "unsupported DML: expected UPDATE <t> a SET a.c = <expr>, ... " +
+        "FROM <s> b WHERE a.k = b.k [AND <alias>.<col> <op> <literal> ...]")
   }
 
   /** Execute the reference's UPDATE-FROM against a [[TableStore]] table.
@@ -124,8 +346,14 @@ object Sql {
     * then as a session temp view. */
   def runDml(s: SparkSession, store: TableStore, sql: String): Unit = {
     val u = parseUpdateFrom(sql)
-    val src =
+    val src0 =
       if (store.exists(u.source)) store.read(u.source) else s.table(u.source)
+    // Source-side WHERE residuals pre-filter the source — same result as
+    // post-join evaluation (they reference only source columns), pruned
+    // before the shuffle instead of after.
+    val (tgtResid, srcResid) = u.residuals.partition(_.onTarget)
+    val src = srcResid.foldLeft(src0)((d, p) =>
+      d.filter(predColumn(p, d(_))))
     val dup = src.groupBy(col(u.sourceKey)).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -133,14 +361,19 @@ object Sql {
         s"'${dup.headOption.map(_.get(0)).orNull}' matches multiple rows")
     val uKey = "__u_" + u.sourceKey
     // distinct: SET t.k = s.k would otherwise select the key rename twice
-    val rhsCols = (u.sourceKey +: u.sets.map(_._2.srcCol)).distinct
+    val rhsCols =
+      (u.sourceKey +: u.sets.flatMap(_._2.srcCols)).distinct
     val renamedSrc = src.select(rhsCols.map(c => col(c).as("__u_" + c)): _*)
     store.mergeWith(u.target) { cur =>
-      val matched = col(uKey).isNotNull
+      // Target-side residuals gate WHICH matched rows update (BigQuery's
+      // UPDATE-FROM WHERE semantics: a join-matched row failing them is
+      // left untouched, never deleted).
+      val matched = tgtResid.foldLeft(col(uKey).isNotNull)((m, p) =>
+        m && predColumn(p, cur(_)))
       val outCols: Seq[Column] = cur.columns.toSeq.map { c =>
         u.sets.find(_._1.equalsIgnoreCase(c)) match {
-          case Some((_, se)) =>
-            when(matched, se(col("__u_" + se.srcCol)))
+          case Some((_, ve)) =>
+            when(matched, ve.toColumn(cur(_), sc => col("__u_" + sc)))
               .otherwise(cur(c)).as(c)
           case None => cur(c)
         }
@@ -159,10 +392,18 @@ object Sql {
   final case class MergePred(onTarget: Boolean, column: String,
       op: String, literal: String)
   final case class MatchedUpdate(pred: Option[MergePred],
-      sets: Seq[(String, SrcExpr)]) extends MergeWhen
+      sets: Seq[(String, ValExpr)]) extends MergeWhen
   final case class MatchedDelete(pred: Option[MergePred]) extends MergeWhen
   final case class NotMatchedInsert(pred: Option[MergePred],
-      inserts: Seq[(String, SrcExpr)]) extends MergeWhen
+      inserts: Seq[(String, ValExpr)]) extends MergeWhen
+  /** The third ANSI/BigQuery match group — target rows with NO source
+    * row (`WHEN NOT MATCHED BY SOURCE [AND <t-pred>] THEN DELETE`): the
+    * dimension-sync arm that drops rows which vanished from the
+    * snapshot. Predicates are target-side by construction — there is no
+    * source row to read. DELETE is the only supported verb (the sync
+    * statement's shape); UPDATE-by-source stays loud-on-unsupported. */
+  final case class NotMatchedBySourceDelete(
+      pred: Option[MergePred]) extends MergeWhen
 
   /** The canonical upsert/purge statement (BigQuery/ANSI shape):
     * {{{
@@ -177,9 +418,9 @@ object Sql {
     * update/insert clause for the common two-clause statement. */
   final case class MergeInto(target: String, source: String,
       targetKey: String, sourceKey: String, whens: Seq[MergeWhen]) {
-    def sets: Seq[(String, SrcExpr)] =
+    def sets: Seq[(String, ValExpr)] =
       whens.collectFirst { case MatchedUpdate(_, s) => s }.getOrElse(Nil)
-    def inserts: Seq[(String, SrcExpr)] =
+    def inserts: Seq[(String, ValExpr)] =
       whens.collectFirst { case NotMatchedInsert(_, i) => i }.getOrElse(Nil)
   }
 
@@ -193,14 +434,15 @@ object Sql {
   private val WhenDel =
     """(?is)\s*WHEN\s+MATCHED\s*(AND\s.+?)?\s*THEN\s+DELETE\s*""".r
   private val WhenIns = (
-    """(?is)\s*WHEN\s+NOT\s+MATCHED\s*(AND\s.+?)?\s*THEN\s+INSERT\s*""" +
-    """\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*""").r
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(AND\s.+?)?\s*""" +
+    """THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*""").r
+  private val WhenNmbsDel = (
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(AND\s.+?)?\s*""" +
+    """THEN\s+DELETE\s*""").r
   private val WhenOther = """(?is)\s*WHEN\s+(NOT\s+)?MATCHED\b.*""".r
   private val PredPat = (
     """(?is)\s*AND\s+(\w+)\.(\w+)\s*(<=|>=|<>|=|<|>)\s*""" +
-    """('[^']*'|-?\d+(?:\.\d+)?)\s*""").r
-  private val SrcRef = ("""(?is)\s*(\w+)\.(\w+)""" +
-    """\s*(?:([*+/-])\s*(-?\d+(?:\.\d+)?))?\s*""").r
+    """(DATE\s*'[^']*'|'[^']*'|-?\d+(?:\.\d+)?)\s*""").r
 
   /** Parse MERGE INTO with any combination of DELETE / UPDATE / INSERT
     * WHEN clauses, each optionally predicated. Loud on anything outside
@@ -231,29 +473,25 @@ object Sql {
             s"unsupported WHEN predicate '$other': expected " +
               "AND <alias>.<col> <op> <literal>")
         }
-      def parseSets(setList: String): Seq[(String, SrcExpr)] =
-        setList.split(",").toSeq.map {
-          case Assign(lAlias, lCol, rAlias, rCol, op, litV) =>
+      def parseSets(setList: String): Seq[(String, ValExpr)] =
+        splitTop(setList, onAnd = false).map {
+          case SetItem(lAlias, lCol, rhs) =>
             require(lAlias == null || lAlias.equalsIgnoreCase(tAlias),
               s"SET column '$lAlias.$lCol' must belong to target '$tAlias'")
-            require(rAlias.equalsIgnoreCase(sAlias),
-              s"SET source '$rAlias.$rCol' must come from '$sAlias'")
-            lCol -> SrcExpr(rCol, Option(op), Option(litV))
+            lCol -> ExprParser.parse(rhs, tAlias, sAlias)
           case other => throw new IllegalArgumentException(
-            s"unsupported SET item '$other': expected t.col = s.col " +
-              "[<+-*/> <numeric literal>]")
+            s"unsupported SET item '$other': expected t.col = <expression>")
         }
       def parseInserts(insCols: String,
-          insVals: String): Seq[(String, SrcExpr)] = {
+          insVals: String): Seq[(String, ValExpr)] = {
         val cols = insCols.split(",").toSeq.map(_.trim)
-        val vals = insVals.split(",").toSeq.map {
-          case SrcRef(a, c, op, litV) =>
-            require(a.equalsIgnoreCase(sAlias),
-              s"INSERT value '$a.$c' must come from '$sAlias'")
-            SrcExpr(c, Option(op), Option(litV))
-          case other => throw new IllegalArgumentException(
-            s"unsupported INSERT value '$other': expected s.col " +
-              "[<+-*/> <numeric literal>]")
+        val vals = splitTop(insVals, onAnd = false).map { v =>
+          val e = ExprParser.parse(v, tAlias, sAlias)
+          require(e.tgtCols.isEmpty,
+            s"INSERT value '$v' reads target columns " +
+              s"${e.tgtCols.mkString(",")} — no target row exists on " +
+              "the insert path")
+          e
         }
         require(cols.length == vals.length && cols.nonEmpty,
           s"INSERT column list (${cols.length}) and VALUES " +
@@ -267,13 +505,21 @@ object Sql {
           case WhenDel(pred) => MatchedDelete(parsePred(pred))
           case WhenUpd(pred, setList) =>
             MatchedUpdate(parsePred(pred), parseSets(setList))
+          case WhenNmbsDel(pred) =>
+            val p = parsePred(pred)
+            p.foreach(mp => require(mp.onTarget,
+              s"NOT MATCHED BY SOURCE predicate '$sAlias.${mp.column}' " +
+                "reads the source — no source row exists on this arm"))
+            NotMatchedBySourceDelete(p)
           case WhenIns(pred, insCols, insVals) =>
             NotMatchedInsert(parsePred(pred), parseInserts(insCols, insVals))
           case WhenOther(not) => throw new IllegalArgumentException(
             if (not == null)
               "WHEN MATCHED supports THEN UPDATE SET … or THEN DELETE only"
             else
-              "WHEN NOT MATCHED supports THEN INSERT (…) VALUES (…) only")
+              "WHEN NOT MATCHED [BY TARGET] supports THEN INSERT (…) " +
+                "VALUES (…); WHEN NOT MATCHED BY SOURCE supports " +
+                "THEN DELETE")
           case other => throw new IllegalArgumentException(
             s"unsupported MERGE clause '$other'")
         }
@@ -284,10 +530,12 @@ object Sql {
         group.dropRight(1).foreach(w => require(w.pred.nonEmpty,
           s"non-final $name clause needs an AND predicate — an " +
             "unpredicated clause makes later clauses unreachable"))
-      checkGroup(clauses.filter(!_.isInstanceOf[NotMatchedInsert]),
-        "WHEN MATCHED")
+      checkGroup(clauses.filter(w => w.isInstanceOf[MatchedUpdate] ||
+        w.isInstanceOf[MatchedDelete]), "WHEN MATCHED")
       checkGroup(clauses.collect { case i: NotMatchedInsert => i },
         "WHEN NOT MATCHED")
+      checkGroup(clauses.collect {
+        case d: NotMatchedBySourceDelete => d }, "WHEN NOT MATCHED BY SOURCE")
       MergeInto(baseName(target), baseName(source), tKey, sKey, clauses)
     case _ => throw new IllegalArgumentException(
       "unsupported DML: expected MERGE INTO <t> a USING <s> b ON a.k = b.k " +
@@ -322,14 +570,16 @@ object Sql {
       s"MERGE USING ${u.source}: source key ${u.sourceKey} value " +
         s"'${bad.headOption.map(_.get(0)).orNull}' is null or non-unique")
     val uKey = "__u_" + u.sourceKey
-    val matchedWhens = u.whens.filterNot(_.isInstanceOf[NotMatchedInsert])
+    val matchedWhens = u.whens.filter(w => w.isInstanceOf[MatchedUpdate] ||
+      w.isInstanceOf[MatchedDelete])
     val insertWhens = u.whens.collect { case i: NotMatchedInsert => i }
+    val nmbsWhens = u.whens.collect { case d: NotMatchedBySourceDelete => d }
     // every source column the statement touches: SET rhs, INSERT values,
     // and source-side predicate columns, all renamed out of collision
     val rhsCols = (u.sourceKey +:
       (u.whens.collect {
-          case MatchedUpdate(_, ss) => ss.map(_._2.srcCol) }.flatten
-        ++ insertWhens.flatMap(_.inserts.map(_._2.srcCol))
+          case MatchedUpdate(_, ss) => ss.flatMap(_._2.srcCols) }.flatten
+        ++ insertWhens.flatMap(_.inserts.flatMap(_._2.srcCols))
         ++ u.whens.flatMap(_.pred).collect {
           case MergePred(false, c, _, _) => c
         })).distinct
@@ -337,21 +587,10 @@ object Sql {
     store.mergeWith(u.target) { cur =>
       def predCol(p: Option[MergePred]): Column = p match {
         case None => lit(true)
-        case Some(MergePred(onTarget, c, op, l)) =>
-          val lhs = if (onTarget) cur(c) else col("__u_" + c)
-          val rhs =
-            if (l.startsWith("'")) lit(l.substring(1, l.length - 1))
-            else if (l.matches("-?\\d+")) lit(l.toLong)
-            else lit(l.toDouble)
-          op match {
-            case "=" => lhs === rhs
-            case "<>" => lhs =!= rhs
-            case "<" => lhs < rhs
-            case ">" => lhs > rhs
-            case "<=" => lhs <= rhs
-            case ">=" => lhs >= rhs
-          }
+        case Some(mp) =>
+          predColumn(mp, c => if (mp.onTarget) cur(c) else col("__u_" + c))
       }
+      def srcRes(c: String): Column = col("__u_" + c)
       val srcM = col(uKey).isNotNull
       val tgtM = cur(u.targetKey).isNotNull
       // first-match-wins: index of the first clause whose predicate
@@ -363,6 +602,11 @@ object Sql {
       val iAct = insertWhens.zipWithIndex.foldRight(lit(-1)) {
         case ((w, i), acc) => when(predCol(w.pred), lit(i)).otherwise(acc)
       }
+      // NOT MATCHED BY SOURCE: all clauses are DELETEs, so a target-only
+      // row survives iff NO clause's (target-side) predicate fires
+      val nmbsAct = nmbsWhens.zipWithIndex.foldRight(lit(-1)) {
+        case ((w, i), acc) => when(predCol(w.pred), lit(i)).otherwise(acc)
+      }
       val delIdx = matchedWhens.zipWithIndex
         .collect { case (_: MatchedDelete, i) => i }
       val keep =
@@ -370,13 +614,15 @@ object Sql {
           if (delIdx.isEmpty) lit(true)
           else !mAct.isin(delIdx: _*))
         .when(srcM && !tgtM, iAct >= 0)
+        .when(!srcM && tgtM,
+          if (nmbsWhens.isEmpty) lit(true) else nmbsAct < 0)
         .otherwise(lit(true))
       val outCols: Seq[Column] = cur.columns.toSeq.map { c =>
         val updCase = matchedWhens.zipWithIndex.foldRight(cur(c)) {
           case ((MatchedUpdate(_, ss), i), acc) =>
             ss.find(_._1.equalsIgnoreCase(c)) match {
-              case Some((_, se)) =>
-                when(mAct === i, se(col("__u_" + se.srcCol))).otherwise(acc)
+              case Some((_, ve)) =>
+                when(mAct === i, ve.toColumn(cur(_), srcRes)).otherwise(acc)
               case None => acc
             }
           case (_, acc) => acc // fired DELETEs never reach the select
@@ -385,7 +631,7 @@ object Sql {
           .foldRight(lit(null).cast(cur.schema(c).dataType)) {
             case ((NotMatchedInsert(_, ins), i), acc) =>
               val v = ins.find(_._1.equalsIgnoreCase(c))
-                .map(p => p._2(col("__u_" + p._2.srcCol)))
+                .map(p => p._2.toColumn(cur(_), srcRes))
                 .getOrElse(lit(null).cast(cur.schema(c).dataType))
               when(iAct === i, v).otherwise(acc)
           }
@@ -1712,10 +1958,17 @@ object Sql {
           case other => throw new IllegalArgumentException(
             s"LOAD DATA format '$other' unsupported: PARQUET, CSV, JSON")
         }
-        val n = df.count()
+        // Job statistics come from the COMMITTED result, not a pre-pass
+        // over the source: a separate count() scans the input twice and
+        // can diverge from the rows actually loaded if source files
+        // change between the two jobs. countRows is footer metadata —
+        // O(files), zero data read.
+        val before =
+          if (mode.equalsIgnoreCase("OVERWRITE") || !store.exists(name)) 0L
+          else store.countRows(name)
         if (mode.equalsIgnoreCase("OVERWRITE")) store.overwrite(name, df)
         else store.append(name, df)
-        n
+        store.countRows(name) - before
       case _ => throw new IllegalArgumentException(
         "unsupported statement: expected LOAD DATA INTO|OVERWRITE <t> " +
           "FROM FILES(uris=['…'], format='…')")
@@ -1896,6 +2149,171 @@ object Sql {
       |FROM b WHERE st = 'F'
       |ORDER BY change""".stripMargin
 
+  /** q90: the RUNNING-BALANCE statement — column-column arithmetic and a
+    * CASE expression inside SET, the two shapes round 12's front-end
+    * stopped at (`SET t.c = s.c <op> <numeric literal>` was the wall).
+    * A customer balance table is debited by a staged per-customer
+    * adjustment (`t.bal = t.bal - s.amt` — the rhs reads BOTH aliases)
+    * while the segment column takes a guarded overwrite
+    * (`CASE WHEN s.amt > 100000 THEN 'HEAVY' ELSE t.seg END`). The
+    * oracle recomputes both assignments declaratively over
+    * customer⋈orders, so the hash gate proves target-column reads
+    * resolve against the pre-update row (assignment semantics: every
+    * SET reads the OLD row, BigQuery/ANSI), not a half-updated one.
+    *
+    * Scale shape: identical to q56 — one left equi-join on the key
+    * inside [[graft.psn.TableStore.mergeWith]]'s transactional rewrite;
+    * the richer rhs is still a per-row codegen'd projection. */
+  def q90SqlUpdateBalance(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.{customer, orders}
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("cust_bal", customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal").cast(dec).as("bal"),
+        col("c_mktsegment").as("seg")))
+    store.overwrite("cust_adj", orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("amt")))
+    runDml(s, store,
+      """UPDATE `graft-project.store.cust_bal` t
+        |SET t.bal = t.bal - s.amt,
+        |    t.seg = CASE WHEN s.amt > 100000 THEN 'HEAVY' ELSE t.seg END
+        |FROM `graft-project.store.cust_adj` s
+        |WHERE t.c_custkey = s.c_custkey
+        |""".stripMargin)
+    store.drop("cust_adj")
+    store.read("cust_bal")
+      .select(col("c_custkey"), col("bal").cast("double").as("bal"),
+        col("seg"))
+      .sortedWide("c_custkey")
+  }
+
+  val q90Oracle: String =
+    """WITH adj AS (
+      |  SELECT o_custkey AS k,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
+      |  FROM orders GROUP BY 1)
+      |SELECT c.c_custkey,
+      |  CAST(CASE WHEN a.k IS NOT NULL
+      |    THEN CAST(c.c_acctbal AS DECIMAL(18,2)) - a.amt
+      |    ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS bal,
+      |  CASE WHEN a.k IS NOT NULL AND a.amt > 100000
+      |    THEN 'HEAVY' ELSE c.c_mktsegment END AS seg
+      |FROM customer c LEFT JOIN adj a ON c.c_custkey = a.k
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** q91: the three-arm dimension-sync MERGE — the statement the
+    * reference's new_game + upsert pair (main.py:176-185, 256-287)
+    * composes to, in ONE transactional commit: matched rows reprice from
+    * the snapshot, snapshot-only rows INSERT (with a literal sentinel
+    * status — the VALUES list mixes source columns and literals), and
+    * rows that VANISHED from the snapshot are dropped by the `WHEN NOT
+    * MATCHED BY SOURCE THEN DELETE` arm — except those its target-side
+    * guard retains (`AND t.st <> 'F'` keeps closed orders for audit).
+    * The oracle recomputes all three arms declaratively, so the hash
+    * gate proves the BY SOURCE group dispatches on target-only rows
+    * (and ONLY there), alongside the other two groups in one statement.
+    *
+    * Scale shape: still ONE full-outer equi-join on the key — the third
+    * arm reuses the join's target-only stream; no extra pass, shuffle,
+    * or anti-join. */
+  def q91SqlMergeSync(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_sy", orders(s, dir)
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").cast(dec).as("price"),
+        col("o_orderstatus").as("st")))
+    store.overwrite("orders_sys", orders(s, dir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice").cast(dec).as("price")))
+    runMerge(s, store,
+      """MERGE INTO `graft-project.store.orders_sy` t
+        |USING `graft-project.store.orders_sys` s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET t.price = s.price * 2
+        |WHEN NOT MATCHED BY TARGET THEN INSERT (o_orderkey, price, st)
+        |  VALUES (s.o_orderkey, s.price, 'I')
+        |WHEN NOT MATCHED BY SOURCE AND t.st <> 'F' THEN DELETE
+        |""".stripMargin)
+    store.drop("orders_sys")
+    store.read("orders_sy")
+      .select(col("o_orderkey"), col("price").cast("double").as("price"),
+        col("st"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q91Oracle: String =
+    """WITH t AS (SELECT o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    o_orderstatus AS st
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |s AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT t.o_orderkey, CAST(s.price * 2 AS DOUBLE) AS price, t.st
+      |FROM t JOIN s ON t.o_orderkey = s.o_orderkey
+      |UNION ALL
+      |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, st FROM t
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s) AND st = 'F'
+      |UNION ALL
+      |SELECT o_orderkey, CAST(price AS DOUBLE) AS price, 'I' AS st FROM s
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q92: the GUARDED UPSERT — UPDATE-FROM whose WHERE carries residual
+    * predicates beyond the join equality (round 12's parser rejected
+    * any second conjunct): a target-side date guard (`t.od >= DATE
+    * '1995-07-01'` — only recent orders reprice) and a source-side
+    * value guard (`s.price > 1000` — cheap adjustments are ignored).
+    * The executor pre-filters the source with the source-side residual
+    * (prune before the shuffle) and folds the target-side one into the
+    * matched condition — a join-matched row failing it is left
+    * UNTOUCHED, never deleted (BigQuery's UPDATE-FROM WHERE semantics),
+    * which is exactly what the oracle's CASE recomputation pins.
+    *
+    * Scale shape: q56's one left equi-join, with the source residual
+    * applied scan-side (predicate pushdown does the rest). */
+  def q92SqlGuardedUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    import graft.tables.Tables.orders
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    store.overwrite("orders_g", orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast(dec).as("price"),
+        col("o_orderdate").as("od")))
+    store.overwrite("orders_gs", orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast(dec).as("price")))
+    runDml(s, store,
+      """UPDATE `graft-project.store.orders_g` t
+        |SET t.price = s.price * 2
+        |FROM `graft-project.store.orders_gs` s
+        |WHERE t.o_orderkey = s.o_orderkey
+        |  AND t.od >= DATE '1995-07-01'
+        |  AND s.price > 1000
+        |""".stripMargin)
+    store.drop("orders_gs")
+    store.read("orders_g")
+      .select(col("o_orderkey"), col("price").cast("double").as("price"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q92Oracle: String =
+    """SELECT o_orderkey,
+      |  CAST(CASE WHEN o_orderdate >= DATE '1995-07-01'
+      |    AND CAST(o_totalprice AS DECIMAL(18,2)) > 1000
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+      |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
@@ -1911,5 +2329,8 @@ object Sql {
     graft.Q("q84_wildcard_tables", q84WildcardTables, Some(q84Oracle)),
     graft.Q("q85_sql_export", q85SqlExport, Some(q85Oracle)),
     graft.Q("q86_sql_load", q86SqlLoad, Some(q86Oracle)),
-    graft.Q("q89_table_changes", q89TableChanges, Some(q89Oracle)))
+    graft.Q("q89_table_changes", q89TableChanges, Some(q89Oracle)),
+    graft.Q("q90_sql_update_balance", q90SqlUpdateBalance, Some(q90Oracle)),
+    graft.Q("q91_sql_merge_sync", q91SqlMergeSync, Some(q91Oracle)),
+    graft.Q("q92_sql_guarded_update", q92SqlGuardedUpdate, Some(q92Oracle)))
 }

@@ -9,6 +9,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct, sum, when}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
+/** One aggregate of a materialized view: `out` = FUNC(`in`), FUNC ∈
+  * COUNT(*) | SUM | MIN | MAX — exactly the incrementally-combinable
+  * class BigQuery's aggregate MVs restrict to (each merges with itself:
+  * counts and sums add, min/max re-min/max), which is what makes the
+  * stale-rows + delta combine in [[TableStore.readMaterialized]] sound. */
+final case class MvAgg(out: String, func: String, in: String)
+
 /** Sink abstraction (SURVEY §2.2 K1-K6) over a parquet warehouse directory.
   *
   * append  = K1/K2 (`insert_rows_from_dataframe` / WRITE_APPEND loads)
@@ -69,13 +76,6 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * The empty-append guard the reference needs (main.py:184) is a no-op here:
   * appending an empty DataFrame writes no row files.
   */
-/** One aggregate of a materialized view: `out` = FUNC(`in`), FUNC ∈
-  * COUNT(*) | SUM | MIN | MAX — exactly the incrementally-combinable
-  * class BigQuery's aggregate MVs restrict to (each merges with itself:
-  * counts and sums add, min/max re-min/max), which is what makes the
-  * stale-rows + delta combine in [[TableStore.readMaterialized]] sound. */
-final case class MvAgg(out: String, func: String, in: String)
-
 final class TableStore(spark: SparkSession, warehouse: String) {
 
   private def dir(table: String): Path = Paths.get(warehouse, table)
@@ -315,6 +315,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       txnTag: Option[String] = None): Long = {
     require(exists(table), s"deleteRows: table '$table' does not exist")
     requireWritable(table) // loud before the scan, not after it
+    requireNotMv(table, "deleteRows")
     requireNoFeed(table, "deleteRows")
     checkTag(txnTag)
     val base = resolve(table)
@@ -466,11 +467,15 @@ final class TableStore(spark: SparkSession, warehouse: String) {
 
   // ------------------------------------------------- clones + snapshots
 
-  private def snapshotFlag(table: String): Path =
-    dir(table).resolve("_snapshot")
-
-  /** True when `table` was created read-only (CREATE SNAPSHOT TABLE). */
-  def isSnapshot(table: String): Boolean = Files.exists(snapshotFlag(table))
+  /** True when `table` was created read-only (CREATE SNAPSHOT TABLE).
+    * The flag lives INSIDE the committed version directory, not the
+    * table root: a clone that crashes (or loses its publish race) before
+    * committing leaves only an orphaned claim — invisible here — so a
+    * failed snapshot-clone can never permanently poison the target name
+    * for later CREATEs. A snapshot refuses every write, so its flagged
+    * version is its only version for life. */
+  def isSnapshot(table: String): Boolean =
+    exists(table) && Files.exists(resolve(table).resolve("_snapshot"))
 
   /** Every mutating path funnels through here (committing rewrites via
     * [[claimNext]]; in-place appends check explicitly): a SNAPSHOT table
@@ -483,6 +488,17 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       s"'$table' is a read-only snapshot table (CREATE SNAPSHOT TABLE) — " +
         "writes are refused; clone it writable (CREATE TABLE … CLONE) or " +
         "drop it")
+
+  /** Direct DML refuses materialized views (BigQuery does the same):
+    * their rows are DERIVED state pinned to the base by the `_mvdef`
+    * sidecar — an append or merge would silently corrupt every
+    * [[readMaterialized]] combine after it. REFRESH maintains a view;
+    * DROP retires it. The MV machinery itself rewrites through the
+    * internal commit path, not these verbs. */
+  private def requireNotMv(table: String, op: String): Unit =
+    require(!isMaterializedView(table),
+      s"'$table' is a materialized view — $op would corrupt its stored " +
+        "combine; REFRESH MATERIALIZED VIEW maintains it, DROP retires it")
 
   /** Zero-copy table clone — BigQuery's `CREATE TABLE … CLONE` (Delta's
     * SHALLOW CLONE): materialize a retained snapshot of `source` (the
@@ -527,10 +543,10 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       Files.writeString(schemaPath(target, nv), st.json))
     val cs = constraints(source)
     if (cs.nonEmpty) writeConstraints(target, cs)
-    // The flag precedes the commit: a clone that crashes mid-create leaves
-    // an unreadable claim either way, and a committed snapshot is
-    // read-only from its very first visible instant.
-    if (snapshot) Files.writeString(snapshotFlag(target), "")
+    // The flag rides in the claimed dir and becomes visible WITH the
+    // commit: read-only from the first visible instant, and a crashed or
+    // out-raced clone leaves no stale root flag to poison the name.
+    if (snapshot) Files.writeString(claimed.resolve("_snapshot"), "")
     commitClaimed(target, nv, checkTag(txnTag))
     nv
   }
@@ -736,7 +752,8 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       val baseDir = resolve(d.base)
       val files = dataFiles(baseDir)
         .map(f => baseDir.relativize(f).toString).toSet
-      overwrite(mv, next)
+      // internal commit path: `overwrite` (the user verb) refuses MVs
+      commitRewrite(mv, next)
       writeMvDef(mv, d.copy(baseVersion = v, covered = files))
     } finally next.unpersist()
   }
@@ -948,6 +965,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def append(table: String, df: DataFrame): Unit =
     if (exists(table)) {
       requireWritable(table) // in-place: no claim, so check here
+      requireNotMv(table, "append")
       assertSchemaMatches(table, df)
       val base = resolve(table)
       val before = dataFiles(base).map(_.getFileName.toString).toSet
@@ -961,6 +979,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * partition directories instead of reading and filtering. */
   def appendPartitioned(table: String, df: DataFrame,
       partitionCol: String, txnTag: Option[String] = None): Unit = {
+    requireNotMv(table, "appendPartitioned")
     if (!exists(table)) {
       val (v, claimed) = claimNext(table)
       enforced(table, df).write.mode(SaveMode.Append)
@@ -982,8 +1001,125 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Commit-protocol APPEND: a new version whose content is the current
+    * version's files HARD-LINKED (O(files) metadata, zero data copied or
+    * rewritten) plus the frame's files written alongside. Unlike the
+    * in-place [[append]], this is a real commit, so it carries a
+    * transaction tag — the exactly-once discipline streaming sinks need
+    * ([[txnVersion]] watermark: a replayed micro-batch whose commit
+    * marker survived the crash is SKIPPED, never double-appended) —
+    * while still costing O(increment) data I/O, NOT the O(touched
+    * partitions) rewrite of [[mergePartitionedWith]]. With
+    * `partitionCol` the new files land hive-style, so
+    * [[readPartitions]] probes stay pruned as the table grows — the
+    * append-only-index layout (s24's ingest loop). The deletion-vector
+    * sidecar carries verbatim: linked files keep their relPaths.
+    * CAS-committed at baseSeq+1 (content depends on the base version —
+    * a lost race discards the claim and re-links). */
+  def appendCommitted(table: String, df: DataFrame,
+      partitionCol: Option[String] = None,
+      txnTag: Option[String] = None, maxRetries: Int = 5): Unit = {
+    requireNotMv(table, "appendCommitted")
+    requireNoFeed(table, "appendCommitted")
+    checkTag(txnTag)
+    def write(claimed: Path): Unit = {
+      val w = enforced(table, df).write.mode(SaveMode.Append)
+      partitionCol.fold(w)(w.partitionBy(_)).parquet(claimed.toString)
+    }
+    if (!exists(table)) {
+      val (v, claimed) = claimNext(table)
+      write(claimed)
+      commitClaimed(table, v, txnTag)
+    } else {
+      assertSchemaMatches(table, df, relaxed = partitionCol.toSet)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        val (baseSeq, baseV) = head(table)
+        val basePath =
+          if (baseV > 0) dir(table).resolve(s"v$baseV") else dir(table)
+        val (v, claimed) = claimNext(table)
+        dataFiles(basePath).foreach { f =>
+          val dst = claimed.resolve(basePath.relativize(f))
+          Files.createDirectories(dst.getParent)
+          Files.createLink(dst, f)
+        }
+        if (Files.isDirectory(dvDir(basePath))) {
+          val dst = dvDir(claimed)
+          Files.createDirectories(dst)
+          val l = Files.list(dvDir(basePath))
+          try l.iterator().asScala.foreach { f =>
+            if (Files.isRegularFile(f))
+              Files.createLink(dst.resolve(f.getFileName.toString), f)
+          } finally l.close()
+        }
+        write(claimed)
+        if (publish(table, baseSeq + 1, v, txnTag)) {
+          commitPointer(table, v)
+          gc(table, baseV)
+          maintainStats(table, baseV)
+          maintainSchema(table, baseV)
+          committed = true
+        } else {
+          deleteRecursive(claimed)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"appendCommitted($table): lost commit race $attempt times")
+        }
+      }
+    }
+  }
+
+  /** (files selected, files total) of the most recent [[readPartitions]]
+    * probe — the witness a spec asserts to prove a probe is pruned, the
+    * [[lastCompactConcurrency]] instrumentation pattern. */
+  private val probePeek =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+  private[graft] def lastPartitionProbe: (Int, Int) = probePeek.get
+
+  /** Partition-pruned point read: ONLY the files under `partitionCol=v`
+    * hive directories for the requested values are listed into the scan
+    * — directories outside the value set are never opened, so a probe
+    * against an N-bucket table costs O(files in touched buckets), not
+    * O(table). The caller owns completeness: pass every bucket value the
+    * probe keys can hash into (the [[appendCommitted]] bucketing
+    * discipline makes that a bounded, collect-free derivation). Results
+    * equal `read(table).filter(col in values)` by construction — hive
+    * partition values are exact, not statistics. */
+  def readPartitions(table: String, partitionCol: String,
+      values: Seq[Any]): DataFrame = {
+    val base = resolve(table)
+    val wanted = values.map(String.valueOf).toSet
+    val prefix = partitionCol + "="
+    val all = dataFiles(base)
+    val kept = all.filter { p =>
+      val rel = base.relativize(p)
+      rel.getNameCount > 1 && {
+        val n = rel.getName(0).toString
+        n.startsWith(prefix) && wanted.contains(java.net.URLDecoder
+          .decode(n.substring(prefix.length), "UTF-8"))
+      }
+    }
+    probePeek.set((kept.length, all.length))
+    if (kept.isEmpty)
+      read(table).filter(org.apache.spark.sql.functions.lit(false))
+    else {
+      val rd = declaredSchema(table) match {
+        case Some(st) => spark.read.schema(st)
+        case None => spark.read
+      }
+      val scan = rd.option("basePath", base.toString)
+        .parquet(kept.map(_.toString): _*)
+      if (Files.isDirectory(dvDir(base)))
+        withRowPos(base, scan).drop(DvRel, DvPos)
+      else scan
+    }
+  }
+
   def overwrite(table: String, df: DataFrame, // K3
       txnTag: Option[String] = None): Unit = {
+    requireNotMv(table, "overwrite")
     requireNoFeed(table, "overwrite")
     commitRewrite(table, df, checkTag(txnTag))
   }
@@ -1026,6 +1162,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def mergeWith(table: String, maxRetries: Int = 5,
       txnTag: Option[String] = None)(
       f: DataFrame => DataFrame): Unit = {
+    requireNotMv(table, "mergeWith")
     requireNoFeed(table, "mergeWith")
     checkTag(txnTag)
     var attempt = 0
@@ -1085,6 +1222,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       txnTag: Option[String] = None)(
       f: DataFrame => DataFrame): Unit = {
     if (touched.isEmpty) return
+    requireNotMv(table, "mergePartitionedWith")
     requireNoFeed(table, "mergePartitionedWith")
     checkTag(txnTag)
     val touchedStr = touched.map(String.valueOf).toSet
@@ -2019,7 +2157,18 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     } finally keyed.unpersist()
   }
 
-  def drop(table: String): Unit = deleteRecursive(dir(table)) // K5
+  def drop(table: String): Unit = { // K5
+    // A base with dependent MVs cannot silently vanish: every later
+    // readMaterialized would throw deep in resolve, far from this DROP.
+    // BigQuery errors the same way; drop (or re-pin) the views first.
+    val dependents = tables().filter(t => t != table &&
+      isMaterializedView(t) && readMvDef(t).base == table)
+    require(dependents.isEmpty,
+      s"cannot drop '$table': materialized view(s) " +
+        s"${dependents.mkString(", ")} are pinned to it — drop the " +
+        "view(s) first")
+    deleteRecursive(dir(table))
+  }
 
   /** Sweep orphaned claim directories left by CRASHED writers — claimed
     * (the `vN` dir exists) but never published (no commit marker names

@@ -417,6 +417,27 @@ object Streams {
       .sortedSmall("user_id")
   }
 
+  /** Run `body` (a streaming query start + await) with
+    * `spark.sql.shuffle.partitions` pinned to `n`, restoring the session
+    * value after. Stateful operators allocate ONE state store per
+    * shuffle partition per operator and commit every one of them each
+    * micro-batch — at the gate corpus (1e5 rows, 4–8 batches) the
+    * default 32 partitions spend more wall time on empty state-store
+    * commits than on data (measured: s22 19.4 s → state bookkeeping, not
+    * the join). 8 partitions is sized to the gate; production sizes this
+    * to the cluster — the knob is per-query because Spark pins the state
+    * partitioning in the checkpoint at first start. Queries run
+    * sequentially through one session, so the set/restore cannot race;
+    * results are partition-count independent (everything downstream is
+    * re-aggregated or re-sorted). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** s18: the streaming DailyRun shape, ORACLE-GATED end-to-end — the
     * event log is split into four pinned chunks (`event_id % 4`), each
     * replayed as a real micro-batch through MicroBatchExecution (parquet
@@ -444,27 +465,6 @@ object Streams {
     * state lives in the versioned table, not executor memory, so a year
     * of replays holds |users| rows, not |events|, and a quiet batch
     * rewrites almost nothing. */
-  /** Run `body` (a streaming query start + await) with
-    * `spark.sql.shuffle.partitions` pinned to `n`, restoring the session
-    * value after. Stateful operators allocate ONE state store per
-    * shuffle partition per operator and commit every one of them each
-    * micro-batch — at the gate corpus (1e5 rows, 4–8 batches) the
-    * default 32 partitions spend more wall time on empty state-store
-    * commits than on data (measured: s22 19.4 s → state bookkeeping, not
-    * the join). 8 partitions is sized to the gate; production sizes this
-    * to the cluster — the knob is per-query because Spark pins the state
-    * partitioning in the checkpoint at first start. Queries run
-    * sequentially through one session, so the set/restore cannot race;
-    * results are partition-count independent (everything downstream is
-    * re-aggregated or re-sorted). */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(
-      body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, old)
-  }
-
   def s18StreamMergeReplay(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.tables.Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"))
@@ -875,10 +875,25 @@ object Streams {
     * sequential-ingest semantics, not just one probe.
     *
     * Scale shape: per batch, one shingle pass over the INCREMENT only
-    * plus two left-semi joins against the index table (never a corpus
-    * re-shingle, never a pair join); the index grows by exactly the
-    * accepted rows — the production contract where the index is a
-    * store table the nightly job appends to. */
+    * plus two left-semi joins against the index — and the index side of
+    * each probe is PARTITION-PRUNED, not a table scan: both index
+    * layouts are hive-bucketed on their probe key (`pbkt =
+    * pmod(hash(th), 16)` for the exact probe, `bbkt = pmod(hash(band,
+    * bkt), 16)` for the near probe — the s18 totals-sink bucketing
+    * discipline), the batch's touched-bucket set is a bounded collect
+    * (≤ [[IngestBuckets]] values regardless of batch size), and
+    * [[graft.psn.TableStore.readPartitions]] lists ONLY those buckets'
+    * files into the scan. So a micro-batch costs O(increment + touched
+    * buckets), never O(corpus) — at the 100 TB daily-crawl scale the
+    * ingest loop's cost tracks the increment, which is the entire point
+    * of keeping an index. Growth is an [[graft.psn.TableStore
+    * .appendCommitted]] per table: hard-linked metadata commit +
+    * O(accepted) new bytes, TAGGED `s24:<batchId>` — foreachBatch is
+    * at-least-once, and the txnVersion watermark makes a replayed batch
+    * skip its surviving commits instead of double-appending (and a
+    * crash BETWEEN the three commits replays consistently: decisions
+    * are re-derived from the committed decisions table, never
+    * recomputed against a half-updated index). */
   def s24StreamIngestDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Out._
     streamIngestOf(s, graft.tables.Tables.documents(s, dir)
@@ -891,67 +906,126 @@ object Streams {
     * (a later chunk's copy of an earlier chunk's acceptance must decide
     * `exact`; same-chunk twins both decide `new` — a chunk is judged
     * against the index BEFORE it, exactly like the unrolled oracle). */
+  /** Hash-bucket count for BOTH ingest-index layouts and the decisions
+    * sink: small here (gate corpora are small); production sizes it so a
+    * bucket's files fit one probe task's worth of index. */
+  private[graft] val IngestBuckets = 16
+
+  /** Per-probe (files selected, files total) witnesses from the LAST
+    * [[streamIngestOf]] run — two entries per non-empty micro-batch
+    * (exact probe, near probe). The spec asserts every post-seed probe
+    * reads strictly fewer index files than the table holds. */
+  private[graft] val s24ProbeWitness =
+    new java.util.concurrent.atomic.AtomicReference[Vector[(Int, Int)]](
+      Vector.empty)
+
   private[graft] def streamIngestOf(s: SparkSession,
       docs: DataFrame): DataFrame = {
     import graft.ext.TextOps
     import graft.functions.Md5Hex.graft_md5
     val base = java.nio.file.Files.createTempDirectory("graft_s24")
     val store = new graft.psn.TableStore(s, base.resolve("wh").toString)
-    store.overwrite("ingest_index",
-      TextOps.ingestIndexOf(docs.filter(col("doc_id") % 4 =!= 0)))
+    s24ProbeWitness.set(Vector.empty)
+    val pbktOf = pmod(hash(col("th")), lit(IngestBuckets))
+    val bbktOf = pmod(hash(col("band"), col("bkt")), lit(IngestBuckets))
+    def bandsOf(df: DataFrame) = (0 until 2).map(i =>
+      df.select(col("doc_id"), lit(i).as("band"),
+        col(s"band$i").as("bkt"))).reduce(_ unionByName _)
+    // Seed: the corpus index, split into the two probe layouts, each
+    // hive-bucketed on ITS probe key — one layout cannot serve both an
+    // exact-hash probe and a band-bucket probe prunedly.
+    val corpus = TextOps.ingestIndexOf(docs.filter(col("doc_id") % 4 =!= 0))
+    store.appendCommitted("ingest_th",
+      corpus.select(col("doc_id"), col("th")).withColumn("pbkt", pbktOf),
+      Some("pbkt"))
+    store.appendCommitted("ingest_bands",
+      bandsOf(corpus).withColumn("bbkt", bbktOf), Some("bbkt"))
     val incDocs = docs.filter(col("doc_id") % 4 === 0)
     val srcDir = base.resolve("src").toString
     (0 until 4).foreach { c =>
       incDocs.filter(expr("(doc_id div 4) % 4") === c)
         .repartition(1).write.mode("append").parquet(srcDir)
     }
-    def bandsOf(df: DataFrame) = (0 until 2).map(i =>
-      df.select(col("doc_id"), lit(i).as("band"),
-        col(s"band$i").as("bkt"))).reduce(_ unionByName _)
     val stream = s.readStream.schema(incDocs.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     withStatePartitions(s, 8) {
       val q = stream.writeStream
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!batch.isEmpty) {
-            val idx = store.read("ingest_index").persist()
             val sig = TextOps.minhashSigOf(batch).persist()
             val inc = batch
               .select(col("doc_id"), graft_md5(col("text")).as("th"))
+              .persist()
             try {
-              val exact = inc
-                .join(idx.select(col("th")), Seq("th"), "left_semi")
-                .select(col("doc_id")).withColumn("is_exact", lit(true))
-              val near = bandsOf(sig)
-                .join(bandsOf(idx).select(col("band"), col("bkt")),
-                  Seq("band", "bkt"), "left_semi")
-                .select(col("doc_id")).distinct()
-                .withColumn("is_near", lit(true))
-              val decisions = inc.select(col("doc_id"))
-                .join(exact, Seq("doc_id"), "left")
-                .join(near, Seq("doc_id"), "left")
-                .select(col("doc_id"),
-                  when(col("is_exact"), "exact")
-                    .when(col("is_near"), "near")
-                    .otherwise("new").as("decision"))
-                .persist()
-              decisions.count() // pin ONE evaluation across both appends
-              store.append("decisions", decisions)
-              store.append("ingest_index", inc
-                .join(decisions.filter(col("decision") === "new")
-                  .select(col("doc_id")), Seq("doc_id"), "left_semi")
-                .join(sig.select(col("doc_id"), col("band0"),
-                  col("band1")), Seq("doc_id")))
+              def replayed(table: String): Boolean =
+                store.txnVersion(table, "s24").exists(_ >= batchId)
+              val tag = Some(s"s24:$batchId")
+              val decisions = if (replayed("decisions")) {
+                // Recovery replay: the decisions commit survived — take
+                // the COMMITTED rows (doc_ids are batch-unique), never
+                // recompute against an index later commits may have
+                // already grown.
+                store.read("decisions")
+                  .join(inc.select(col("doc_id")), Seq("doc_id"),
+                    "left_semi")
+                  .select(col("doc_id"), col("decision")).persist()
+              } else {
+                // Bounded collects: ≤ IngestBuckets distinct bucket ids
+                // each, regardless of batch size.
+                val thB = inc.select(pbktOf.as("pbkt")).distinct()
+                  .collect().map(_.getInt(0)).toSeq
+                val bandB = bandsOf(sig).select(bbktOf.as("bbkt"))
+                  .distinct().collect().map(_.getInt(0)).toSeq
+                val idxTh = store.readPartitions("ingest_th", "pbkt", thB)
+                val exactProbe = store.lastPartitionProbe
+                val idxBands =
+                  store.readPartitions("ingest_bands", "bbkt", bandB)
+                s24ProbeWitness.updateAndGet(
+                  _ :+ exactProbe :+ store.lastPartitionProbe)
+                val exact = inc
+                  .join(idxTh.select(col("th")), Seq("th"), "left_semi")
+                  .select(col("doc_id")).withColumn("is_exact", lit(true))
+                val near = bandsOf(sig)
+                  .join(idxBands.select(col("band"), col("bkt")),
+                    Seq("band", "bkt"), "left_semi")
+                  .select(col("doc_id")).distinct()
+                  .withColumn("is_near", lit(true))
+                val d = inc.select(col("doc_id"))
+                  .join(exact, Seq("doc_id"), "left")
+                  .join(near, Seq("doc_id"), "left")
+                  .select(col("doc_id"),
+                    when(col("is_exact"), "exact")
+                      .when(col("is_near"), "near")
+                      .otherwise("new").as("decision"))
+                  .persist()
+                d.count() // pin ONE evaluation across all three commits
+                store.appendCommitted("decisions",
+                  d.withColumn("dbkt",
+                    pmod(hash(col("doc_id")), lit(IngestBuckets))),
+                  Some("dbkt"), tag)
+                d
+              }
+              val acceptedIds = decisions
+                .filter(col("decision") === "new").select(col("doc_id"))
+              if (!replayed("ingest_th"))
+                store.appendCommitted("ingest_th",
+                  inc.join(acceptedIds, Seq("doc_id"), "left_semi")
+                    .withColumn("pbkt", pbktOf), Some("pbkt"), tag)
+              if (!replayed("ingest_bands"))
+                store.appendCommitted("ingest_bands",
+                  bandsOf(sig)
+                    .join(acceptedIds, Seq("doc_id"), "left_semi")
+                    .withColumn("bbkt", bbktOf), Some("bbkt"), tag)
               decisions.unpersist(): Unit
-            } finally { sig.unpersist(); idx.unpersist() }
+            } finally { sig.unpersist(); inc.unpersist() }
           }
         }
         .start()
       q.awaitTermination()
     }
-    store.read("decisions")
+    store.read("decisions").select(col("doc_id"), col("decision"))
   }
 
   val s24Oracle: String = {

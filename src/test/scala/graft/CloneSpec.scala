@@ -145,4 +145,25 @@ class CloneSpec extends AnyFunSuite {
       s"CREATE TABLE `p.d.t_then` CLONE `p.d.t` FOR SYSTEM_TIME AS OF $mid;")
     assert(rowsOf(store, "t_then") == Seq(1 -> "a"))
   }
+
+  test("a snapshot-clone crash before commit cannot poison the name") {
+    val (store, wh) = freshStore()
+    store.overwrite("src", kv(1 -> "a"))
+    // simulate the crash window: a claimed-but-never-published version
+    // dir carrying the read-only flag (exactly what a snapshot clone
+    // leaves if it dies before its CAS commit)
+    val orphan = Paths.get(wh, "victim", "v1")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("_snapshot"), "")
+    assert(!store.exists("victim") && !store.isSnapshot("victim"))
+    // the name is still usable: a later CREATE claims past the orphan
+    store.overwrite("victim", kv(2 -> "b"))
+    assert(rowsOf(store, "victim") == Seq(2 -> "b"))
+    assert(!store.isSnapshot("victim")) // and it is writable
+    store.append("victim", kv(3 -> "c"))
+    // while a COMMITTED snapshot still refuses writes
+    store.cloneTable("src", "snap", snapshot = true)
+    assert(store.isSnapshot("snap"))
+    intercept[IllegalArgumentException] { store.append("snap", kv(9 -> "z")) }
+  }
 }

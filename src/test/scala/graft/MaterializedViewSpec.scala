@@ -121,4 +121,38 @@ class MaterializedViewSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
     assert(out == Seq(("a", 2L, 9), ("b", 1L, 2)))
   }
+
+  test("direct DML on an MV is refused; dropping a pinned base is refused") {
+    val store = freshStore()
+    store.append("base", rows(store, ("a", 1, 1.0), ("b", 2, 2.0)))
+    store.createMaterializedView("mv", "base", Seq("g"), aggs)
+    val extra = rows(store, ("c", 3, 3.0))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s"), min(col("k")).as("mn"),
+        max(col("k")).as("mx"))
+    // every user mutator refuses the derived table
+    intercept[IllegalArgumentException] { store.append("mv", extra) }
+    intercept[IllegalArgumentException] { store.overwrite("mv", extra) }
+    intercept[IllegalArgumentException] {
+      store.mergeWith("mv")(cur => cur)
+    }
+    intercept[IllegalArgumentException] {
+      store.appendCommitted("mv", extra)
+    }
+    intercept[IllegalArgumentException] {
+      store.deleteRows("mv", col("g") === "a")
+    }
+    // the base cannot vanish under the view; retiring the view first works
+    intercept[IllegalArgumentException] { store.drop("base") }
+    store.drop("mv")
+    store.drop("base")
+    assert(!store.exists("base"))
+    // REFRESH (the sanctioned maintenance verb) still writes fine
+    val store2 = freshStore()
+    store2.append("base", rows(store2, ("a", 1, 1.0)))
+    store2.createMaterializedView("mv", "base", Seq("g"), aggs)
+    store2.append("base", rows(store2, ("a", 5, 4.0)))
+    store2.refreshMaterializedView("mv")
+    assert(store2.mvDeltaFiles("mv") == 0)
+  }
 }

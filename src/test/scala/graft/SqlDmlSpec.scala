@@ -34,26 +34,60 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(u.target == "game" && u.source == "game_temp")
     assert(u.targetKey == "id" && u.sourceKey == "id")
     assert(u.sets == Seq(
-      "last_played_date_time" -> Sql.SrcExpr("last_played_date_time"),
-      "play_count" -> Sql.SrcExpr("play_count"),
-      "play_duration" -> Sql.SrcExpr("play_duration")))
+      "last_played_date_time" -> Sql.VCol(false, "last_played_date_time"),
+      "play_count" -> Sql.VCol(false, "play_count"),
+      "play_duration" -> Sql.VCol(false, "play_duration")))
   }
 
   test("alias-flipped WHERE and unqualified SET lhs parse; junk is loud") {
     val u = Sql.parseUpdateFrom(
       "UPDATE t1 a SET x = b.y FROM t2 b WHERE b.k = a.k2")
     assert(u.targetKey == "k2" && u.sourceKey == "k" &&
-      u.sets == Seq("x" -> Sql.SrcExpr("y")))
+      u.sets == Seq("x" -> Sql.VCol(false, "y")))
     intercept[IllegalArgumentException] {
       Sql.parseUpdateFrom("DELETE FROM t WHERE x = 1")
     }
-    intercept[IllegalArgumentException] { // column-vs-column arithmetic
-      Sql.parseUpdateFrom(
-        "UPDATE t1 a SET a.x = b.y + b.z FROM t2 b WHERE a.k = b.k")
-    }
+    // column-column arithmetic is part of the surface (the
+    // running-balance shape)
+    val u2 = Sql.parseUpdateFrom(
+      "UPDATE t1 a SET a.x = a.x - b.y FROM t2 b WHERE a.k = b.k")
+    assert(u2.sets == Seq("x" ->
+      Sql.VBin(Sql.VCol(true, "x"), "-", Sql.VCol(false, "y"))))
     intercept[IllegalArgumentException] { // WHERE names a third alias
       Sql.parseUpdateFrom(
         "UPDATE t1 a SET a.x = b.y FROM t2 b WHERE a.k = c.k")
+    }
+  }
+
+  test("multi-predicate WHERE: one join equality plus literal residuals") {
+    val u = Sql.parseUpdateFrom(
+      "UPDATE t1 a SET a.x = b.y FROM t2 b " +
+        "WHERE a.k = b.k AND a.d >= DATE '1995-01-01' AND b.v > 50000")
+    assert(u.targetKey == "k" && u.sourceKey == "k")
+    assert(u.residuals == Seq(
+      Sql.MergePred(true, "d", ">=", "DATE '1995-01-01'"),
+      Sql.MergePred(false, "v", ">", "50000")))
+    intercept[IllegalArgumentException] { // two join equalities
+      Sql.parseUpdateFrom(
+        "UPDATE t1 a SET a.x = b.y FROM t2 b WHERE a.k = b.k AND a.j = b.j")
+    }
+    intercept[IllegalArgumentException] { // residual vs another column
+      Sql.parseUpdateFrom(
+        "UPDATE t1 a SET a.x = b.y FROM t2 b WHERE a.k = b.k AND a.d >= a.e")
+    }
+  }
+
+  test("CASE expressions parse in SET; nesting and connectives stay loud") {
+    val u = Sql.parseUpdateFrom(
+      "UPDATE t1 a SET a.x = CASE WHEN b.amt > 100 THEN 'H' ELSE a.x END " +
+        "FROM t2 b WHERE a.k = b.k")
+    assert(u.sets == Seq("x" -> Sql.VCase(
+      Sql.VCol(false, "amt"), ">", Sql.VNum("100"),
+      Sql.VStr("H"), Sql.VCol(true, "x"))))
+    intercept[IllegalArgumentException] { // AND in the CASE condition
+      Sql.parseUpdateFrom(
+        "UPDATE t1 a SET a.x = CASE WHEN b.v > 1 AND b.v < 9 THEN 1 " +
+          "ELSE 2 END FROM t2 b WHERE a.k = b.k")
     }
   }
 
@@ -126,9 +160,9 @@ class SqlDmlSpec extends AnyFunSuite {
     val m = Sql.parseMergeInto(mergeText)
     assert(m.target == "game" && m.source == "game_src")
     assert(m.targetKey == "id" && m.sourceKey == "id")
-    assert(m.sets == Seq("play_count" -> Sql.SrcExpr("play_count")))
-    assert(m.inserts == Seq("id" -> Sql.SrcExpr("id"),
-      "play_count" -> Sql.SrcExpr("play_count")))
+    assert(m.sets == Seq("play_count" -> Sql.VCol(false, "play_count")))
+    assert(m.inserts == Seq("id" -> Sql.VCol(false, "id"),
+      "play_count" -> Sql.VCol(false, "play_count")))
     // the full clause surface parses: predicated DELETE (target-side
     // pred), unpredicated UPDATE behind it, predicated INSERT
     // (source-side pred) — in statement order
@@ -140,9 +174,9 @@ class SqlDmlSpec extends AnyFunSuite {
         "VALUES (s.id, s.v)")
     assert(m2.whens == Seq(
       Sql.MatchedDelete(Some(Sql.MergePred(true, "status", "=", "'F'"))),
-      Sql.MatchedUpdate(None, Seq("v" -> Sql.SrcExpr("v"))),
+      Sql.MatchedUpdate(None, Seq("v" -> Sql.VCol(false, "v"))),
       Sql.NotMatchedInsert(Some(Sql.MergePred(false, "v", ">", "10")),
-        Seq("id" -> Sql.SrcExpr("id"), "v" -> Sql.SrcExpr("v")))))
+        Seq("id" -> Sql.VCol(false, "id"), "v" -> Sql.VCol(false, "v")))))
     // a bare DELETE-only statement is legal ANSI MERGE
     assert(Sql.parseMergeInto(
       "MERGE INTO a t USING b s ON t.id = s.id WHEN MATCHED THEN DELETE")
@@ -442,29 +476,59 @@ class SqlDmlSpec extends AnyFunSuite {
       """UPDATE t a SET a.p = b.p * 1.05, a.q = b.q FROM s b
         |WHERE a.k = b.k""".stripMargin)
     assert(u.sets == Seq(
-      "p" -> Sql.SrcExpr("p", Some("*"), Some("1.05")),
-      "q" -> Sql.SrcExpr("q")))
+      "p" -> Sql.VBin(Sql.VCol(false, "p"), "*", Sql.VNum("1.05")),
+      "q" -> Sql.VCol(false, "q")))
     val m = Sql.parseMergeInto(
       """MERGE INTO t a USING s b ON a.k = b.k
         |WHEN MATCHED THEN UPDATE SET a.p = b.p + 7
         |WHEN NOT MATCHED THEN INSERT (k, p) VALUES (b.k, b.p / 2)
         |""".stripMargin)
-    assert(m.sets == Seq("p" -> Sql.SrcExpr("p", Some("+"), Some("7"))))
-    assert(m.inserts == Seq("k" -> Sql.SrcExpr("k"),
-      "p" -> Sql.SrcExpr("p", Some("/"), Some("2"))))
-    // column-times-column, function calls, two-op chains: still loud
-    intercept[IllegalArgumentException] {
-      Sql.parseUpdateFrom(
-        "UPDATE t a SET a.p = b.p * b.q FROM s b WHERE a.k = b.k")
-    }
+    assert(m.sets == Seq("p" ->
+      Sql.VBin(Sql.VCol(false, "p"), "+", Sql.VNum("7"))))
+    assert(m.inserts == Seq("k" -> Sql.VCol(false, "k"),
+      "p" -> Sql.VBin(Sql.VCol(false, "p"), "/", Sql.VNum("2"))))
+    // column-column products and precedence chains are now in-surface
+    val u2 = Sql.parseUpdateFrom(
+      "UPDATE t a SET a.p = b.p * b.q FROM s b WHERE a.k = b.k")
+    assert(u2.sets == Seq("p" ->
+      Sql.VBin(Sql.VCol(false, "p"), "*", Sql.VCol(false, "q"))))
+    val m2 = Sql.parseMergeInto(
+      """MERGE INTO t a USING s b ON a.k = b.k
+        |WHEN NOT MATCHED THEN INSERT (k) VALUES (b.k * 2 + 1)""".stripMargin)
+    assert(m2.inserts == Seq("k" -> Sql.VBin(
+      Sql.VBin(Sql.VCol(false, "k"), "*", Sql.VNum("2")), "+",
+      Sql.VNum("1"))))
+    // function calls: still loud
     intercept[IllegalArgumentException] {
       Sql.parseUpdateFrom(
         "UPDATE t a SET a.p = round(b.p) FROM s b WHERE a.k = b.k")
     }
+    // INSERT VALUES reading the target: loud (no target row exists)
     intercept[IllegalArgumentException] {
       Sql.parseMergeInto(
         """MERGE INTO t a USING s b ON a.k = b.k
-          |WHEN NOT MATCHED THEN INSERT (k) VALUES (b.k * 2 + 1)""".stripMargin)
+          |WHEN NOT MATCHED THEN INSERT (k) VALUES (a.k + 1)""".stripMargin)
+    }
+  }
+
+  test("NOT MATCHED BY SOURCE DELETE parses; source-side pred is loud") {
+    val m = Sql.parseMergeInto(
+      """MERGE INTO t a USING s b ON a.k = b.k
+        |WHEN MATCHED THEN UPDATE SET a.v = b.v
+        |WHEN NOT MATCHED BY TARGET THEN INSERT (k, v) VALUES (b.k, b.v)
+        |WHEN NOT MATCHED BY SOURCE AND a.status <> 'F' THEN DELETE
+        |""".stripMargin)
+    assert(m.whens.last == Sql.NotMatchedBySourceDelete(
+      Some(Sql.MergePred(true, "status", "<>", "'F'"))))
+    intercept[IllegalArgumentException] { // pred reads the source side
+      Sql.parseMergeInto(
+        """MERGE INTO t a USING s b ON a.k = b.k
+          |WHEN NOT MATCHED BY SOURCE AND b.v > 1 THEN DELETE""".stripMargin)
+    }
+    intercept[IllegalArgumentException] { // UPDATE on the BY SOURCE arm
+      Sql.parseMergeInto(
+        """MERGE INTO t a USING s b ON a.k = b.k
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET a.v = 0""".stripMargin)
     }
   }
 

@@ -672,4 +672,28 @@ class WatermarkGateSpec extends AnyFunSuite {
     assert(got == Seq((0L, "new"), (8L, "exact"),
       (12L, "new"), (28L, "new")))
   }
+
+  test("s24 probe is partition-pruned: a small batch reads strictly " +
+      "fewer index files than the index holds") {
+    import spark.implicits._
+    // A wide corpus (its text hashes spread over many pbkt/bbkt buckets)
+    // and four single-document increment chunks: each batch's probe must
+    // touch only its own buckets' files, never the whole index — the
+    // O(increment) ingest contract, witnessed by readPartitions'
+    // (selected, total) instrumentation.
+    val corpus = (1 until 160).filterNot(_ % 4 == 0).map(i =>
+      (i.toLong, s"corpus document number $i with its own distinct body"))
+    val incs = Seq(4L, 8L, 12L, 16L).map(i =>
+      (i, s"fresh increment document $i"))
+    val docs = (corpus ++ incs).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val decided = Streams.streamIngestOf(spark, docs)
+    assert(decided.count() == 4)
+    val w = Streams.s24ProbeWitness.get
+    assert(w.length == 8, s"expected 2 probes x 4 batches, got $w") // th + bands per batch
+    w.foreach { case (kept, total) =>
+      assert(kept < total,
+        s"probe read $kept of $total index files — not pruned")
+    }
+  }
 }

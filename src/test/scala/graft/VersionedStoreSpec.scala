@@ -377,3 +377,54 @@ class CasCommitSpec extends AnyFunSuite {
     assert(vdirs.size <= 2, s"retention window exceeded: $vdirs")
   }
 }
+
+/** The append-as-commit path + partition-pruned probe that back s24's
+  * ingest loop: appendCommitted must link prior bytes (no rewrite),
+  * carry transaction tags for exactly-once replay, and readPartitions
+  * must list only the requested buckets' files — witnessed. */
+class AppendCommittedSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("appendCommitted links prior files, adds the increment, tags txn") {
+    val wh = Files.createTempDirectory("vstore_ac").toString
+    val store = new TableStore(spark, wh)
+    def bkt = pmod(hash(col("k")), lit(4)).as("b")
+    store.appendCommitted("t",
+      (1 to 40).toDF("k").select(col("k"), bkt), Some("b"))
+    val filesV1 = store.fileCount("t")
+    store.appendCommitted("t",
+      Seq(1000).toDF("k").select(col("k"), bkt), Some("b"),
+      txnTag = Some("app:7"))
+    // content = union; bytes not rewritten: new version holds every v1
+    // file (same names, hard-linked) plus the increment's
+    assert(store.read("t").count() == 41)
+    assert(store.fileCount("t") > filesV1)
+    assert(store.txnVersion("t", "app").contains(7L))
+    // the watermark is what a replaying sink consults: a second tagged
+    // append at the same batch id is the caller's skip signal
+    assert(store.txnVersion("t", "app").exists(_ >= 7))
+    assert(!store.txnVersion("t", "app").exists(_ >= 8))
+  }
+
+  test("readPartitions prunes to the requested buckets and matches the " +
+      "unpruned filter") {
+    val wh = Files.createTempDirectory("vstore_rp").toString
+    val store = new TableStore(spark, wh)
+    store.appendCommitted("t",
+      (1 to 400).toDF("k")
+        .select(col("k"), pmod(hash(col("k")), lit(8)).as("b")),
+      Some("b"))
+    val want = store.read("t").filter(col("b").isin(2, 5))
+      .select(col("k")).as[Int].collect().sorted.toSeq
+    val got = store.readPartitions("t", "b", Seq(2, 5))
+      .select(col("k")).as[Int].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    val (kept, total) = store.lastPartitionProbe
+    assert(kept < total && kept > 0,
+      s"probe must read a strict file subset, got ($kept, $total)")
+    // absent bucket values: empty result, zero files listed
+    assert(store.readPartitions("t", "b", Seq(99)).isEmpty)
+    assert(store.lastPartitionProbe._1 == 0)
+  }
+}
