@@ -45,6 +45,9 @@ object JobProbe {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.long")))
+            .map(_.linesIterator.take(2).mkString(" | ")))
           .getOrElse("?")
         jobs.synchronized {
           jobs(e.jobId) =

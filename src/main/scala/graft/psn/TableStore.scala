@@ -944,6 +944,23 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * drift; widening is an explicit [[overwrite]]/[[mergeWith]] — a NEW
     * version, so time travel keeps each snapshot's schema intact.
     * Column order and nullability are not drift; names + types are. */
+  /** The table's current schema WITHOUT planning a full-table scan: the
+    * declared sidecar when the table has evolved, else ONE data file's
+    * footer (files in a version share a schema — the invariant
+    * [[assertSchemaMatches]] itself maintains), read with `basePath` so
+    * hive partition columns still surface. A full `read(table)` here
+    * costs a leaf-file listing job per append on wide layouts — pure
+    * fixed overhead in commit-per-micro-batch loops. */
+  private def currentSchema(table: String): StructType =
+    declaredSchema(table).getOrElse {
+      val base = resolve(table)
+      dataFiles(base).headOption match {
+        case Some(f) => spark.read.option("basePath", base.toString)
+          .parquet(f.toString).schema
+        case None => read(table).schema
+      }
+    }
+
   private def assertSchemaMatches(table: String, df: DataFrame,
       relaxed: Set[String] = Set.empty): Unit = {
     // `relaxed` columns compare by NAME only: hive-style partition values
@@ -952,7 +969,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     def shape(fs: Array[org.apache.spark.sql.types.StructField]) = fs
       .map(f => (f.name, if (relaxed(f.name)) "*" else f.dataType.sql))
       .sortBy(_._1).toSeq
-    val cur = shape(read(table).schema.fields)
+    val cur = shape(currentSchema(table).fields)
     val in = shape(df.schema.fields)
     require(cur == in,
       s"schema drift on append to '$table': table has " +
@@ -1102,15 +1119,21 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       }
     }
     probePeek.set((kept.length, all.length))
+    // The scan takes the surviving bucket DIRECTORIES (bounded by the
+    // value set), not the file list: a per-file path list above the
+    // parallel-discovery threshold spends a whole listing JOB per probe
+    // — fixed overhead that dwarfs a micro-batch's real work.
+    val keptDirs = kept.map(p => base.relativize(p).getName(0).toString)
+      .distinct.map(d => base.resolve(d).toString)
     if (kept.isEmpty)
       read(table).filter(org.apache.spark.sql.functions.lit(false))
     else {
-      val rd = declaredSchema(table) match {
-        case Some(st) => spark.read.schema(st)
-        case None => spark.read
-      }
-      val scan = rd.option("basePath", base.toString)
-        .parquet(kept.map(_.toString): _*)
+      // explicit schema (sidecar or one footer): per-probe schema
+      // inference over every surviving file is plan-time overhead a
+      // per-micro-batch probe pays hundreds of times
+      val scan = spark.read.schema(currentSchema(table))
+        .option("basePath", base.toString)
+        .parquet(keptDirs: _*)
       if (Files.isDirectory(dvDir(base)))
         withRowPos(base, scan).drop(DvRel, DvPos)
       else scan

@@ -433,9 +433,20 @@ object Streams {
   private def withStatePartitions[T](s: SparkSession, n: Int)(
       body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // AQE off for the whole micro-batch loop: the engine disables it for
+    // the stateful plan anyway, but foreachBatch BODIES still pick it up
+    // from the session — and on gate-sized per-batch frames AQE only
+    // splits every shuffle into extra per-stage jobs (pure driver
+    // scheduling overhead, measured ~40-80 ms per job across dozens of
+    // tiny jobs per batch), re-plans nothing worth re-planning.
+    val aqeKey = "spark.sql.adaptive.enabled"
     val old = s.conf.get(key)
+    val oldAqe = s.conf.get(aqeKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, old)
+    s.conf.set(aqeKey, "false")
+    try body finally {
+      s.conf.set(key, old); s.conf.set(aqeKey, oldAqe)
+    }
   }
 
   /** s18: the streaming DailyRun shape, ORACLE-GATED end-to-end — the
@@ -731,8 +742,13 @@ object Streams {
     // batches in both directions, forcing the buffered-state path
     val clickDir = stage("clicks", "click", Seq(2, 0, 3, 1))
     val purchDir = stage("purch", "purchase", Seq(1, 3, 0, 2))
+    // 2 files/trigger = 2 batches/side: the pinned orders still place
+    // partners in DIFFERENT batches in both directions (click chunk 2
+    // arrives a batch before purchase chunk 2; purchase chunk 1 a batch
+    // before click chunk 1), so the buffered-state path stays forced
+    // while the fixed per-batch state-store commit cost halves.
     def src(d: String) = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(d)
+      .option("maxFilesPerTrigger", "2").parquet(d)
     val clicks = src(clickDir)
       .select(col("user_id").as("c_user"),
         timestamp_seconds(col("sec")).as("click_ts"))
@@ -906,10 +922,11 @@ object Streams {
     * (a later chunk's copy of an earlier chunk's acceptance must decide
     * `exact`; same-chunk twins both decide `new` — a chunk is judged
     * against the index BEFORE it, exactly like the unrolled oracle). */
-  /** Hash-bucket count for BOTH ingest-index layouts and the decisions
-    * sink: small here (gate corpora are small); production sizes it so a
+  /** Hash-bucket count for BOTH ingest-index layouts: small here (gate
+    * corpora are small — more buckets would just multiply the per-commit
+    * link and per-probe listing metadata); production sizes it so a
     * bucket's files fit one probe task's worth of index. */
-  private[graft] val IngestBuckets = 16
+  private[graft] val IngestBuckets = 8
 
   /** Per-probe (files selected, files total) witnesses from the LAST
     * [[streamIngestOf]] run — two entries per non-empty micro-batch
@@ -934,12 +951,21 @@ object Streams {
     // Seed: the corpus index, split into the two probe layouts, each
     // hive-bucketed on ITS probe key — one layout cannot serve both an
     // exact-hash probe and a band-bucket probe prunedly.
-    val corpus = TextOps.ingestIndexOf(docs.filter(col("doc_id") % 4 =!= 0))
+    // One file per bucket (repartition ON the bucket column): the
+    // hard-link commits and probe listings are O(buckets + appends),
+    // never O(shuffle-partitions × buckets) small-file spray. Each
+    // layout seeds from ONLY its own pass — md5 for the exact probe,
+    // the shingle/minhash signature for the band probe — so the corpus
+    // pays the (expensive) shingle pass exactly once.
+    val corpusDocs = docs.filter(col("doc_id") % 4 =!= 0)
     store.appendCommitted("ingest_th",
-      corpus.select(col("doc_id"), col("th")).withColumn("pbkt", pbktOf),
+      corpusDocs.select(col("doc_id"), graft_md5(col("text")).as("th"))
+        .withColumn("pbkt", pbktOf)
+        .repartition(IngestBuckets, col("pbkt")),
       Some("pbkt"))
     store.appendCommitted("ingest_bands",
-      bandsOf(corpus).withColumn("bbkt", bbktOf), Some("bbkt"))
+      bandsOf(TextOps.minhashSigOf(corpusDocs)).withColumn("bbkt", bbktOf)
+        .repartition(IngestBuckets, col("bbkt")), Some("bbkt"))
     val incDocs = docs.filter(col("doc_id") % 4 === 0)
     val srcDir = base.resolve("src").toString
     (0 until 4).foreach { c =>
@@ -953,7 +979,7 @@ object Streams {
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          if (!batch.isEmpty) {
+          {
             val sig = TextOps.minhashSigOf(batch).persist()
             val inc = batch
               .select(col("doc_id"), graft_md5(col("text")).as("th"))
@@ -962,6 +988,14 @@ object Streams {
               def replayed(table: String): Boolean =
                 store.txnVersion(table, "s24").exists(_ >= batchId)
               val tag = Some(s"s24:$batchId")
+              // ONE bounded collect (≤ 2 × IngestBuckets rows, regardless
+              // of batch size): both probes' touched-bucket sets in a
+              // single job — which doubles as the empty-batch guard.
+              val bkts = inc.select(pbktOf.as("b"), lit(0).as("side"))
+                .unionByName(bandsOf(sig)
+                  .select(bbktOf.as("b"), lit(1).as("side")))
+                .distinct().collect()
+              if (bkts.nonEmpty) {
               val decisions = if (replayed("decisions")) {
                 // Recovery replay: the decisions commit survived — take
                 // the COMMITTED rows (doc_ids are batch-unique), never
@@ -972,12 +1006,8 @@ object Streams {
                     "left_semi")
                   .select(col("doc_id"), col("decision")).persist()
               } else {
-                // Bounded collects: ≤ IngestBuckets distinct bucket ids
-                // each, regardless of batch size.
-                val thB = inc.select(pbktOf.as("pbkt")).distinct()
-                  .collect().map(_.getInt(0)).toSeq
-                val bandB = bandsOf(sig).select(bbktOf.as("bbkt"))
-                  .distinct().collect().map(_.getInt(0)).toSeq
+                val thB = bkts.filter(_.getInt(1) == 0).map(_.getInt(0)).toSeq
+                val bandB = bkts.filter(_.getInt(1) == 1).map(_.getInt(0)).toSeq
                 val idxTh = store.readPartitions("ingest_th", "pbkt", thB)
                 val exactProbe = store.lastPartitionProbe
                 val idxBands =
@@ -1001,10 +1031,10 @@ object Streams {
                       .otherwise("new").as("decision"))
                   .persist()
                 d.count() // pin ONE evaluation across all three commits
-                store.appendCommitted("decisions",
-                  d.withColumn("dbkt",
-                    pmod(hash(col("doc_id")), lit(IngestBuckets))),
-                  Some("dbkt"), tag)
+                // decisions is the OUTPUT log, never probed by bucket —
+                // a plain (unpartitioned) tagged commit, one file/batch
+                store.appendCommitted("decisions", d.coalesce(1),
+                  txnTag = tag)
                 d
               }
               val acceptedIds = decisions
@@ -1012,13 +1042,16 @@ object Streams {
               if (!replayed("ingest_th"))
                 store.appendCommitted("ingest_th",
                   inc.join(acceptedIds, Seq("doc_id"), "left_semi")
-                    .withColumn("pbkt", pbktOf), Some("pbkt"), tag)
+                    .withColumn("pbkt", pbktOf).coalesce(1),
+                  Some("pbkt"), tag)
               if (!replayed("ingest_bands"))
                 store.appendCommitted("ingest_bands",
                   bandsOf(sig)
                     .join(acceptedIds, Seq("doc_id"), "left_semi")
-                    .withColumn("bbkt", bbktOf), Some("bbkt"), tag)
+                    .withColumn("bbkt", bbktOf).coalesce(1),
+                  Some("bbkt"), tag)
               decisions.unpersist(): Unit
+              }
             } finally { sig.unpersist(); inc.unpersist() }
           }
         }
