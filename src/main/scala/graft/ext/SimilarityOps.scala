@@ -1633,6 +1633,90 @@ object SimilarityOps {
        |FROM b FULL OUTER JOIN i ON b.cid = i.cid
        |ORDER BY cid""".stripMargin
 
+  /** e38: FILTERED ANN — vector search under a metadata predicate, the
+    * shape every production vector store ships ("nearest neighbors
+    * WHERE label = X"): each query probes its nprobe=4 nearest IVF
+    * cells, the probed cells' members are FILTERED on the query's
+    * target label BEFORE ranking (the filter rides the cell scan — at
+    * 100 TB the candidate stream shrinks by the predicate's
+    * selectivity before any cosine is paid, never after), and the
+    * survivors rank to a rounded-cosine top-10. nprobe is doubled vs
+    * e06 because filtering thins every cell — the standard
+    * filtered-search compensation, priced here and measured by e07's
+    * recall-methodology. The oracle replays the same model, probe,
+    * filter, and ranking declaratively.
+    *
+    * Scale shape: codebook broadcast + one semi-filtered scan of the
+    * probed cells (cell pruning from the index, label pruning from the
+    * predicate — both BEFORE the distance math); the rank is the e02
+    * per-query top-k window over candidates only. */
+  def e38FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nprobe = 4
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val (cents, asg) = ivfModel(s, dir)
+    val assigned = asg
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .withColumn("cnorm", norm2(col("embedding")))
+      .persist()
+    assigned.count()
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cid"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        (col("vec_id") * 2).cast("int").as("want"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("qe"), col("want"), col("cid"),
+        (col("cn") * col("cn") - dot(col("qe"), col("cvec")) * 2).as("dist"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("want"), col("cid"))
+      .withColumn("qnorm", norm2(col("qe")))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("cid2"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid") &&
+        col("label") === col("want")) // the metadata predicate
+      .select(col("qid"), col("vec_id").as("cid2"),
+        round(dot(col("qe"), col("embedding")) /
+          (col("qnorm") * col("cnorm")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid2").as("nid"), col("cos_r"),
+        col("rnk").cast("long").as("rnk"))
+      .sortedSmall("qid", "rnk")
+  }
+
+  val e38Oracle: String = {
+    def dist(v: String, c: String): String = ivfDistSql(v, c)
+    s"""WITH $ivfAssignCtes,
+       |probes AS (
+       |  SELECT qid, qv, want, cid FROM (
+       |    SELECT e.vec_id AS qid, e.v AS qv,
+       |      CAST(e.vec_id * 2 AS INTEGER) AS want, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 5)
+       |  WHERE rn <= 4),
+       |p AS (
+       |  SELECT p.qid, a.vec_id AS nid,
+       |    round(list_inner_product(p.qv, a.v) /
+       |      (sqrt(list_inner_product(p.qv, p.qv)) *
+       |       sqrt(list_inner_product(a.v, a.v))), 4) AS cos_r
+       |  FROM probes p
+       |  JOIN a3 a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN embeddings em ON em.vec_id = a.vec_id
+       |    AND em.label = p.want),
+       |r AS (
+       |  SELECT qid, nid, cos_r,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_r DESC, nid) AS rnk
+       |  FROM p)
+       |SELECT qid, nid, cos_r, rnk FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("e01_vector_norms", e01VectorNorms, Some(e01Oracle)),
     Q("e02_cosine_topk", e02CosineTopK, Some(e02Oracle)),
@@ -1652,5 +1736,6 @@ object SimilarityOps {
     Q("e16_knn_graph", e16KnnGraph, Some(e16Oracle)),
     Q("e17_knn_graph_wide", e17KnnGraphWide, Some(e17Oracle)),
     Q("e35_bits_curve", e35BitsCurve, Some(e35Oracle)),
-    Q("e37_ivf_incremental", e37IvfIncremental, Some(e37Oracle)))
+    Q("e37_ivf_incremental", e37IvfIncremental, Some(e37Oracle)),
+    Q("e38_filtered_ann", e38FilteredAnn, Some(e38Oracle)))
 }

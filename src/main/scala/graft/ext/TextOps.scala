@@ -1256,7 +1256,8 @@ object TextOps {
     Q("t17_dedup_apply", t17DedupApply, Some(t17Oracle)),
     Q("t18_dedup_then_lsh", t18DedupThenLsh, Some(t18Oracle)),
     Q("t59_banding_curve", t59BandingCurve, Some(t59Oracle)),
-    Q("t60_incremental_ingest", t60IncrementalIngest, Some(t60Oracle)))
+    Q("t60_incremental_ingest", t60IncrementalIngest, Some(t60Oracle)),
+    Q("t61_ingest_tombstones", t61IngestTombstones, Some(t61Oracle)))
 
   /** t60: incremental ingest dedup — the shape a DAILY crawl increment
     * runs: the new batch (pinned here as doc_id % 4 = 0) is deduped
@@ -1321,6 +1322,102 @@ object TextOps {
           .when(col("is_near"), "near")
           .otherwise("new").as("decision"))
   }
+
+  /** t61: INGEST DEDUP UNDER TOMBSTONES — the daily loop composed with
+    * RETIREMENT: every fifth corpus document is removed from the index
+    * by a row-level DELETE (deletion vectors — an O(deleted) sidecar
+    * commit, zero index bytes rewritten,
+    * [[graft.psn.TableStore.deleteRows]]), and the increment's probe
+    * runs through the SAME partition-pruned path s24 uses
+    * ([[graft.psn.TableStore.readPartitions]], hive-bucketed on the
+    * probe keys) — which must subtract the vector inside the pruned
+    * scan: a document whose only duplicate was retired now correctly
+    * decides `new`. The oracle recomputes decisions against the
+    * post-retirement corpus, so the hash gate proves DV subtraction
+    * composes with partition pruning, not just with full scans.
+    *
+    * Scale shape: retirement is the 100 TB takedown path (GDPR erasure,
+    * licence recall) — O(deleted) vector bytes + O(files) links; the
+    * probe stays O(increment + touched buckets) with the vector
+    * anti-join folded into the pruned scan. */
+  def t61IngestTombstones(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 8
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val base = java.nio.file.Files.createTempDirectory("graft_t61")
+    val store = new graft.psn.TableStore(s, base.resolve("wh").toString)
+    val pbktOf = pmod(hash(col("th")), lit(buckets))
+    val bbktOf = pmod(hash(col("band"), col("bkt")), lit(buckets))
+    def bandsOf(df: DataFrame): DataFrame = (0 until 2).map(i =>
+      df.select(col("doc_id"), lit(i).as("band"), col(s"band$i").as("bkt")))
+      .reduce(_ unionByName _)
+    val corpusDocs = docs.filter(col("doc_id") % 4 =!= 0)
+    store.appendCommitted("ingest_th",
+      corpusDocs.select(col("doc_id"), graft_md5(col("text")).as("th"))
+        .withColumn("pbkt", pbktOf).repartition(buckets, col("pbkt")),
+      Some("pbkt"))
+    store.appendCommitted("ingest_bands",
+      bandsOf(minhashSigOf(corpusDocs)).withColumn("bbkt", bbktOf)
+        .repartition(buckets, col("bbkt")), Some("bbkt"))
+    // retire every fifth corpus document: DV commit, zero rewrite
+    store.deleteRows("ingest_th", col("doc_id") % 5 === 1)
+    store.deleteRows("ingest_bands", col("doc_id") % 5 === 1)
+    val incDocs = docs.filter(col("doc_id") % 4 === 0)
+    val inc = incDocs
+      .select(col("doc_id"), graft_md5(col("text")).as("th")).persist()
+    val sig = minhashSigOf(incDocs).persist()
+    try {
+      // one bounded collect: both probes' touched buckets (≤ 2×buckets)
+      val bkts = inc.select(pbktOf.as("b"), lit(0).as("side"))
+        .unionByName(bandsOf(sig).select(bbktOf.as("b"), lit(1).as("side")))
+        .distinct().collect()
+      val thB = bkts.filter(_.getInt(1) == 0).map(_.getInt(0)).toSeq
+      val bandB = bkts.filter(_.getInt(1) == 1).map(_.getInt(0)).toSeq
+      val idxTh = store.readPartitions("ingest_th", "pbkt", thB)
+      val idxB = store.readPartitions("ingest_bands", "bbkt", bandB)
+      val exact = inc.join(idxTh.select(col("th")), Seq("th"), "left_semi")
+        .select(col("doc_id")).withColumn("is_exact", lit(true))
+      val near = bandsOf(sig)
+        .join(idxB.select(col("band"), col("bkt")),
+          Seq("band", "bkt"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("is_near", lit(true))
+      inc.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact")
+            .when(col("is_near"), "near")
+            .otherwise("new").as("decision"))
+        .sortedWide("doc_id")
+    } finally { inc.unpersist(); sig.unpersist(): Unit }
+  }
+
+  lazy val t61Oracle: String =
+    s"""WITH sig AS ($sigSql),
+       |inc AS (SELECT doc_id, md5(text) AS th FROM documents
+       |        WHERE doc_id % 4 = 0),
+       |cor AS (SELECT md5(text) AS th FROM documents
+       |        WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 1),
+       |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN cor c
+       |       ON i.th = c.th),
+       |ib AS (SELECT doc_id, 0 AS band, band0 AS bkt FROM sig
+       |         WHERE doc_id % 4 = 0
+       |       UNION ALL
+       |       SELECT doc_id, 1, band1 FROM sig WHERE doc_id % 4 = 0),
+       |cb AS (SELECT 0 AS band, band0 AS bkt FROM sig
+       |         WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 1
+       |       UNION ALL
+       |       SELECT 1, band1 FROM sig
+       |       WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 1),
+       |nr AS (SELECT DISTINCT ib.doc_id FROM ib JOIN cb
+       |       ON ib.band = cb.band AND ib.bkt = cb.bkt)
+       |SELECT i.doc_id,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS decision
+       |FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
+       |LEFT JOIN nr ON i.doc_id = nr.doc_id
+       |ORDER BY i.doc_id""".stripMargin
 
   // lazy: referenced by `all`, which is declared above this definition
   lazy val t60Oracle: String =
