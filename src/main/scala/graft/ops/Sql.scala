@@ -933,15 +933,21 @@ object Sql {
       dir: String)(body: => T): T = {
     registerViews(s, dir)
     val storeViews = store.tables()
-    val clash = storeViews.toSet.intersect(Tables.corpus.toSet)
+    // logical views register AFTER tables, in CREATION order, so a view
+    // can reference tables and earlier views (its stored SQL re-plans
+    // against their current state — the standard-view contract)
+    val logical = store.views()
+    val clash = (storeViews ++ logical).toSet.intersect(Tables.corpus.toSet)
     require(clash.isEmpty,
-      s"store table(s) ${clash.mkString(", ")} shadow corpus views of the " +
-        "same name — rename the store table")
+      s"store table(s)/view(s) ${clash.mkString(", ")} shadow corpus " +
+        "views of the same name — rename them")
     storeViews.foreach(t => store.read(t).createOrReplaceTempView(t))
+    logical.foreach(v =>
+      s.sql(store.viewSql(v)).createOrReplaceTempView(v))
     // body must EXECUTE its statement (not just plan it) before the
     // statement-scoped views drop in the finally.
     try body
-    finally storeViews.foreach(t => s.catalog.dropTempView(t))
+    finally (storeViews ++ logical).foreach(t => s.catalog.dropTempView(t))
   }
 
   private val CloneStmt = (
@@ -1051,10 +1057,23 @@ object Sql {
       "unsupported statement: expected REFRESH MATERIALIZED VIEW <mv>")
   }
 
+  private val CreateViewStmt = (
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+`?([\w.-]+)`?\s+AS\s+""" +
+    """(.+?)\s*;?\s*""").r
+
   def runCtas(s: SparkSession, store: TableStore, dir: String,
       sql: String): String = sql match {
     case CloneStmt(_*) => runClone(store, sql)
     case CreateMvStmt(_*) => runCreateMv(store, sql)
+    case CreateViewStmt(orReplace, target, select) =>
+      val name = baseName(target)
+      // LOGICAL view (BigQuery's standard view): store the SQL text,
+      // re-planned at every read — the definition is ANALYZED now (under
+      // the statement-scoped catalog) so a broken view fails its CREATE,
+      // not some later reader.
+      withStatementViews(s, store, dir)(s.sql(select).schema)
+      store.createView(name, select, orReplace = orReplace != null)
+      name
     case CtasStmt(orReplace, target, select) =>
       val name = baseName(target)
       require(orReplace != null || !store.exists(name),
@@ -1513,6 +1532,8 @@ object Sql {
 
   private val DropStmt =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?([\w.-]+)`?\s*;?\s*""".r
+  private val DropViewStmt =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?`?([\w.-]+)`?\s*;?\s*""".r
 
   /** Execute DROP TABLE [IF EXISTS] — the reference's nightly job ends by
     * dropping its staging table with `not_found_ok=True`
@@ -1520,6 +1541,9 @@ object Sql {
     * spelling. Without it a missing table is LOUD (BigQuery's
     * NotFound), so a typo'd table name can never silently "succeed". */
   def runDrop(store: TableStore, sql: String): Unit = sql match {
+    case DropViewStmt(ifExists, target) =>
+      val name = baseName(target)
+      if (ifExists == null || store.isView(name)) store.dropView(name)
     case DropStmt(ifExists, target) =>
       val name = baseName(target)
       require(ifExists != null || store.exists(name),
@@ -1527,7 +1551,7 @@ object Sql {
           "(use DROP TABLE IF EXISTS for not-found-ok semantics)")
       store.drop(name)
     case _ => throw new IllegalArgumentException(
-      "unsupported DDL: expected DROP TABLE [IF EXISTS] <t>")
+      "unsupported DDL: expected DROP TABLE|VIEW [IF EXISTS] <t>")
   }
 
   private val AnalyzeStmt =
@@ -2314,6 +2338,51 @@ object Sql {
       |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q93: LOGICAL VIEWS end-to-end — CREATE VIEW stores the SQL text
+    * (BigQuery's standard view: no rows materialized, re-planned per
+    * read), and the gate pins the FRESHNESS contract that separates it
+    * from a materialized view: the base table takes an INSERT *after*
+    * the view is created, and a rollup built through the view must see
+    * the inserted rows — the stored definition re-planned against
+    * current state, not a snapshot. Parse → validate-at-create →
+    * statement-scoped resolution (corpus views, store tables, then
+    * logical views in creation order) → read-back, all hash-gated.
+    *
+    * Scale shape: a view is one sidecar file and zero storage; the read
+    * pays the full underlying plan — the explicitly-priced trade against
+    * q87's materialized view. */
+  def q93SqlView(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_vw_wh").toString
+    val store = new TableStore(s, wh)
+    runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.ord_v` AS
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0;
+        |CREATE VIEW `graft-project.store.big_ord` AS
+        |  SELECT o_orderstatus AS status, o_totalprice FROM ord_v
+        |  WHERE o_totalprice > 50000;
+        |INSERT INTO `graft-project.store.ord_v`
+        |  (o_orderkey, o_orderstatus, o_totalprice)
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1;
+        |CREATE TABLE `graft-project.store.view_rollup` AS
+        |  SELECT status, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM big_ord GROUP BY status;
+        |DROP VIEW `graft-project.store.big_ord`;
+        |""".stripMargin)
+    store.read("view_rollup").sortedSmall("status")
+  }
+
+  val q93Oracle: String =
+    """SELECT o_orderstatus AS status, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_totalprice > 50000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
@@ -2332,5 +2401,6 @@ object Sql {
     graft.Q("q89_table_changes", q89TableChanges, Some(q89Oracle)),
     graft.Q("q90_sql_update_balance", q90SqlUpdateBalance, Some(q90Oracle)),
     graft.Q("q91_sql_merge_sync", q91SqlMergeSync, Some(q91Oracle)),
-    graft.Q("q92_sql_guarded_update", q92SqlGuardedUpdate, Some(q92Oracle)))
+    graft.Q("q92_sql_guarded_update", q92SqlGuardedUpdate, Some(q92Oracle)),
+    graft.Q("q93_sql_view", q93SqlView, Some(q93Oracle)))
 }

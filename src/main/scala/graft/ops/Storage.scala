@@ -842,6 +842,41 @@ object Storage {
       |  (SELECT COUNT(DISTINCT o_orderstatus) FROM orders), 2
       |ORDER BY table_name""".stripMargin
 
+  /** q94: INFORMATION_SCHEMA.PARTITIONS — the partition-level catalog as
+    * a gated query: a hive-partitioned fact table is staged in two
+    * in-place appends (per-partition counts must SUM across files), then
+    * a row-level DELETE tombstones every seventh order (deletion
+    * vectors), and the catalog must report each partition's LIVE row
+    * count — footer sums minus exactly that partition's vector entries,
+    * zero data read. The oracle recomputes every partition's count
+    * declaratively; a catalog that forgets the deletes (or charges them
+    * to the wrong partition) fails the hash.
+    *
+    * Scale shape: partition management at 100 TB (retention sweeps,
+    * skew audits, load balancing) starts from this view — it must come
+    * from metadata: O(files) footer reads + one DV aggregation, never a
+    * table scan. */
+  def q94PartitionsCatalog(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_pc_wh").toString
+    val store = new TableStore(s, wh)
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    store.appendPartitioned("orders_pc",
+      ord.filter(col("o_orderkey") % 2 === 0), "o_orderstatus")
+    store.appendPartitioned("orders_pc",
+      ord.filter(col("o_orderkey") % 2 =!= 0), "o_orderstatus")
+    store.deleteRows("orders_pc", col("o_orderkey") % 7 === 0)
+    store.informationSchemaPartitions("orders_pc")
+      .select(col("partition_value"), col("n_rows"))
+      .sortedSmall("partition_value")
+  }
+
+  val q94Oracle: String =
+    """SELECT o_orderstatus AS partition_value, COUNT(*) AS n_rows
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q69_data_skipping", q69DataSkipping, Some(q69Oracle)),
     Q("q70_metadata_count", q70MetadataCount, Some(q70Oracle)),
@@ -859,5 +894,6 @@ object Storage {
     Q("q82_history", q82History, Some(q82Oracle)),
     Q("q83_snapshot_clone", q83SnapshotClone, Some(q83Oracle)),
     Q("q87_materialized_view", q87MaterializedView, Some(q87Oracle)),
-    Q("q88_information_schema", q88InformationSchema, Some(q88Oracle)))
+    Q("q88_information_schema", q88InformationSchema, Some(q88Oracle)),
+    Q("q94_partitions_catalog", q94PartitionsCatalog, Some(q94Oracle)))
 }

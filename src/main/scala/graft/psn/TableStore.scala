@@ -465,6 +465,62 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     if (onDisk.isEmpty && legacyData(table)) Seq(0) else onDisk
   }
 
+  // ------------------------------------------------------- logical views
+
+  private def viewDefPath(name: String): Path =
+    dir(name).resolve("_viewdef")
+
+  def isView(name: String): Boolean = Files.exists(viewDefPath(name))
+
+  /** CREATE VIEW — a LOGICAL view: the stored artifact is the SQL text
+    * itself (BigQuery's standard view), re-planned against the CURRENT
+    * state of whatever it references at every query. No rows are
+    * materialized — freshness is free and storage is one sidecar file;
+    * the trade against [[createMaterializedView]] is paying the full
+    * plan per read. The definition is validated by the CALLER (planning
+    * needs the statement-scoped catalog); this just claims the name. */
+  def createView(name: String, sql: String, orReplace: Boolean = false): Unit = {
+    require(sql.trim.nonEmpty, "CREATE VIEW: empty definition")
+    require(!exists(name) && !isMaterializedView(name),
+      s"CREATE VIEW $name: a table or materialized view already holds " +
+        "the name")
+    require(orReplace || !isView(name),
+      s"CREATE VIEW $name: view exists (use CREATE OR REPLACE VIEW)")
+    Files.createDirectories(dir(name))
+    val staged = dir(name).resolve(s"_viewdef.staged.${System.nanoTime}")
+    Files.writeString(staged, sql)
+    Files.move(staged, viewDefPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def viewSql(name: String): String = {
+    require(isView(name), s"'$name' is not a view")
+    Files.readString(viewDefPath(name))
+  }
+
+  /** View names in CREATION order (sidecar mtime): registering them in
+    * this order lets a later view reference an earlier one. */
+  def views(): Seq[String] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .filter(isView)
+        .toSeq
+        .sortBy(n => Files.getLastModifiedTime(viewDefPath(n)).toMillis)
+      finally s.close()
+    }
+  }
+
+  def dropView(name: String): Unit = {
+    require(isView(name), s"DROP VIEW $name: no such view")
+    deleteRecursive(dir(name))
+  }
+
   // ------------------------------------------------- clones + snapshots
 
   /** True when `table` was created read-only (CREATE SNAPSHOT TABLE).
@@ -585,6 +641,49 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         (t, f.name, i + 1, f.dataType.sql)
       }
     }.toDF("table_name", "column_name", "ordinal_position", "data_type")
+  }
+
+  /** INFORMATION_SCHEMA.PARTITIONS — BigQuery's partition-level catalog:
+    * one row per hive partition of `table` with its metadata-only row
+    * count (parquet footers minus the partition's deletion-vector
+    * entries — zero data read) and data-file count. Unpartitioned
+    * tables yield one `__NULL__` row covering the whole table, matching
+    * BigQuery's null partition_id. The partition-management surface
+    * rests on this: retention sweeps, skew audits, and load balancing
+    * all start from "how big is each partition" answered without a
+    * scan. */
+  def informationSchemaPartitions(table: String,
+      parallelism: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = resolve(table)
+    val conf = spark.sessionState.newHadoopConf()
+    // deletion-vector entries per first-level directory (relPath's head
+    // segment), so partition counts subtract exactly their own deletes
+    val dvByDir: Map[String, Long] =
+      if (!Files.isDirectory(dvDir(base))) Map.empty
+      else spark.read.parquet(dvDir(base).toString).toDF("rel", "pos")
+        .select(when(col("rel").contains("/"),
+          org.apache.spark.sql.functions
+            .substring_index(col("rel"), "/", 1))
+          .otherwise("__NULL__").as("d"))
+        .groupBy(col("d")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byPart = dataFiles(base).groupBy { f =>
+      val rel = base.relativize(f)
+      if (rel.getNameCount > 1 && rel.getName(0).toString.contains("="))
+        rel.getName(0).toString
+      else "__NULL__"
+    }
+    byPart.toSeq.map { case (part, files) =>
+      val rows = pooled(files, parallelism)(
+        FileStats.rowCount(conf, _)).sum - dvByDir.getOrElse(part, 0L)
+      val value =
+        if (part == "__NULL__") part
+        else java.net.URLDecoder.decode(
+          part.substring(part.indexOf('=') + 1), "UTF-8")
+      (table, value, rows, files.length)
+    }.sortBy(_._2)
+      .toDF("table_name", "partition_value", "n_rows", "n_files")
   }
 
   // ---------------------------------------------------- materialized views

@@ -1178,6 +1178,119 @@ object Streams {
       |GROUP BY r.round, e.event_type
       |ORDER BY r.round, e.event_type""".stripMargin
 
+  /** s26: STREAM-STREAM JOIN **EVICTION** — the state-cleanup and
+    * late-drop paths s22's exact-gate watermark deliberately never
+    * reaches (its delay spans the corpus; the verdict's watch-item).
+    * Events split into four time-quartile chunks per side; purchases
+    * deliver IN time order, clicks deliver DISORDERED (1, 2, 3, 0) with
+    * watermark delay ZERO — chunk-0 clicks arrive three batches late,
+    * after the watermark has swept past their whole quartile, so the
+    * purchase state they would have matched is provably EVICTED (86 of
+    * 372 candidate pairs drop at sf0.1; 7/33 at sf0.01). The pinned
+    * rule (fitted against Spark's own output at three SFs, two
+    * candidate cleanup timings — they agree on every pair here): a
+    * cross-batch pair emits iff the EARLIER side's state survives until
+    * the later side's batch m, i.e. its state-watermark bound clears
+    * `wm_{m-1}` (watermarks are monotone, so the last cleanup is the
+    * binding one): bound = `click_sec + 3600` when the click waits
+    * (derived from the join range), raw `purch_sec` when the purchase
+    * waits; `wm_k` = min over sources of the max event-sec seen through
+    * batch k−1. Late INPUT is not dropped by the join (also pinned:
+    * one-batch-late clicks still matched surviving state). The oracle
+    * unrolls exactly that rule declaratively; the hash gate thus pins
+    * WHICH ROWS ARE GONE — Spark's eviction boundary itself, not just
+    * the buffering s22 proves.
+    *
+    * Scale shape: this is the production configuration (finite lateness
+    * horizon): join state holds (range + delay) × arrival-rate rows per
+    * side regardless of stream length; the dropped pairs are the price
+    * of bounded state, made exact and auditable. */
+  def s26StreamJoinEviction(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val ev = graft.tables.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000").as("sec"))
+    val r = ev.agg(min(col("sec")), max(col("sec"))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val chunkOf = least(lit(3),
+      ((col("sec") - mn) * 4).divide(lit(mx - mn + 1)).cast("long"))
+    val base = java.nio.file.Files.createTempDirectory("graft_s26")
+    def stage(name: String, etype: String, order: Seq[Int]): String = {
+      val d = base.resolve(name).toString
+      order.foreach { c =>
+        ev.filter(col("event_type") === etype && chunkOf === c)
+          .repartition(1) // one file per quartile → one micro-batch each
+          .write.mode("append").parquet(d)
+      }
+      d
+    }
+    val clickDir = stage("clicks", "click", Seq(1, 2, 3, 0))
+    val purchDir = stage("purch", "purchase", Seq(0, 1, 2, 3))
+    def src(d: String) = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val clicks = src(clickDir)
+      .select(col("user_id").as("c_user"),
+        timestamp_seconds(col("sec")).as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = src(purchDir)
+      .select(col("user_id").as("p_user"), col("value"),
+        timestamp_seconds(col("sec")).as("purch_ts"))
+      .withWatermark("purch_ts", "0 seconds")
+    val pairs = clicks.join(purchases,
+      expr("c_user = p_user AND " +
+        "click_ts BETWEEN purch_ts - INTERVAL 1 HOUR AND purch_ts"))
+      .select(col("c_user").as("user_id"), col("value"))
+    val outDir = base.resolve("out").toString
+    withStatePartitions(s, 8) {
+      val q = pairs.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast(DecimalType(30, 2)))
+          .cast("double").as("total_value"))
+      .sortedSmall("user_id")
+  }
+
+  val s26Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |b AS (SELECT MIN(sec) AS mn, MAX(sec) AS mx FROM ev),
+      |e2 AS (SELECT user_id, event_type, value, sec,
+      |    LEAST(3, CAST(((sec - b.mn) * 4) // (b.mx - b.mn + 1)
+      |      AS BIGINT)) AS chunk
+      |  FROM ev, b),
+      |cb AS (SELECT * FROM (VALUES (1, 0), (2, 1), (3, 2), (0, 3))
+      |       AS t(chunk, bat)),
+      |pb AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 2), (3, 3))
+      |       AS t(chunk, bat)),
+      |c AS (SELECT e2.user_id, e2.sec, cb.bat FROM e2
+      |      JOIN cb ON cb.chunk = e2.chunk WHERE event_type = 'click'),
+      |p AS (SELECT e2.user_id, e2.sec, e2.value, pb.bat FROM e2
+      |      JOIN pb ON pb.chunk = e2.chunk WHERE event_type = 'purchase'),
+      |wmt AS (SELECT m.m, LEAST(
+      |    (SELECT MAX(sec) FROM c WHERE bat < m.m),
+      |    (SELECT MAX(sec) FROM p WHERE bat < m.m)) AS wm
+      |  FROM (SELECT UNNEST([0, 1, 2, 3]) AS m) m),
+      |pairs AS (
+      |  SELECT c.user_id, p.value FROM c
+      |  JOIN p ON c.user_id = p.user_id
+      |    AND c.sec BETWEEN p.sec - 3600 AND p.sec
+      |  LEFT JOIN wmt ON wmt.m = GREATEST(c.bat, p.bat) - 1
+      |  WHERE c.bat = p.bat OR wmt.wm IS NULL
+      |     OR (CASE WHEN c.bat < p.bat THEN c.sec + 3600
+      |              ELSE p.sec END) >= wmt.wm)
+      |SELECT user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("s18_stream_merge_replay", s18StreamMergeReplay,
       Some(s18Oracle)),
@@ -1194,5 +1307,7 @@ object Streams {
     graft.Q("s24_stream_ingest_dedup", s24StreamIngestDedup,
       Some(s24Oracle)),
     graft.Q("s25_stream_mv_maintenance", s25StreamMvMaintenance,
-      Some(s25Oracle)))
+      Some(s25Oracle)),
+    graft.Q("s26_stream_join_eviction", s26StreamJoinEviction,
+      Some(s26Oracle)))
 }

@@ -48,3 +48,54 @@ class InfoSchemaSpec extends AnyFunSuite {
       ("score", 3, "DOUBLE")))
   }
 }
+
+/** Logical views (stored SQL, re-planned per read) + the PARTITIONS
+  * catalog view. */
+class ViewsAndPartitionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("logical views: lifecycle, freshness, and loud name rules") {
+    import spark.implicits._
+    val store = new TableStore(spark,
+      Files.createTempDirectory("vw_wh").toString)
+    store.overwrite("base", Seq((1, 10), (2, 20)).toDF("k", "x"))
+    store.createView("v", "SELECT k, x * 2 AS d FROM base")
+    assert(store.isView("v") && store.views() == Seq("v"))
+    assert(!store.exists("v")) // a view is not a table
+    // views register in creation order: a later view may stack on "v"
+    store.createView("vv", "SELECT SUM(d) AS s FROM v")
+    assert(store.views() == Seq("v", "vv"))
+    // CREATE over an existing view needs OR REPLACE; tables refuse the name
+    intercept[IllegalArgumentException] {
+      store.createView("v", "SELECT 1 AS one")
+    }
+    store.createView("v", "SELECT k, x * 3 AS d FROM base",
+      orReplace = true)
+    intercept[IllegalArgumentException] {
+      store.createView("base", "SELECT 1 AS one")
+    }
+    store.dropView("vv")
+    intercept[IllegalArgumentException] { store.dropView("vv") }
+    assert(store.views() == Seq("v"))
+  }
+
+  test("PARTITIONS reports live per-partition rows from metadata only") {
+    import spark.implicits._
+    val store = new TableStore(spark,
+      Files.createTempDirectory("pc_wh").toString)
+    def part(ks: (Int, String)*) = ks.toSeq.toDF("k", "p")
+    store.appendPartitioned("t", part((1, "a"), (2, "b"), (3, "a")), "p")
+    store.appendPartitioned("t", part((4, "a"), (5, "c")), "p")
+    // tombstone one row of partition a: ITS count drops, others hold
+    store.deleteRows("t", col("k") === 1)
+    val got = store.informationSchemaPartitions("t")
+      .orderBy("partition_value").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+    // unpartitioned table: one __NULL__ row covering everything
+    store.overwrite("u", part((1, "a"), (2, "b")))
+    val gu = store.informationSchemaPartitions("u").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(gu == Seq(("__NULL__", 2L)))
+  }
+}

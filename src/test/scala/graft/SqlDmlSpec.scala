@@ -346,8 +346,13 @@ class SqlDmlSpec extends AnyFunSuite {
       "CREATE OR REPLACE TABLE derived AS SELECT k FROM seed")
     assert(store.read("derived").collect().length == 2)
     assert(store.tables().contains("derived"))
+    // CREATE VIEW routes to the logical-view path (round 13)...
+    Sql.runCtas(spark, store, sf,
+      "CREATE VIEW seed_keys AS SELECT k FROM seed")
+    assert(store.isView("seed_keys"))
+    // ...while genuinely unsupported DDL stays loud
     intercept[IllegalArgumentException] {
-      Sql.runCtas(spark, store, sf, "CREATE VIEW v AS SELECT 1")
+      Sql.runCtas(spark, store, sf, "CREATE INDEX i ON seed (k)")
     }
   }
 
