@@ -118,6 +118,38 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(store.versions("game").nonEmpty)
   }
 
+  test("SET is simultaneous assignment: every rhs reads the PRE-update " +
+      "row (the swap statement works)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("acct", Seq((1L, 100L, 7L)).toDF("id", "a", "b"))
+    store.overwrite("acct_src", Seq((1L, 1000L)).toDF("id", "amt"))
+    // a and b swap THROUGH the source row's amt: if assignments chained
+    // (each reading the half-updated row), b would see the new a
+    Sql.runDml(spark, store,
+      """UPDATE acct t SET t.a = t.b + s.amt, t.b = t.a + s.amt
+        |FROM acct_src s WHERE t.id = s.id""".stripMargin)
+    val got = store.read("acct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1007L, 1100L))) // old b + amt, old a + amt
+  }
+
+  test("target-side WHERE residuals leave failing matched rows " +
+      "UNTOUCHED (never deleted, never updated)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("g2", Seq((1L, 10L, 5L), (2L, 20L, 50L))
+      .toDF("id", "v", "guard"))
+    store.overwrite("g2_src", Seq((1L, 111L), (2L, 222L))
+      .toDF("id", "nv"))
+    Sql.runDml(spark, store,
+      "UPDATE g2 t SET t.v = s.nv FROM g2_src s " +
+        "WHERE t.id = s.id AND t.guard > 10")
+    val got = store.read("g2").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 222L))) // id=1 fails the guard
+  }
+
   test("multi-match source keys are an error, not a silent pick") {
     import spark.implicits._
     val store = freshStore()
