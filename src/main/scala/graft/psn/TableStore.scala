@@ -469,8 +469,22 @@ final class TableStore(spark: SparkSession, warehouse: String) {
 
   private def viewDefPath(name: String): Path =
     dir(name).resolve("_viewdef")
+  private def viewSeqPath(name: String): Path =
+    dir(name).resolve("_viewseq")
 
   def isView(name: String): Boolean = Files.exists(viewDefPath(name))
+
+  /** Monotone creation sequence of a view — the registration-order key.
+    * Allocated once at first CREATE and PRESERVED across OR REPLACE, so
+    * replacing a view a later view depends on can never reorder it past
+    * its dependents (sidecar mtime would: the rewrite bumps it). Legacy
+    * views without the sidecar fall back to the def's mtime — a value
+    * always far above any allocated counter, so legacy views sort last
+    * (documented, not load-bearing: warehouses are session-scoped). */
+  private def viewSeq(name: String): Long =
+    if (Files.exists(viewSeqPath(name)))
+      Files.readString(viewSeqPath(name)).trim.toLong
+    else Files.getLastModifiedTime(viewDefPath(name)).toMillis
 
   /** CREATE VIEW — a LOGICAL view: the stored artifact is the SQL text
     * itself (BigQuery's standard view), re-planned against the CURRENT
@@ -487,6 +501,16 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     require(orReplace || !isView(name),
       s"CREATE VIEW $name: view exists (use CREATE OR REPLACE VIEW)")
     Files.createDirectories(dir(name))
+    // allocate the creation-order sequence BEFORE publishing the def (a
+    // view must never be visible without its order key); OR REPLACE
+    // keeps the original — replacement must not reorder registration
+    if (!Files.exists(viewSeqPath(name))) {
+      val next = (views().map(viewSeq) :+ 0L).max + 1L
+      val seqStaged = dir(name).resolve(s"_viewseq.staged.${System.nanoTime}")
+      Files.writeString(seqStaged, next.toString)
+      Files.move(seqStaged, viewSeqPath(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     val staged = dir(name).resolve(s"_viewdef.staged.${System.nanoTime}")
     Files.writeString(staged, sql)
     Files.move(staged, viewDefPath(name), StandardCopyOption.ATOMIC_MOVE,
@@ -498,8 +522,11 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     Files.readString(viewDefPath(name))
   }
 
-  /** View names in CREATION order (sidecar mtime): registering them in
-    * this order lets a later view reference an earlier one. */
+  /** View names in CREATION order ([[viewSeq]] — a persisted counter,
+    * NOT sidecar mtime: OR REPLACE rewrites the def and would bump a
+    * replaced view past its dependents, inverting registration order):
+    * registering in this order lets a later view reference an earlier
+    * one, and keeps that true across replacement. */
   def views(): Seq[String] = {
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) Seq.empty
@@ -511,9 +538,22 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         .filterNot(n => n.startsWith("_") || n.startsWith("."))
         .filter(isView)
         .toSeq
-        .sortBy(n => Files.getLastModifiedTime(viewDefPath(n)).toMillis)
+        .sortBy(viewSeq)
       finally s.close()
     }
+  }
+
+  /** Logical views whose stored SQL references `table` by name (word
+    * boundary, case-insensitive — view definitions in this store resolve
+    * bare table names, so a textual identifier hit IS a reference; the
+    * over-approximation of a quoted literal collision is acceptable for
+    * a drop guard that errs loud). Bounded by view COUNT — one sidecar
+    * read per view, never data-sized. */
+  def viewsReferencing(table: String): Seq[String] = {
+    val pat = java.util.regex.Pattern.compile(
+      "\\b" + java.util.regex.Pattern.quote(table) + "\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    views().filter(v => v != table && pat.matcher(viewSql(v)).find())
   }
 
   def dropView(name: String): Unit = {
@@ -531,7 +571,12 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * for later CREATEs. A snapshot refuses every write, so its flagged
     * version is its only version for life. */
   def isSnapshot(table: String): Boolean =
-    exists(table) && Files.exists(resolve(table).resolve("_snapshot"))
+    exists(table) && (Files.exists(resolve(table).resolve("_snapshot")) ||
+      // legacy location (pre-r13 builds flagged the table ROOT): honored
+      // on read so upgraded warehouses keep their read-only protection;
+      // new snapshots write only the in-version flag (crash-safe — an
+      // uncommitted claim can never poison the name)
+      Files.exists(dir(table).resolve("_snapshot")))
 
   /** Every mutating path funnels through here (committing rewrites via
     * [[claimNext]]; in-place appends check explicitly): a SNAPSHOT table
@@ -539,11 +584,19 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * BigQuery snapshot contract. DROP stays allowed (deleting a snapshot
     * is how BigQuery retires one; the data it shares with the source
     * lives on through the hard-link counts). */
-  private def requireWritable(table: String): Unit =
+  private def requireWritable(table: String): Unit = {
+    // the table/view namespace is mutually exclusive: a committing write
+    // under a logical view's name would nest version dirs beside the
+    // stored definition and every later statement would resolve the name
+    // to the STALE view SQL — loud here, the funnel every write passes
+    require(!isView(table),
+      s"'$table' is a logical view — tables cannot be written under a " +
+        "view's name (DROP VIEW first, or pick another name)")
     require(!isSnapshot(table),
       s"'$table' is a read-only snapshot table (CREATE SNAPSHOT TABLE) — " +
         "writes are refused; clone it writable (CREATE TABLE … CLONE) or " +
         "drop it")
+  }
 
   /** Direct DML refuses materialized views (BigQuery does the same):
     * their rows are DERIVED state pinned to the base by the `_mvdef`
@@ -2280,6 +2333,12 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   }
 
   def drop(table: String): Unit = { // K5
+    // DROP TABLE refuses view names outright: a logical view is not a
+    // table, and deleteRecursive on its dir would silently erase the
+    // stored definition — the namespace is mutually exclusive, and the
+    // verbs route loudly (DROP VIEW is one word away).
+    require(!isView(table),
+      s"cannot DROP TABLE '$table': it is a logical view — use DROP VIEW")
     // A base with dependent MVs cannot silently vanish: every later
     // readMaterialized would throw deep in resolve, far from this DROP.
     // BigQuery errors the same way; drop (or re-pin) the views first.
@@ -2289,7 +2348,64 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       s"cannot drop '$table': materialized view(s) " +
         s"${dependents.mkString(", ")} are pinned to it — drop the " +
         "view(s) first")
+    // Same discipline for LOGICAL views: their stored SQL re-plans per
+    // read, so dropping the base would fail far from this DROP (at the
+    // next statement's view registration). Loud here, where the cause is.
+    val viewDeps = viewsReferencing(table)
+    require(viewDeps.isEmpty,
+      s"cannot drop '$table': logical view(s) ${viewDeps.mkString(", ")} " +
+        "reference it — drop the view(s) first")
     deleteRecursive(dir(table))
+  }
+
+  /** TRUNCATE TABLE — BigQuery's statement spelling of WRITE_TRUNCATE
+    * with no payload (/root/reference/main.py:268-271's disposition, as
+    * SQL): commit an EMPTY next version through the standard rewrite
+    * protocol. Schema, declared-schema sidecar, and CHECK constraints
+    * all survive (the sidecars live at the table root; the empty
+    * DataFrame carries the current schema), history stays time-travelable
+    * — a RESTORE or FOR VERSION AS OF read of the pre-truncate version
+    * still works, exactly like every other committed rewrite. O(1) data:
+    * nothing is scanned, nothing is written but the commit itself. */
+  def truncate(table: String): Unit = {
+    requireNotMv(table, "TRUNCATE")
+    requireNoFeed(table, "TRUNCATE")
+    require(exists(table), s"TRUNCATE TABLE $table: table does not exist")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      currentSchema(table))
+    commitRewrite(table, empty, None)
+  }
+
+  /** ALTER TABLE … RENAME TO — a METADATA-ONLY move of the table
+    * directory: versions, markers, declared schema, constraints, stats
+    * and deletion vectors all travel with it, so time travel keeps
+    * working under the new name (same version dirs, same commit log).
+    * Refused when the old name is load-bearing elsewhere — dependent
+    * MVs pin the base by NAME in `_mvdef`, logical views resolve it per
+    * read — and when the new name is taken by anything (table, view,
+    * MV, or a crashed writer's claim debris). One atomic rename, zero
+    * data moved — the contract a 100 TB table requires. */
+  def rename(table: String, to: String): Unit = {
+    require(exists(table), s"RENAME $table: table does not exist")
+    require(!isView(table),
+      s"cannot RENAME '$table': it is a logical view")
+    requireNotMv(table, "RENAME")
+    requireWritable(table)
+    val mvDeps = tables().filter(t => t != table &&
+      isMaterializedView(t) && readMvDef(t).base == table)
+    require(mvDeps.isEmpty,
+      s"cannot rename '$table': materialized view(s) " +
+        s"${mvDeps.mkString(", ")} are pinned to it by name")
+    val viewDeps = viewsReferencing(table)
+    require(viewDeps.isEmpty,
+      s"cannot rename '$table': logical view(s) " +
+        s"${viewDeps.mkString(", ")} reference it by name")
+    require(!Files.exists(dir(to)),
+      s"cannot rename '$table' to '$to': the target name is already " +
+        "held (table, view, materialized view, or uncollected debris — " +
+        "DROP or VACUUM it first)")
+    Files.move(dir(table), dir(to), StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Sweep orphaned claim directories left by CRASHED writers — claimed

@@ -662,7 +662,7 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(!store.exists("gone"))
     // …an unknown verb is still loud…
     intercept[IllegalArgumentException] {
-      Sql.runScript(spark, store, sf, "TRUNCATE TABLE t1")
+      Sql.runScript(spark, store, sf, "GRANT SELECT ON t1 TO nobody")
     }
     intercept[IllegalArgumentException] {
       Sql.runScript(spark, store, sf, "  ;; ")
@@ -687,5 +687,160 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(orphan))
     assert(store.read("t").count() == 2)
     intercept[IllegalArgumentException](Sql.runVacuum(store, "VACUUM"))
+  }
+
+  test("TRUNCATE TABLE: head empties, schema+constraints survive, history stays restorable") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    store.addConstraint("t", "v_pos", "v > 0")
+    Sql.runTruncate(store, "TRUNCATE TABLE `graft-project.store.t`")
+    assert(store.read("t").count() == 0)
+    // schema survived the empty commit: a matching append lands…
+    store.append("t", Seq((3L, 30L)).toDF("k", "v"))
+    assert(store.read("t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // …and the CHECK constraint still enforces
+    intercept[Exception] {
+      store.append("t", Seq((4L, -1L)).toDF("k", "v"))
+    }
+    // pre-truncate version still time-travels (WRITE_TRUNCATE commits a
+    // version, it does not erase history)
+    val v1 = store.versions("t").min
+    assert(store.readVersion("t", v1).count() == 2)
+    // loud on junk and on missing tables
+    intercept[IllegalArgumentException](Sql.runTruncate(store, "TRUNCATE t"))
+    intercept[IllegalArgumentException](
+      Sql.runTruncate(store, "TRUNCATE TABLE nope"))
+  }
+
+  test("ALTER TABLE RENAME TO: versions travel, time travel works under the new name, old name gone, guards loud") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("src", Seq((1L, "a")).toDF("k", "v"))
+    // second COMMIT (not an in-place append) so the table has real history
+    store.overwrite("src", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val preVersions = store.versions("src")
+    assert(preVersions.length == 2)
+    Sql.runAlter(store,
+      "ALTER TABLE `graft-project.store.src` RENAME TO `graft-project.store.dst`")
+    assert(!store.exists("src") && store.exists("dst"))
+    // the commit chain travelled: same version set, and the oldest
+    // version still reads the pre-append state under the NEW name
+    assert(store.versions("dst") == preVersions)
+    assert(store.readVersion("dst", preVersions.min).count() == 1)
+    assert(store.read("dst").count() == 2)
+    // target name taken → loud
+    store.overwrite("takenx", Seq((9L, "z")).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      Sql.runAlter(store, "ALTER TABLE dst RENAME TO takenx"))
+    // a logical view pinning the old name blocks the rename
+    Sql.runCtas(spark, store, sf, "CREATE VIEW dstv AS SELECT k FROM dst")
+    intercept[IllegalArgumentException](
+      Sql.runAlter(store, "ALTER TABLE dst RENAME TO dst2"))
+    store.dropView("dstv")
+    Sql.runAlter(store, "ALTER TABLE dst RENAME TO dst2")
+    assert(store.read("dst2").count() == 2)
+  }
+
+  test("table/view namespace is mutually exclusive; DROP TABLE refuses views and view-referenced bases") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("base", Seq((1L, 5L)).toDF("k", "v"))
+    Sql.runCtas(spark, store, sf, "CREATE VIEW bv AS SELECT k FROM base")
+    // CTAS under the view's name is loud (would shadow the stored SQL)
+    intercept[IllegalArgumentException] {
+      Sql.runCtas(spark, store, sf, "CREATE TABLE bv AS SELECT k FROM base")
+    }
+    // …as is any direct store write under the name (the funnel check)
+    intercept[IllegalArgumentException] {
+      store.overwrite("bv", Seq((1L, 1L)).toDF("k", "v"))
+    }
+    // DROP TABLE refuses the view name (routes to DROP VIEW)…
+    intercept[IllegalArgumentException] {
+      Sql.runDrop(store, "DROP TABLE IF EXISTS bv")
+    }
+    // …and refuses dropping a base a live view references
+    intercept[IllegalArgumentException] {
+      Sql.runDrop(store, "DROP TABLE base")
+    }
+    Sql.runDrop(store, "DROP VIEW bv")
+    Sql.runDrop(store, "DROP TABLE base") // view gone → drop allowed
+    assert(!store.exists("base"))
+  }
+
+  test("CREATE OR REPLACE VIEW keeps registration order (dependents still resolve)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("t0", Seq((1L, 10L), (2L, 200L)).toDF("k", "v"))
+    assert(Sql.runScript(spark, store, sf,
+      """CREATE VIEW v_lo AS SELECT k, v FROM t0 WHERE v < 100;
+        |CREATE VIEW v_lo2 AS SELECT k FROM v_lo;
+        |""".stripMargin) == 2)
+    // replacing the BASE view rewrites its sidecar; mtime ordering would
+    // now register v_lo AFTER its dependent v_lo2 and every later
+    // statement would die at registration — the persisted creation
+    // sequence must keep v_lo first
+    Sql.runCtas(spark, store, sf,
+      "CREATE OR REPLACE VIEW v_lo AS SELECT k, v FROM t0 WHERE v < 1000")
+    assert(store.views() == Seq("v_lo", "v_lo2"))
+    val name = Sql.runCtas(spark, store, sf,
+      "CREATE TABLE out AS SELECT COUNT(*) AS n FROM v_lo2")
+    assert(store.read(name).collect().head.getLong(0) == 2L)
+  }
+
+  test("a broken view fails only when referenced, not at unrelated statements") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("wide", Seq((1L, 7L)).toDF("k", "extra"))
+    store.overwrite("other", Seq((5L, "x")).toDF("k", "v"))
+    Sql.runCtas(spark, store, sf,
+      "CREATE VIEW wv AS SELECT k, extra FROM wide")
+    // break the view out-of-band: drop the column its SQL projects
+    assert(store.dropColumn("wide", "extra"))
+    // an UNRELATED statement in the same store still runs (BigQuery's
+    // standard views error at use, not at catalog load)
+    val name = Sql.runCtas(spark, store, sf,
+      "CREATE TABLE ok AS SELECT k FROM other")
+    assert(store.read(name).count() == 1)
+    // referencing the broken view is loud at ITS resolution
+    intercept[Exception] {
+      Sql.runCtas(spark, store, sf,
+        "CREATE TABLE boom AS SELECT * FROM wv")
+    }
+  }
+
+  test("MERGE: a NULL-key target row routes through NOT MATCHED BY SOURCE (presence markers, not key nullability)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("nk", Seq(
+      (Option(1L), 10L), (Option.empty[Long], 99L), (Option(3L), 30L))
+      .toDF("k", "v"))
+    Seq((1L, 11L)).toDF("k", "v")
+      .createOrReplaceTempView("nk_src_view")
+    Sql.runMerge(spark, store,
+      """MERGE INTO nk t USING nk_src_view s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin)
+    // the NULL-key row can never match any source row → ANSI/BigQuery
+    // classify it NOT MATCHED BY SOURCE → the DELETE arm takes it; keyed
+    // rows behave as before (1 updates, 3 deletes)
+    assert(store.read("nk").collect().map(r => (r.get(0), r.getLong(1)))
+      .toSeq == Seq((1L, 11L)))
+  }
+
+  test("legacy root-level _snapshot flag still protects upgraded warehouses") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("oldsnap", Seq((1L, "a")).toDF("k", "v"))
+    // simulate a pre-r13 snapshot: flag at the table ROOT, not in-version
+    val root = java.nio.file.Paths.get(
+      store.read("oldsnap").inputFiles.head.stripPrefix("file:"))
+      .getParent.getParent
+    java.nio.file.Files.writeString(root.resolve("_snapshot"), "")
+    assert(store.isSnapshot("oldsnap"))
+    intercept[IllegalArgumentException] {
+      store.append("oldsnap", Seq((2L, "b")).toDF("k", "v"))
+    }
   }
 }
