@@ -1162,13 +1162,19 @@ object SimilarityOps2 {
     * units THROUGH A DECIMAL CAST, so sums are exact integers on both
     * engines — no IEEE accumulation order anywhere.
     *
-    * Plan shape: the model is the shared memoized codebook
-    * ([[SimilarityOps.pqModel]] — M×K rows); the audit is ONE broadcast
-    * join of codewords onto the assignment stream and a (m, cid) hash
-    * aggregate over M·K = 128 keys, map-side combinable. At 100 TB:
-    * scan + broadcast + bounded aggregate, the e30 budget exactly. */
+    * Plan shape: the audit READS THE STORED INDEX — the materialized
+    * (vec_id, m, cid) codes ([[SimilarityOps.pqCodes]], the t60 index
+    * discipline) joined back to the corpus subvector scan on (vec_id, m)
+    * plus ONE broadcast of the memoized codebook (M×K rows) — then a
+    * (m, cid) hash aggregate over M·K = 128 keys, map-side combinable.
+    * Zero k-means iterations, zero argmin encode passes: an index audit
+    * reads the index, it does not rebuild it (PqArtifactSpec witnesses
+    * the encode counter stays flat). At 100 TB: two co-keyed scans + a
+    * broadcast + a bounded aggregate. */
   def e33PqDistortion(s: SparkSession, dir: String): DataFrame = {
-    val (asg, cents) = SimilarityOps.pqModel(s, dir)
+    val cents = SimilarityOps.pqCodebook(s, dir)
+    val asg = SimilarityOps.pqSubvectors(s, dir)
+      .join(SimilarityOps.pqCodes(s, dir), Seq("vec_id", "m"))
     val nsv = graft.functions.VecOps.graft_vec_norm(col("sv"))
     val d2 = nsv * nsv + col("cn") * col("cn") - dot(col("sv"), col("cvec")) * 2
     asg.join(broadcast(cents), Seq("m", "cid"))

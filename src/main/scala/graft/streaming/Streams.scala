@@ -902,14 +902,15 @@ object Streams {
     * files into the scan. So a micro-batch costs O(increment + touched
     * buckets), never O(corpus) — at the 100 TB daily-crawl scale the
     * ingest loop's cost tracks the increment, which is the entire point
-    * of keeping an index. Growth is an [[graft.psn.TableStore
-    * .appendCommitted]] per table: hard-linked metadata commit +
-    * O(accepted) new bytes, TAGGED `s24:<batchId>` — foreachBatch is
-    * at-least-once, and the txnVersion watermark makes a replayed batch
-    * skip its surviving commits instead of double-appending (and a
-    * crash BETWEEN the three commits replays consistently: decisions
-    * are re-derived from the committed decisions table, never
-    * recomputed against a half-updated index). */
+    * of keeping an index. Growth is ONE COMPOSITE
+    * [[graft.psn.TableStore.appendCommitted]] per batch (round 14; r13
+    * made three): the decision log and both index layouts are row
+    * families of a single `sbkt`-partitioned table — exact hashes in
+    * [0, B), band buckets in [B, 2B), decisions at 2B — so they land
+    * atomically under one `s24:<batchId>` tag. foreachBatch is
+    * at-least-once; the txnVersion watermark skips a replayed batch
+    * whole, and there is no between-commit crash window left to repair
+    * — one commit's worth of fixed cost per batch instead of three. */
   def s24StreamIngestDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Out._
     streamIngestOf(s, graft.tables.Tables.documents(s, dir)
@@ -936,36 +937,62 @@ object Streams {
     new java.util.concurrent.atomic.AtomicReference[Vector[(Int, Int)]](
       Vector.empty)
 
+  /** Warehouse path of the LAST [[streamIngestOf]] run — CrashRecoverySpec
+    * audits the commit chain through it (composite-commit atomicity and
+    * the replay-skip watermark). */
+  private[graft] val s24LastWarehouse =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   private[graft] def streamIngestOf(s: SparkSession,
       docs: DataFrame): DataFrame = {
     import graft.ext.TextOps
     import graft.functions.Md5Hex.graft_md5
     val base = java.nio.file.Files.createTempDirectory("graft_s24")
     val store = new graft.psn.TableStore(s, base.resolve("wh").toString)
+    s24LastWarehouse.set(base.resolve("wh").toString)
     s24ProbeWitness.set(Vector.empty)
     val pbktOf = pmod(hash(col("th")), lit(IngestBuckets))
     val bbktOf = pmod(hash(col("band"), col("bkt")), lit(IngestBuckets))
     def bandsOf(df: DataFrame) = (0 until 2).map(i =>
       df.select(col("doc_id"), lit(i).as("band"),
         col(s"band$i").as("bkt"))).reduce(_ unionByName _)
-    // Seed: the corpus index, split into the two probe layouts, each
-    // hive-bucketed on ITS probe key — one layout cannot serve both an
-    // exact-hash probe and a band-bucket probe prunedly.
-    // One file per bucket (repartition ON the bucket column): the
-    // hard-link commits and probe listings are O(buckets + appends),
-    // never O(shuffle-partitions × buckets) small-file spray. Each
-    // layout seeds from ONLY its own pass — md5 for the exact probe,
-    // the shingle/minhash signature for the band probe — so the corpus
-    // pays the (expensive) shingle pass exactly once.
+    // ONE store table, THREE row families told apart by the partition
+    // value `sbkt` — exact-hash rows in [0, B), band rows in [B, 2B),
+    // the decision log at 2B — so a micro-batch lands decisions AND both
+    // index growths in ONE tagged commit (round 13 made three: the
+    // dominant fixed cost of the suite's slowest family, and a crash
+    // window between the appends that replay had to repair). Each probe
+    // still prunes to ITS bucket range; the row families never share a
+    // partition directory, so neither probe ever lists the other's files.
+    val DecPart = 2 * IngestBuckets
+    def exactRows(df: DataFrame) = df
+      .select(col("doc_id"), col("th"),
+        lit(null).cast("int").as("band"), lit(null).cast("string").as("bkt"),
+        lit(null).cast("string").as("decision"), pbktOf.cast("int").as("sbkt"))
+    def bandRows(df: DataFrame) = bandsOf(df)
+      .select(col("doc_id"), lit(null).cast("string").as("th"),
+        col("band").cast("int").as("band"),
+        col("bkt").cast("string").as("bkt"),
+        lit(null).cast("string").as("decision"),
+        (bbktOf + IngestBuckets).cast("int").as("sbkt"))
+    def decisionRows(df: DataFrame) = df
+      .select(col("doc_id"), lit(null).cast("string").as("th"),
+        lit(null).cast("int").as("band"), lit(null).cast("string").as("bkt"),
+        col("decision"), lit(DecPart).as("sbkt"))
+    // Seed: the corpus index in both probe layouts, one commit. One file
+    // per bucket (repartition ON the bucket column): the hard-link
+    // commits and probe listings are O(buckets + appends), never
+    // O(shuffle-partitions × buckets) small-file spray. Each layout
+    // seeds from ONLY its own pass — md5 for the exact probe, the
+    // shingle/minhash signature for the band probe — so the corpus pays
+    // the (expensive) shingle pass exactly once.
     val corpusDocs = docs.filter(col("doc_id") % 4 =!= 0)
-    store.appendCommitted("ingest_th",
-      corpusDocs.select(col("doc_id"), graft_md5(col("text")).as("th"))
-        .withColumn("pbkt", pbktOf)
-        .repartition(IngestBuckets, col("pbkt")),
-      Some("pbkt"))
-    store.appendCommitted("ingest_bands",
-      bandsOf(TextOps.minhashSigOf(corpusDocs)).withColumn("bbkt", bbktOf)
-        .repartition(IngestBuckets, col("bbkt")), Some("bbkt"))
+    store.appendCommitted("ingest_idx",
+      exactRows(corpusDocs
+          .select(col("doc_id"), graft_md5(col("text")).as("th")))
+        .unionByName(bandRows(TextOps.minhashSigOf(corpusDocs)))
+        .repartition(2 * IngestBuckets, col("sbkt")),
+      Some("sbkt"))
     val incDocs = docs.filter(col("doc_id") % 4 === 0)
     val srcDir = base.resolve("src").toString
     (0 until 4).foreach { c =>
@@ -985,8 +1012,11 @@ object Streams {
               .select(col("doc_id"), graft_md5(col("text")).as("th"))
               .persist()
             try {
-              def replayed(table: String): Boolean =
-                store.txnVersion(table, "s24").exists(_ >= batchId)
+              // ONE commit per batch ⇒ ONE replay check: a batch whose
+              // tagged commit survived a crash is skipped whole — there
+              // is no between-commit state for replay to repair.
+              val replayed =
+                store.txnVersion("ingest_idx", "s24").exists(_ >= batchId)
               val tag = Some(s"s24:$batchId")
               // ONE bounded collect (≤ 2 × IngestBuckets rows, regardless
               // of batch size): both probes' touched-bucket sets in a
@@ -995,23 +1025,14 @@ object Streams {
                 .unionByName(bandsOf(sig)
                   .select(bbktOf.as("b"), lit(1).as("side")))
                 .distinct().collect()
-              if (bkts.nonEmpty) {
-              val decisions = if (replayed("decisions")) {
-                // Recovery replay: the decisions commit survived — take
-                // the COMMITTED rows (doc_ids are batch-unique), never
-                // recompute against an index later commits may have
-                // already grown.
-                store.read("decisions")
-                  .join(inc.select(col("doc_id")), Seq("doc_id"),
-                    "left_semi")
-                  .select(col("doc_id"), col("decision")).persist()
-              } else {
+              if (bkts.nonEmpty && !replayed) {
                 val thB = bkts.filter(_.getInt(1) == 0).map(_.getInt(0)).toSeq
-                val bandB = bkts.filter(_.getInt(1) == 1).map(_.getInt(0)).toSeq
-                val idxTh = store.readPartitions("ingest_th", "pbkt", thB)
+                val bandB = bkts.filter(_.getInt(1) == 1)
+                  .map(r => r.getInt(0) + IngestBuckets).toSeq
+                val idxTh = store.readPartitions("ingest_idx", "sbkt", thB)
                 val exactProbe = store.lastPartitionProbe
                 val idxBands =
-                  store.readPartitions("ingest_bands", "bbkt", bandB)
+                  store.readPartitions("ingest_idx", "sbkt", bandB)
                 s24ProbeWitness.updateAndGet(
                   _ :+ exactProbe :+ store.lastPartitionProbe)
                 val exact = inc
@@ -1030,27 +1051,26 @@ object Streams {
                       .when(col("is_near"), "near")
                       .otherwise("new").as("decision"))
                   .persist()
-                d.count() // pin ONE evaluation across all three commits
-                // decisions is the OUTPUT log, never probed by bucket —
-                // a plain (unpartitioned) tagged commit, one file/batch
-                store.appendCommitted("decisions", d.coalesce(1),
-                  txnTag = tag)
-                d
-              }
-              val acceptedIds = decisions
-                .filter(col("decision") === "new").select(col("doc_id"))
-              if (!replayed("ingest_th"))
-                store.appendCommitted("ingest_th",
-                  inc.join(acceptedIds, Seq("doc_id"), "left_semi")
-                    .withColumn("pbkt", pbktOf).coalesce(1),
-                  Some("pbkt"), tag)
-              if (!replayed("ingest_bands"))
-                store.appendCommitted("ingest_bands",
-                  bandsOf(sig)
-                    .join(acceptedIds, Seq("doc_id"), "left_semi")
-                    .withColumn("bbkt", bbktOf).coalesce(1),
-                  Some("bbkt"), tag)
-              decisions.unpersist(): Unit
+                // materialize d on the PARALLEL path before the commit:
+                // the composite write below runs as one coalesce(1) task,
+                // which must only read the persisted rows — evaluating
+                // the probe joins inside that single task would serialize
+                // the batch's real work onto one core
+                d.count()
+                val acceptedIds = d
+                  .filter(col("decision") === "new").select(col("doc_id"))
+                // THE composite commit: decision log + both index
+                // growths land atomically under one txn tag. coalesce(1)
+                // keeps one file per touched partition dir.
+                store.appendCommitted("ingest_idx",
+                  decisionRows(d)
+                    .unionByName(exactRows(
+                      inc.join(acceptedIds, Seq("doc_id"), "left_semi")))
+                    .unionByName(bandRows(
+                      sig.join(acceptedIds, Seq("doc_id"), "left_semi")))
+                    .coalesce(1),
+                  Some("sbkt"), tag)
+                d.unpersist(): Unit
               }
             } finally { sig.unpersist(); inc.unpersist() }
           }
@@ -1058,7 +1078,9 @@ object Streams {
         .start()
       q.awaitTermination()
     }
-    store.read("decisions").select(col("doc_id"), col("decision"))
+    // the decision log is one partition of the index table — pruned read
+    store.readPartitions("ingest_idx", "sbkt", Seq(DecPart))
+      .select(col("doc_id"), col("decision"))
   }
 
   val s24Oracle: String = {

@@ -98,4 +98,58 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(!left.contains(2), s"orphan v2 must age out of retention: $left")
     assert(contents(store, "t") == Map(1 -> "c"))
   }
+
+  test("s24 composite commit: decisions + index growth land in ONE tagged version; replay watermark skips whole batches") {
+    import spark.implicits._
+    // the growth fixture from StreamsSpec: 4 non-empty batches, batch 0
+    // and batch 3 accept new documents, batch 2 is an exact dup
+    val docs = Seq(
+      (1L, "alpha corpus document body with words"),
+      (0L, "bravo fresh increment text body"),
+      (8L, "bravo fresh increment text body"),
+      (12L, "tango twin text arriving together"),
+      (28L, "tango twin text arriving together"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    graft.streaming.Streams.streamIngestOf(spark, docs).collect()
+    val store = new TableStore(spark,
+      graft.streaming.Streams.s24LastWarehouse.get)
+    // one seed commit + one composite commit per non-empty batch —
+    // round 13 paid three commits per batch (decisions, exact index,
+    // band index) with two crash windows between them
+    // chunk 1 of this fixture is empty (no commit): seed + 3 composite
+    // commits ran; gc retains the recent window — audit what is readable
+    val vs = store.versions("ingest_idx")
+    assert(vs.length >= 2 && vs.max == 4,
+      s"expected 4 commits (seed + 3 composites), retained window: $vs")
+    // the replay watermark is the single guard: any batch id <= 3 skips
+    assert(store.txnVersion("ingest_idx", "s24").contains(3L))
+    // ATOMICITY: in every batch version, the decision rows and the index
+    // rows for that batch's acceptances appear TOGETHER — a version with
+    // decisions but missing index growth would be the old crash window
+    val decPart = 16 // 2 * IngestBuckets
+    def at(v: Int) = store.readVersion("ingest_idx", v)
+    vs.sliding(2).foreach { case Seq(prev, cur) =>
+      val newDec = at(cur).filter(col("sbkt") === decPart)
+        .select("doc_id", "decision").except(
+          at(prev).filter(col("sbkt") === decPart)
+            .select("doc_id", "decision")).collect()
+      val accepted = newDec.filter(_.getString(1) == "new").map(_.getLong(0))
+      val newExact = at(cur)
+        .filter(col("sbkt") < 8 && col("th").isNotNull)
+        .select("doc_id").except(
+          at(prev).filter(col("sbkt") < 8).select("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      assert(newExact.toSeq == accepted.sorted.toSeq,
+        s"v$cur: exact-index growth $newExact != accepted ${accepted.toSeq}")
+      case _ => ()
+    }
+    // the final decision log is complete and correct across the replay
+    // chain (no double-appends, no dropped batch)
+    val dec = store.readPartitions("ingest_idx", "sbkt", Seq(decPart))
+      .select("doc_id", "decision").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(dec == Seq((0L, "new"), (8L, "exact"),
+      (12L, "new"), (28L, "new")))
+  }
 }

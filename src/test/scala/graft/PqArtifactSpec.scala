@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{SimilarityOps, SimilarityOps2}
+
+/** Round-14 top ask (VERDICT r13 "next-1"): the PQ assignment stream is a
+  * STORED artifact — (vec_id, m, cid) codes materialized once per corpus
+  * (the t60 ingest-index discipline) — and the searches/audits that ride
+  * on it (e13/e14/e33) PROBE the store instead of replaying e12's
+  * training/assignment lineage. At 100 TB an index audit must read the
+  * index, not rebuild it.
+  *
+  * The witness is `SimilarityOps.pqEncodePlans`: a counter bumped every
+  * time the full-corpus encode pass is PLANNED (`pqModel`). Building the
+  * artifact plans it exactly once per JVM+corpus; after that, e33 and e13
+  * must leave the counter flat — zero k-means iterations, zero argmin
+  * encode passes.
+  */
+class PqArtifactSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("e33/e13 probe the stored PQ codes: zero encode plans after the artifact exists") {
+    // First touch builds the artifact (this is the index build and MAY
+    // plan the encode pass — force it via the e12 publisher).
+    val codes = SimilarityOps.e12PqEncode(spark, dir).collect()
+    assert(codes.nonEmpty)
+    val after = SimilarityOps.pqEncodePlans.get()
+
+    // The audit reads the stored index: counter must stay flat.
+    val audit = SimilarityOps2.e33PqDistortion(spark, dir).collect()
+    assert(audit.nonEmpty)
+    // every (m, cid) group accounts for >=1 vector and mean <= max
+    audit.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_vecs")) >= 1L)
+      assert(r.getLong(r.fieldIndex("mean_d2_q4")) <=
+        r.getLong(r.fieldIndex("max_d2_q4")))
+    }
+    assert(SimilarityOps.pqEncodePlans.get() == after,
+      "e33 re-planned the PQ encode pass — it must probe the stored codes")
+
+    // ADC search equally rides the store.
+    val search = SimilarityOps.e13PqSearch(spark, dir).collect()
+    assert(search.nonEmpty)
+    assert(SimilarityOps.pqEncodePlans.get() == after,
+      "e13 re-planned the PQ encode pass — it must probe the stored codes")
+  }
+}

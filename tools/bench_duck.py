@@ -18,7 +18,11 @@ Per-query failures (OOM at large scale factors) and wall-clock cap
 breaches are RECORDED, not fatal — the paired artifact must state
 which baseline legs did not finish rather than dying mid-suite.
 DUCK_QUERY_CAP_S (default 900) interrupts a single runaway query;
-DUCK_MEM_LIMIT (e.g. "64GB") bounds the allocator.
+DUCK_MEM_LIMIT (e.g. "64GB") bounds the allocator. DUCK_TMP_DIR points
+spill at a volume with room (DuckDB's default is CWD/.tmp — the r13 10x
+t26 leg died on a full root volume there), and DUCK_TMP_LIMIT caps it
+(SET max_temp_directory_size) so a runaway spill degrades to a recorded
+per-query error instead of filling the disk for every later query.
 """
 import json
 import os
@@ -41,6 +45,13 @@ def main() -> None:
     mem = os.environ.get("DUCK_MEM_LIMIT")
     if mem:
         con.execute(f"SET memory_limit = '{mem}'")
+    tmp = os.environ.get("DUCK_TMP_DIR")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory = '{tmp}'")
+    tmp_cap = os.environ.get("DUCK_TMP_LIMIT")
+    if tmp_cap:
+        con.execute(f"SET max_temp_directory_size = '{tmp_cap}'")
     for f in os.listdir(d):
         if f.endswith(".parquet"):
             con.execute(
