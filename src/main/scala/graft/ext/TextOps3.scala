@@ -862,12 +862,23 @@ object TextOps3 {
         .agg(max(length(col("word"))).as("m")).first().getInt(0)
       (v, m)
     })
-    val words = inst.select(col("word")).distinct()
-    inst.join(tokenizePieces(words, vocabWords, maxLen), "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("pieces")).as("n_pieces"),
-        sum(col("unk")).as("n_unk_chars"))
+    // APPLY is one narrow projection (round 14): the vocabulary rides as
+    // a plan literal into the WpTokenStats kernel — same greedy trie as
+    // tokenizeTrie (parity-spec'd), but per DOCUMENT, with a per-task
+    // word memo. The former distinct→tokenize→join→re-aggregate chain
+    // shipped the corpus token stream through three shuffles to compute
+    // per-document facts; this pays zero exchanges before the sort.
+    // tokenizePieces stays the seam for vocabulary-scale tokenization
+    // (t46/t47 trainers, the trie/fused equality specs); maxLen only
+    // bounds that fused form.
+    val st = graft.functions.WpTokenStats
+      .wp_token_stats(col("text"), vocabWords.toSeq)
+    fanOut(documents(s, dir))
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_words").as("n_words"),
+        col("st.n_pieces").as("n_pieces"),
+        col("st.n_unk").as("n_unk_chars"))
       .select(col("doc_id"), col("n_words"), col("n_pieces"),
         col("n_unk_chars"),
         expr("n_pieces * 1000000 div n_words").as("fertility_ppm"))

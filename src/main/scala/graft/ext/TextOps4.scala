@@ -29,13 +29,9 @@ object TextOps4 {
     * derive them independently. */
   private val FeatDim = 64
 
-  /** Token → bucket via the cross-engine md5-hex-slice recipe (t14). */
-  private def bucket(tok: Column): Column =
-    conv(substring(graft_md5(concat(lit("feat:"), tok)), 1, 8), 16, 10)
-      .cast("long") % FeatDim
-
-  /** Bucket → integer weight in [-500, 500] (Knuth multiplicative mix). */
-  private def weight(b: Column): Column = (b * 2654435761L) % 1001L - 500L
+  // Token → bucket is the cross-engine md5-hex-slice recipe (t14), and
+  // bucket → weight the Knuth multiplicative mix in [-500, 500]; both now
+  // live inside the Md5BucketSum kernel (weights pre-tabulated below).
 
   /** t50: fasttext-style hashed linear quality classifier applied to every
     * document (the CCNet/Gopher-style "score with a tiny linear model,
@@ -58,17 +54,27 @@ object TextOps4 {
   def t50QualityClassifier(s: SparkSession, dir: String): DataFrame =
     scoreOf(documents(s, dir)).sortedWide("doc_id")
 
+  /** The 64 bucket weights as a plan literal: `weight` is a pure function
+    * of the bucket id, so the whole model tabulates up front and the
+    * per-token work collapses to one memoized hash + array index inside
+    * [[graft.functions.Md5BucketSum]] (the learned-model deployment
+    * shape: weights broadcast as a literal, never recomputed per token). */
+  private val FeatWeights: Array[Long] =
+    Array.tabulate(FeatDim)(b => (b.toLong * 2654435761L) % 1001L - 500L)
+
   /** The t50 scorer as a stateless projection over any (doc_id, text)
-    * relation — shared verbatim by the batch gate above and the
-    * streaming twin ([[graft.streaming.Streams.scoredDocuments]]), so
-    * both paths score with the identical expression tree. */
+    * relation — shared verbatim by the batch gate above, t52's bucketing
+    * and the streaming twin ([[graft.streaming.Streams.scoredDocuments]]),
+    * so all paths score with the identical kernel. One codegen'd call per
+    * document ([[graft.functions.Md5BucketSum]]) replaces the interpreted
+    * per-token HOF lambda that dominated t50/t52's wall clock. */
   private[graft] def scoreOf(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     docs
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0L),
-          (acc, t) => acc + weight(bucket(t))).as("score_raw"))
+        graft.functions.Md5BucketSum.graft_md5_bucket_sum(
+          col("text"), "feat:", FeatDim, FeatWeights).as("score_raw"))
       .withColumn("kept", col("score_raw") > 0L)
   }
 
@@ -169,14 +175,13 @@ object TextOps4 {
     * with a broadcast map in a second — same two-scan budget CCNet
     * spends. Exactness wins here because the bucket IS the contract. */
   def t52PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("score_raw").desc, col("doc_id"))
     documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        aggregate(toks, lit(0L),
-          (acc, t) => acc + weight(bucket(t))).as("score_raw"))
+        graft.functions.Md5BucketSum.graft_md5_bucket_sum(
+          col("text"), "feat:", FeatDim, FeatWeights).as("score_raw"))
       .withColumn("bucket3", ntile(3).over(w).cast("long"))
       .withColumn("ppl_bucket",
         when(col("bucket3") === 1L, "head")
@@ -425,14 +430,12 @@ object TextOps4 {
       (0 until DsirDim).foreach { b => if (w(b) == 0L) w(b) = 1000000L }
       (w, 1000000L * tTot / rTot)
     })
-    val wArr = array(weights.toSeq.map(lit(_)): _*)
     val toks = split(col("text"), " ")
     documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0L),
-          (acc, t) => acc + element_at(wArr, (dsirBucket(t) + 1).cast("int")))
-          .as("w_tot"))
+        graft.functions.Md5BucketSum.graft_md5_bucket_sum(
+          col("text"), "dsir:", DsirDim, weights).as("w_tot"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr("w_tot div n_tokens").as("score_ppm"))
       .withColumn("kept", col("score_ppm") > lit(sharePpm))

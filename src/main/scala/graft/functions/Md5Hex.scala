@@ -111,3 +111,93 @@ object Md5Lanes {
   def graft_md5_lanes(c: Column): Column =
     GraftBridge.column(Md5Lanes(GraftBridge.expression(c)))
 }
+
+/** Whole-document hashed-bucket fold in one codegen'd call: split `text`
+  * on single spaces (Spark's `split(text, " ")` semantics — trailing and
+  * doubled separators yield empty tokens, which hash like any other) and
+  * sum `weights[bucket(token)]`, where bucket = the first 8 hex chars of
+  * md5(prefix‖token) as an unsigned int, mod `dim` — the t14/t50 hashing
+  * recipe, bit-identical to the `conv(substring(md5(..),1,8),16,10) % dim`
+  * column chain it replaces.
+  *
+  * Why an expression: the DataFrame spelling is `aggregate(split(..), ..)`
+  * — a higher-order function whose lambda Spark evaluates INTERPRETED,
+  * per token, re-walking a five-node expression tree with UTF8String
+  * allocations at every step (t50/t52/t55's dominant cost; their 10×
+  * growth ratios topped the suite). This kernel is one generated call per
+  * document with a tight JVM loop — and a per-thread token→bucket memo,
+  * because a corpus's token stream is Zipfian: the md5 is paid once per
+  * DISTINCT token per task, not once per occurrence. The memo is bounded
+  * (2^17 entries, insert-only, then pass-through) so a pathological
+  * vocabulary degrades to the uncached cost, never to unbounded memory.
+  * Weights ride along as a plan literal (KB-sized model artifact — the
+  * codebook discipline). */
+case class Md5BucketSum(child: Expression, prefix: String, dim: Int,
+    weights: Array[Long]) extends UnaryExpression {
+  require(weights.length == dim, s"weights.length ${weights.length} != dim $dim")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_md5_bucket_sum"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5BucketSum.fold(input.asInstanceOf[UTF8String], prefix, dim, weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "long[]")
+    val p = ctx.addReferenceObj("prefix", prefix, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5BucketSum.fold($c, $p, $dim, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BucketSum =
+    copy(child = newChild)
+}
+
+object Md5BucketSum {
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val cacheLocal: ThreadLocal[java.util.HashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, java.lang.Long](1 << 12))
+  private val CacheCap = 1 << 17
+
+  /** First 4 md5 bytes of (prefix‖tok) as an unsigned 32-bit value, mod
+    * dim — memoized per thread (bucket depends only on the key, so t50
+    * and t52 share entries; the key carries dim to keep t55's 128-bucket
+    * space distinct). */
+  def bucketOf(prefix: String, tok: String, dim: Int): Long = {
+    val key = dim + ":" + prefix + tok
+    val c = cacheLocal.get()
+    val hit = c.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val md = md5Local.get()
+      md.reset()
+      val d = md.digest((prefix + tok)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % dim
+      if (c.size < CacheCap) c.put(key, java.lang.Long.valueOf(v))
+      v
+    }
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def fold(text: UTF8String, prefix: String, dim: Int,
+      weights: Array[Long]): Long = {
+    val s = text.toString
+    var acc = 0L
+    var start = 0
+    var done = false
+    while (!done) {
+      val idx = s.indexOf(' ', start)
+      val tok = if (idx < 0) s.substring(start) else s.substring(start, idx)
+      acc += weights(bucketOf(prefix, tok, dim).toInt)
+      if (idx < 0) done = true else start = idx + 1
+    }
+    acc
+  }
+
+  def graft_md5_bucket_sum(c: Column, prefix: String, dim: Int,
+      weights: Array[Long]): Column =
+    GraftBridge.column(
+      Md5BucketSum(GraftBridge.expression(c), prefix, dim, weights))
+}

@@ -210,4 +210,29 @@ class TextOps4Spec extends AnyFunSuite {
     val dropEn = dropped.count(_.getString(1) == "en").toDouble / dropped.length
     assert(keptEn > dropEn, f"kept en-share $keptEn%.2f <= dropped $dropEn%.2f")
   }
+
+  test("Md5BucketSum kernel equals the conv(md5)-column chain, edge tokens included") {
+    import spark.implicits._
+    // the round-14 fold kernel must be bit-identical to the spelling it
+    // replaced — including empty tokens from doubled/trailing separators
+    val texts = Seq("hello world", "", " ", "a  b ", "samesame samesame",
+      "une phrase avec des accents éèç", "x")
+    val dims = Seq(("feat:", 64), ("dsir:", 128))
+    dims.foreach { case (prefix, dim) =>
+      val weights = Array.tabulate(dim)(b => (b.toLong * 31L) % 997L - 498L)
+      val wArr = array(weights.toSeq.map(lit(_)): _*)
+      val toks = split(col("t"), " ")
+      val chain = texts.toDF("t").select(
+        aggregate(toks, lit(0L), (acc, tok) => acc + element_at(wArr,
+          ((conv(substring(graft.functions.Md5Hex.graft_md5(
+            concat(lit(prefix), tok)), 1, 8), 16, 10).cast("long") % dim)
+            + 1).cast("int"))).as("s"))
+        .collect().map(_.getLong(0)).toSeq
+      val kernel = texts.toDF("t").select(
+        graft.functions.Md5BucketSum.graft_md5_bucket_sum(
+          col("t"), prefix, dim, weights).as("s"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(kernel == chain, s"$prefix$dim")
+    }
+  }
 }

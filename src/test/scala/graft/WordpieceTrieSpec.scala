@@ -83,4 +83,34 @@ class WordpieceTrieSpec extends AnyFunSuite {
       Seq("abab", "abc").toDF("word"), vocab, maxLen = 4))
     assert(small == Map("abab" -> ((2L, 0L)), "abc" -> ((1L, 1L))))
   }
+
+  test("WpTokenStats kernel equals explode+trie+re-aggregate on the corpus") {
+    import spark.implicits._
+    // t45's round-14 kernel must be the SAME function as the seam it
+    // replaced: per-document stats from the one-projection expression vs
+    // the distinct→tokenizeTrie→join→aggregate chain, same vocab.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vocab = corpusWords.limit(500).as[String].collect().take(10)
+    val st = graft.functions.WpTokenStats
+      .wp_token_stats(col("text"), vocab.toSeq)
+    val kernel = docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"), col("st.n_words"), col("st.n_pieces"),
+        col("st.n_unk"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val inst = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val viaTrie = inst
+      .join(TextOps3.tokenizeTrie(inst.select(col("word")).distinct(),
+        vocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("w"), sum(col("pieces")).as("p"),
+        sum(col("unk")).as("u"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(kernel == viaTrie)
+  }
 }
