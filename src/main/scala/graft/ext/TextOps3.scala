@@ -1348,17 +1348,20 @@ object TextOps3 {
     // every consumer.
     val spans = Artifacts.materialized(s, "substring_spans", dir)(
       spansOf(repsOf(s, dir)))
+    // Dirty ids come straight off the span report (one distinct over
+    // span rows) — round 13 exploded every covered position first and
+    // distinct'd that, paying a position-sized shuffle just to learn
+    // which documents were touched.
+    val scrubIds = spans.select(col("doc_b").as("doc_id")).distinct()
     val covered = spans
       .select(col("doc_b").as("doc_id"),
         explode(sequence(col("b_pos"),
           col("b_pos") + col("span_words") - 1)).as("pos"))
       .distinct()
     // Only span-affected documents pay the word-level rebuild; the
-    // untouched majority passes through verbatim (split/rejoin on a
-    // single-char separator is the identity, empties included, so the
-    // two paths agree on every byte). At 100 TB this is the difference
-    // between exploding the corpus and exploding the offending tail.
-    val scrubIds = covered.select(col("doc_id")).distinct()
+    // untouched majority passes through verbatim. At 100 TB this is the
+    // difference between exploding the corpus and exploding the
+    // offending tail.
     val dirty = reps.join(scrubIds, Seq("doc_id"), "left_semi")
     val words = dirty
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -1377,19 +1380,22 @@ object TextOps3 {
           transform(
             array_sort(collect_list(struct(col("pos"), col("word")))),
             x => x.getField("word"))).as("text_scrubbed"))
-    val dirtyOut = dirty.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_words"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_scrubbed"),
-        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
-    val cleanOut = reps.join(scrubIds, Seq("doc_id"), "left_anti")
+    // ONE assembly pass over the reps (round 13 ran a semi/anti split
+    // plus a union — two extra corpus-keyed stages): dirty docs take the
+    // rebuilt text (empty when fully scrubbed), clean docs pass through.
+    reps
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
-        lit(0L).as("n_scrubbed"),
-        col("text").as("text_scrubbed"))
-    dirtyOut.unionByName(cleanOut).sortedWide("doc_id")
+        col("text"))
+      .join(scrubIds.withColumn("dirty", lit(true)), Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        when(col("dirty"),
+          col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .otherwise(0L).as("n_scrubbed"),
+        when(col("dirty"), coalesce(col("text_scrubbed"), lit("")))
+          .otherwise(col("text")).as("text_scrubbed"))
+      .sortedWide("doc_id")
   }
 
   val t49Oracle: String =
