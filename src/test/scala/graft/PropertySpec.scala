@@ -231,4 +231,59 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs.join(ca, "a").join(cb, "b")
       .filter(col("cl_a") =!= col("cl_b")).count() == 0)
   }
+
+  test("Md5BucketSum == per-token md5 reimplementation for generated texts") {
+    import spark.implicits._
+    // random texts incl. empty tokens, repeats (exercising the memo),
+    // unicode, and pathological space runs — against a from-scratch
+    // driver-side fold (not the kernel's own helpers)
+    val tokGen = Gen.oneOf(
+      Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString),
+      Gen.const(""), Gen.const("éä漢"), Gen.const("the"))
+    val gen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val texts = sample(gen, 80)
+    val dim = 64
+    val weights = Array.tabulate(dim)(b => (b.toLong * 7919L) % 2003L - 1001L)
+    def expected(t: String): Long =
+      t.split(" ", -1).map { tok =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(("p:" + tok).getBytes("UTF-8"))
+        val b = ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % dim).toInt
+        weights(b)
+      }.sum
+    val got = texts.toDF("t")
+      .select(graft.functions.Md5BucketSum
+        .graft_md5_bucket_sum(col("t"), "p:", dim, weights).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == texts.map(expected))
+  }
+
+  test("WpTokenStats conservation laws on generated texts") {
+    import spark.implicits._
+    // every char of every word is consumed exactly once: pieces consume
+    // >= 1 char each, unks exactly 1 — so pieces + unk <= word chars and
+    // pieces*1 + unk == chars when the vocab is single-char only
+    val vocab = Seq("ab", "abc", "z")
+    val wordGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'z', 'q')).map(_.mkString))
+    val gen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = sample(gen, 60)
+    val st = graft.functions.WpTokenStats.wp_token_stats(col("t"), vocab)
+    val rows = texts.toDF("t")
+      .select(length(col("t")).as("len"), st.as("st"))
+      .select(col("len"), col("st.n_words"), col("st.n_pieces"),
+        col("st.n_unk")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      val (words, pieces, unk) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      val wordChars = t.count(_ != ' ').toLong
+      assert(words == t.split(" ", -1).length.toLong, s"'$t' words")
+      // pieces are >=1 char ('z') and <=3 chars; unks are exactly 1 char
+      assert(pieces + unk <= wordChars, s"'$t' over-consumed")
+      assert(pieces * 3 + unk >= wordChars, s"'$t' under-consumed")
+    }
+  }
 }

@@ -829,6 +829,23 @@ class SqlDmlSpec extends AnyFunSuite {
       .toSeq == Seq((1L, 11L)))
   }
 
+  test("TRUNCATE/RENAME refuse read-only and derived state (snapshots, MVs)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("basey", Seq((1L, 5L)).toDF("k", "v"))
+    store.cloneTable("basey", "snapy", None, snapshot = true)
+    // a snapshot refuses every write for life — TRUNCATE and RENAME
+    // both route through the requireWritable funnel
+    intercept[IllegalArgumentException](store.truncate("snapy"))
+    intercept[IllegalArgumentException](store.rename("snapy", "snapz"))
+    store.createMaterializedView("mvy", "basey", Seq("k"),
+      Seq(graft.psn.MvAgg("n", "COUNT", "*")))
+    // derived state: TRUNCATE would corrupt the stored combine; RENAME
+    // of the base would orphan the _mvdef pin
+    intercept[IllegalArgumentException](store.truncate("mvy"))
+    intercept[IllegalArgumentException](store.rename("basey", "basez"))
+  }
+
   test("legacy root-level _snapshot flag still protects upgraded warehouses") {
     import spark.implicits._
     val store = freshStore()
