@@ -183,16 +183,9 @@ object Md5BucketSum {
   /** Static entry point shared by interpreted eval and generated code. */
   def fold(text: UTF8String, prefix: String, dim: Int,
       weights: Array[Long]): Long = {
-    val s = text.toString
     var acc = 0L
-    var start = 0
-    var done = false
-    while (!done) {
-      val idx = s.indexOf(' ', start)
-      val tok = if (idx < 0) s.substring(start) else s.substring(start, idx)
-      acc += weights(bucketOf(prefix, tok, dim).toInt)
-      if (idx < 0) done = true else start = idx + 1
-    }
+    SpaceTokens.foreach(text.toString)(tok =>
+      acc += weights(bucketOf(prefix, tok, dim).toInt))
     acc
   }
 
@@ -200,4 +193,22 @@ object Md5BucketSum {
       weights: Array[Long]): Column =
     GraftBridge.column(
       Md5BucketSum(GraftBridge.expression(c), prefix, dim, weights))
+}
+
+/** ONE copy of the kernels' tokenization contract: iterate the tokens of
+  * `split(text, " ")` with Spark's limit=-1 semantics — every single
+  * space is a separator, so doubled and trailing separators yield empty
+  * tokens, and the empty string yields one empty token. Md5BucketSum and
+  * WpTokenStats both pin cross-engine parity on exactly this behavior;
+  * sharing the loop keeps them from ever diverging. */
+private[functions] object SpaceTokens {
+  def foreach(s: String)(f: String => Unit): Unit = {
+    var start = 0
+    var done = false
+    while (!done) {
+      val idx = s.indexOf(' ', start)
+      f(if (idx < 0) s.substring(start) else s.substring(start, idx))
+      if (idx < 0) done = true else start = idx + 1
+    }
+  }
 }

@@ -47,15 +47,10 @@ case class WpTokenStats(child: Expression, vocab: Seq[String])
     new java.util.HashMap[String, Array[Long]](1 << 12)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
     var nWords = 0L
     var nPieces = 0L
     var nUnk = 0L
-    var start = 0
-    var done = false
-    while (!done) {
-      val idx = s.indexOf(' ', start)
-      val w = if (idx < 0) s.substring(start) else s.substring(start, idx)
+    SpaceTokens.foreach(input.asInstanceOf[UTF8String].toString) { w =>
       nWords += 1L
       var pu = memo.get(w)
       if (pu == null) {
@@ -64,7 +59,6 @@ case class WpTokenStats(child: Expression, vocab: Seq[String])
       }
       nPieces += pu(0)
       nUnk += pu(1)
-      if (idx < 0) done = true else start = idx + 1
     }
     new GenericInternalRow(Array[Any](nWords, nPieces, nUnk))
   }

@@ -583,8 +583,14 @@ object Sql {
         ++ u.whens.flatMap(_.pred).collect {
           case MergePred(false, c, _, _) => c
         })).distinct
+    // marker names live OUTSIDE the "__u_<col>" rename namespace, so a
+    // real column named "pres" cannot collide with them; a column that
+    // matches the marker itself is refused loudly rather than clobbered
+    val (srcMark, tgtMark) = ("__graft_pres_s", "__graft_pres_t")
+    require(!src.columns.exists(_.equalsIgnoreCase(srcMark)),
+      s"MERGE source carries reserved column name $srcMark")
     val renamedSrc = src.select(rhsCols.map(c => col(c).as("__u_" + c))
-      :+ lit(true).as("__u_pres"): _*)
+      :+ lit(true).as(srcMark): _*)
     store.mergeWith(u.target) { cur =>
       def predCol(p: Option[MergePred]): Column = p match {
         case None => lit(true)
@@ -597,8 +603,10 @@ object Sql {
       // any source row, and ANSI/BigQuery route it through the NOT
       // MATCHED BY SOURCE group — keying presence off the (nullable)
       // target key would silently park it in the matched cascade instead
-      val srcM = col("__u_pres").isNotNull
-      val tgtM = col("__t_pres").isNotNull
+      require(!cur.columns.exists(_.equalsIgnoreCase(tgtMark)),
+        s"MERGE target carries reserved column name $tgtMark")
+      val srcM = col(srcMark).isNotNull
+      val tgtM = col(tgtMark).isNotNull
       // first-match-wins: index of the first clause whose predicate
       // holds, -1 when none fires (an unpredicated clause is lit(true),
       // so the reachability rule guarantees nothing after it evaluates)
@@ -645,7 +653,7 @@ object Sql {
           .when(srcM && tgtM, updCase)
           .otherwise(cur(c)).as(c)
       }
-      cur.withColumn("__t_pres", lit(true))
+      cur.withColumn(tgtMark, lit(true))
         .join(renamedSrc, cur(u.targetKey) === col(uKey), "full")
         .filter(keep).select(outCols: _*)
     }
@@ -955,9 +963,13 @@ object Sql {
     // at catalog load. Registration therefore TOLERATES analysis
     // failure — the view is skipped, and a statement that references it
     // fails at its own resolution (unresolved relation naming the view).
+    // Only ANALYSIS failures are tolerated (the broken-definition case);
+    // infrastructure faults — an unreadable sidecar, a runtime error —
+    // stay loud at their cause instead of surfacing later as a
+    // misleading "view not found".
     val registered = logical.filter { v =>
-      scala.util.Try(
-        s.sql(store.viewSql(v)).createOrReplaceTempView(v)).isSuccess
+      try { s.sql(store.viewSql(v)).createOrReplaceTempView(v); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     }
     // body must EXECUTE its statement (not just plan it) before the
     // statement-scoped views drop in the finally.

@@ -486,6 +486,24 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       Files.readString(viewSeqPath(name)).trim.toLong
     else Files.getLastModifiedTime(viewDefPath(name)).toMillis
 
+  /** Every allocated sequence value on disk — INCLUDING orphans whose
+    * `_viewdef` never landed (crash between the sidecar writes): the
+    * allocator must never hand out a number an orphan already holds. */
+  private def allViewSeqs(): Seq[Long] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(d => d.resolve("_viewseq"))
+        .filter(Files.exists(_))
+        .map(p => Files.readString(p).trim.toLong)
+        .toSeq
+      finally s.close()
+    }
+  }
+
   /** CREATE VIEW — a LOGICAL view: the stored artifact is the SQL text
     * itself (BigQuery's standard view), re-planned against the CURRENT
     * state of whatever it references at every query. No rows are
@@ -503,9 +521,12 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     Files.createDirectories(dir(name))
     // allocate the creation-order sequence BEFORE publishing the def (a
     // view must never be visible without its order key); OR REPLACE
-    // keeps the original — replacement must not reorder registration
+    // keeps the original — replacement must not reorder registration.
+    // The max scans EVERY _viewseq sidecar, including orphans from a
+    // crash between the two writes — otherwise the next allocation
+    // would reuse the orphan's number and two views could share one.
     if (!Files.exists(viewSeqPath(name))) {
-      val next = (views().map(viewSeq) :+ 0L).max + 1L
+      val next = (allViewSeqs() :+ 0L).max + 1L
       val seqStaged = dir(name).resolve(s"_viewseq.staged.${System.nanoTime}")
       Files.writeString(seqStaged, next.toString)
       Files.move(seqStaged, viewSeqPath(name), StandardCopyOption.ATOMIC_MOVE,
@@ -543,15 +564,19 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     }
   }
 
-  /** Logical views whose stored SQL references `table` by name (word
-    * boundary, case-insensitive — view definitions in this store resolve
-    * bare table names, so a textual identifier hit IS a reference; the
-    * over-approximation of a quoted literal collision is acceptable for
-    * a drop guard that errs loud). Bounded by view COUNT — one sidecar
-    * read per view, never data-sized. */
+  /** Logical views whose stored SQL references `table` in RELATION
+    * position — the name following a FROM or JOIN keyword (view
+    * definitions in this store resolve bare table names). Matching only
+    * relation position keeps a view that merely ALIASES a column to the
+    * table's name (`SELECT x AS status …` vs table `status`) from
+    * blocking that table's DROP/RENAME. A reference this regex misses
+    * (an exotic clause shape) degrades safely: the view breaks at its
+    * next USE — loudly, via the tolerant-registration contract — never
+    * silently. Bounded by view COUNT — one sidecar read per view. */
   def viewsReferencing(table: String): Seq[String] = {
     val pat = java.util.regex.Pattern.compile(
-      "\\b" + java.util.regex.Pattern.quote(table) + "\\b",
+      "\\b(?:FROM|JOIN)\\s+`?" + java.util.regex.Pattern.quote(table) +
+        "\\b",
       java.util.regex.Pattern.CASE_INSENSITIVE)
     views().filter(v => v != table && pat.matcher(viewSql(v)).find())
   }
@@ -2387,11 +2412,13 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * MV, or a crashed writer's claim debris). One atomic rename, zero
     * data moved — the contract a 100 TB table requires. */
   def rename(table: String, to: String): Unit = {
-    require(exists(table), s"RENAME $table: table does not exist")
+    // view check FIRST: a view has no versions, so the existence check
+    // would otherwise shadow this message with "table does not exist"
     require(!isView(table),
       s"cannot RENAME '$table': it is a logical view")
+    require(exists(table), s"RENAME $table: table does not exist")
     requireNotMv(table, "RENAME")
-    requireWritable(table)
+    requireWritable(table) // snapshots refuse namespace writes too
     val mvDeps = tables().filter(t => t != table &&
       isMaterializedView(t) && readMvDef(t).base == table)
     require(mvDeps.isEmpty,
