@@ -605,6 +605,13 @@ object Sql {
       // target key would silently park it in the matched cascade instead
       require(!cur.columns.exists(_.equalsIgnoreCase(tgtMark)),
         s"MERGE target carries reserved column name $tgtMark")
+      // the SOURCE marker must be absent from the target too: the
+      // full-outer join carries target columns unrenamed, so a target
+      // column named like srcMark would make col(srcMark) ambiguous —
+      // refuse loudly instead of dying in analysis (src carrying
+      // tgtMark is harmless: source columns are renamed to __u_*)
+      require(!cur.columns.exists(_.equalsIgnoreCase(srcMark)),
+        s"MERGE target carries reserved column name $srcMark")
       val srcM = col(srcMark).isNotNull
       val tgtM = col(tgtMark).isNotNull
       // first-match-wins: index of the first clause whose predicate

@@ -486,6 +486,37 @@ final class TableStore(spark: SparkSession, warehouse: String) {
       Files.readString(viewSeqPath(name)).trim.toLong
     else Files.getLastModifiedTime(viewDefPath(name)).toMillis
 
+  /** Allocate a fresh, never-published `_viewseq` number — safe under
+    * CONCURRENT allocators, same-JVM or across processes sharing the
+    * warehouse. Each candidate is claimed by atomically creating a
+    * sentinel named for it under `_viewseq_claims/`; `Files.createFile`
+    * fails if any other allocator already owns the number, and the
+    * loser retries with the next. Claim files are permanent allocation
+    * records (one empty file per view ever created), so a crash between
+    * claim and sidecar publish can never lead to a reused value — the
+    * read-max-then-write race the bare scan had is closed by the claim,
+    * the JVM lock just keeps same-process allocators from spinning. */
+  private val viewSeqLock = new Object
+  private def claimViewSeq(): Long = viewSeqLock.synchronized {
+    val claims = Paths.get(warehouse).resolve("_viewseq_claims")
+    Files.createDirectories(claims)
+    val claimed = {
+      val s = Files.list(claims)
+      try s.iterator().asScala.flatMap(p =>
+        scala.util.Try(p.getFileName.toString.toLong).toOption).toSeq
+      finally s.close()
+    }
+    var next = ((allViewSeqs() ++ claimed) :+ 0L).max + 1L
+    var won = false
+    while (!won) {
+      try { Files.createFile(claims.resolve(next.toString)); won = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1L
+      }
+    }
+    next
+  }
+
   /** Every allocated sequence value on disk — INCLUDING orphans whose
     * `_viewdef` never landed (crash between the sidecar writes): the
     * allocator must never hand out a number an orphan already holds. */
@@ -526,7 +557,7 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     // crash between the two writes — otherwise the next allocation
     // would reuse the orphan's number and two views could share one.
     if (!Files.exists(viewSeqPath(name))) {
-      val next = (allViewSeqs() :+ 0L).max + 1L
+      val next = claimViewSeq()
       val seqStaged = dir(name).resolve(s"_viewseq.staged.${System.nanoTime}")
       Files.writeString(seqStaged, next.toString)
       Files.move(seqStaged, viewSeqPath(name), StandardCopyOption.ATOMIC_MOVE,
@@ -565,18 +596,23 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   }
 
   /** Logical views whose stored SQL references `table` in RELATION
-    * position — the name following a FROM or JOIN keyword (view
-    * definitions in this store resolve bare table names). Matching only
-    * relation position keeps a view that merely ALIASES a column to the
-    * table's name (`SELECT x AS status …` vs table `status`) from
-    * blocking that table's DROP/RENAME. A reference this regex misses
-    * (an exotic clause shape) degrades safely: the view breaks at its
-    * next USE — loudly, via the tolerant-registration contract — never
-    * silently. Bounded by view COUNT — one sidecar read per view. */
+    * position — the name following a FROM or JOIN keyword, or following
+    * a top-level comma INSIDE a FROM list (`FROM a, b` — the second
+    * relation of a comma join). The comma branch is tempered: it only
+    * fires when an unparenthesized FROM precedes the comma with no
+    * clause keyword (WHERE/GROUP/ORDER/…) in between, so a column named
+    * like the table in a SELECT or ORDER BY list never blocks a
+    * DROP/RENAME. A reference this regex misses (an exotic clause
+    * shape) degrades safely: the view breaks at its next USE — loudly,
+    * via the tolerant-registration contract — never silently. Bounded
+    * by view COUNT — one sidecar read per view. */
   def viewsReferencing(table: String): Seq[String] = {
+    val q = java.util.regex.Pattern.quote(table)
     val pat = java.util.regex.Pattern.compile(
-      "\\b(?:FROM|JOIN)\\s+`?" + java.util.regex.Pattern.quote(table) +
-        "\\b",
+      "\\b(?:FROM|JOIN)\\s+`?" + q + "\\b" +
+        // comma join: FROM <stuff without ; ( ) or a clause keyword> , name
+        "|\\bFROM\\b(?:(?!\\b(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|" +
+        "SELECT|UNION|INTERSECT|EXCEPT)\\b)[^;()])*,\\s*`?" + q + "\\b",
       java.util.regex.Pattern.CASE_INSENSITIVE)
     views().filter(v => v != table && pat.matcher(viewSql(v)).find())
   }
@@ -2419,6 +2455,10 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     require(exists(table), s"RENAME $table: table does not exist")
     requireNotMv(table, "RENAME")
     requireWritable(table) // snapshots refuse namespace writes too
+    // a live change-feed consumer holds the ABSOLUTE _feed path; the
+    // atomic directory move would strand it mid-stream (the same reason
+    // truncate/restore/deleteRows refuse feed-enabled tables)
+    requireNoFeed(table, "RENAME")
     val mvDeps = tables().filter(t => t != table &&
       isMaterializedView(t) && readMvDef(t).base == table)
     require(mvDeps.isEmpty,

@@ -860,4 +860,65 @@ class SqlDmlSpec extends AnyFunSuite {
       store.append("oldsnap", Seq((2L, "b")).toDF("k", "v"))
     }
   }
+
+  test("MERGE refuses a TARGET carrying either reserved presence marker") {
+    import spark.implicits._
+    val store = freshStore()
+    // srcMark on the target would otherwise duplicate the column through
+    // the full-outer join and die as an ambiguous-reference
+    // AnalysisException — the guard must fire first, loudly
+    store.overwrite("mkt",
+      Seq((1L, true)).toDF("k", "__graft_pres_s"))
+    Seq((1L, 2L)).toDF("k", "v").createOrReplaceTempView("mkt_src")
+    val e = intercept[IllegalArgumentException](Sql.runMerge(spark, store,
+      "MERGE INTO mkt t USING mkt_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE"))
+    assert(e.getMessage.contains("__graft_pres_s"))
+  }
+
+  test("RENAME refuses a feed-enabled table (live consumers hold the absolute _feed path)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("fedt", Seq((1L, "a")).toDF("k", "v"))
+    store.enableFeed("fedt")
+    val e = intercept[IllegalArgumentException](store.rename("fedt", "fedu"))
+    assert(e.getMessage.toLowerCase.contains("feed"))
+  }
+
+  test("viewsReferencing sees comma-join relations; column lists never block") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("cj_a", Seq((1L, 2L)).toDF("k", "v"))
+    store.overwrite("cj_b", Seq((1L, 3L)).toDF("k", "w"))
+    store.overwrite("status", Seq((1L, 4L)).toDF("k", "x"))
+    store.createView("cj_v",
+      "SELECT cj_a.k FROM cj_a, cj_b WHERE cj_a.k = cj_b.k")
+    // the second relation of a comma join is a reference
+    assert(store.viewsReferencing("cj_b") == Seq("cj_v"))
+    // a column named like a table — in SELECT or ORDER BY lists — is not
+    store.createView("col_v",
+      "SELECT k, status FROM cj_a ORDER BY v, status")
+    assert(store.viewsReferencing("status").isEmpty)
+    intercept[IllegalArgumentException](store.rename("cj_b", "cj_b2"))
+  }
+
+  test("concurrent CREATE VIEW allocates distinct _viewseq values (createFile claims)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("seqbase", Seq((1L, 2L)).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            store.createView(s"cv_$i", "SELECT k FROM seqbase")
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    // registration order must be a strict total order: 16 distinct views
+    // in a deterministic sequence, no duplicate keys
+    val ordered = store.views().filter(_.startsWith("cv_"))
+    assert(ordered.length == 16 && ordered.distinct.length == 16)
+  }
 }
