@@ -1,49 +1,133 @@
 package graft.ext
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Once-per-(artifact, corpus) materialization to scratch parquet — the
-  * suite-level twin of the pay-at-ingest layouts in [[graft.ops.Bucketed]].
+import graft.psn.TableStore
+
+/** STORE-RESIDENT materialization of per-corpus index artifacts — the
+  * durable twin of the pay-at-ingest layouts in [[graft.ops.Bucketed]].
   *
-  * The similarity family's capped posting / canonical-representative state
-  * is a pure function of the corpus, yet every query that needs it (t23,
-  * t26, t27, t40) rebuilt it from scratch: the build is most of each
-  * query's cost, and a production pipeline would compute it once and keep
-  * it next to the corpus. Materializing to a file survives the
-  * catalog-cache clears Bench isolates queries with (a `persist` would
-  * not), the first build still pays full price, and subsequent queries
-  * measure what they are actually about — the probe/expand stage.
+  * The similarity family's derived state (PQ codes, capped posting
+  * lists, canonical-representative maps, kNN edges, …) is a pure
+  * function of the corpus. Through round 13 every consuming query
+  * rebuilt it; round 14 memoized it to per-JVM tmpdir scratch; this
+  * round promotes it to COMMITTED TABLES in a versioned
+  * [[graft.psn.TableStore]] — the t60 ingest-index discipline — so a
+  * cold JVM probes the stored artifact instead of silently retraining
+  * k-means / re-deriving posting state from 100 TB of corpus.
   *
-  * Scratch paths are scoped by a hash of the source dir (two JVMs
-  * benching different corpora never collide) and writes are synchronized
-  * per key within the JVM (the Bucketed discipline). Reuse across JVMs is
-  * deliberately NOT attempted: a half-written artifact from a dead run
-  * must never be trusted, so the memo is process-local and the write is
-  * re-done per JVM.
+  * Layout: one store warehouse per corpus directory
+  * (`<indexRoot>/<murmur(dir)>`), one table per artifact name. The
+  * store's CAS commit protocol supplies crash safety: a half-written
+  * build from a dead run is an unpublished claim directory — invisible
+  * to readers, swept by a later commit — never trusted data. The root
+  * is `spark.graft.indexDir` (conf) / `SPARK_GRAFT_INDEX_DIR` (env),
+  * defaulting to tmpdir.
+  *
+  * Staleness contract (the dir-corpus side of REFRESH INDEX semantics):
+  * each committed artifact carries a `_corpusfp.<version>` sidecar
+  * fingerprinting the corpus files (relpath, size, mtime). A reader
+  * that finds a fingerprint mismatch — the corpus was regenerated —
+  * REBUILDS rather than serving stale candidates; an auto-refresh,
+  * because a parquet corpus dir has no committed version to refuse
+  * against. (Store TABLES get the refuse-loudly variant through
+  * `CREATE INDEX` / `REFRESH INDEX`, [[graft.ops.Indexes]].) The
+  * fingerprint is checked once per (artifact, corpus) per JVM — the
+  * in-process memo assumes the corpus dir immutable within a process,
+  * exactly as round 14 did.
+  *
+  * `build` must be a DETERMINISTIC pure function of the corpus (seeded
+  * k-means, content hashes — every consumer is hash-gated against its
+  * oracle, which already enforces this), so a cold-JVM reuse is
+  * bit-compatible with a rebuild.
   */
-private[ext] object Artifacts {
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+private[graft] object Artifacts {
+  /** Builds actually executed by this JVM — the test witness that a
+    * warm store serves probes with ZERO rebuilds. */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** key -> (warehouse, table) of a verified-fresh artifact. */
+  private val fresh =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Drop the in-process memo — simulates a cold JVM for specs. */
+  private[graft] def dropMemoForTest(): Unit = fresh.clear()
+
+  private def indexRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.indexDir")
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_DIR"))
+      .getOrElse(new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_indexes").getAbsolutePath)
+
+  /** Fingerprint of every regular file under the corpus dir:
+    * (relative path, size, mtime-millis), order-independent hash. Cheap
+    * — a corpus is O(tables × files) directory entries, no data read. */
+  private def fingerprint(dir: String): String = {
+    val root = Paths.get(dir)
+    val entries =
+      if (!Files.isDirectory(root)) Seq.empty[String]
+      else {
+        val s = Files.walk(root)
+        try s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => root.relativize(p).toString + ":" + Files.size(p) +
+            ":" + Files.getLastModifiedTime(p).toMillis)
+          .toSeq.sorted
+        finally s.close()
+      }
+    Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(entries))
+  }
+
+  private def fpPath(wh: String, table: String, v: Int) =
+    Paths.get(wh, table, s"_corpusfp.$v")
+
   /** Return a scan of the `name` artifact for corpus `dir`, building and
-    * writing it (once per JVM) on first use. `build` must be a pure
-    * function of the corpus — the memo assumes identical rebuilds. */
+    * COMMITTING it to the artifact store only when no fresh committed
+    * copy exists (first touch ever, or the corpus fingerprint moved). */
   def materialized(s: SparkSession, name: String, dir: String)(
       build: => DataFrame): DataFrame = {
     val key = name + ":" + dir
     val lock = locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
-      val cached = built.get(key)
-      val path = if (cached != null) cached else {
-        val tag = Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(dir))
-        val p = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_artifacts/${name}_$tag").getAbsolutePath
-        build.write.mode("overwrite").parquet(p)
-        built.put(key, p)
-        p
-      }
-      s.read.parquet(path)
+      val cached = fresh.get(key)
+      val (wh, table) =
+        if (cached != null) cached
+        else {
+          val tag = Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(dir))
+          val w = new java.io.File(indexRoot(s), tag).getAbsolutePath
+          val store = new TableStore(s, w)
+          val fp = fingerprint(dir)
+          val isFresh = store.exists(name) && {
+            val head = store.versions(name).max
+            val p = fpPath(w, name, head)
+            Files.exists(p) && Files.readString(p).trim == fp
+          }
+          if (!isFresh) {
+            buildCount.incrementAndGet()
+            store.overwrite(name, build)
+            // fingerprint sidecar published AFTER the data commit, named
+            // for the version it describes: a crash in between leaves a
+            // committed-but-unstamped head, which reads as stale and
+            // rebuilds — safe-degrade, never stale-serve
+            val head = store.versions(name).max
+            val staged = Paths.get(w, name,
+              s"_corpusfp.staged.${System.nanoTime}")
+            Files.writeString(staged, fp)
+            Files.move(staged, fpPath(w, name, head),
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+          fresh.put(key, (w, name))
+          (w, name)
+        }
+      new TableStore(s, wh).read(table)
     }
   }
 }

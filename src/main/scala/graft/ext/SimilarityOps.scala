@@ -343,7 +343,7 @@ object SimilarityOps {
     // aggregates run in place — zero exchanges where the uncached chain
     // paid one per pass. Lazy persist: the first round's single
     // broadcast (c0) materializes it, no concurrent-consumer race.
-    val trained = localizedCached(s, s"ivf:$dir", {
+    val trained = localizedCached(s, "ivf", dir, {
       val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .persist()
@@ -833,7 +833,7 @@ object SimilarityOps {
     * re-planning the Lloyd lineage (JobProbe showed the lineage-walking
     * AQE stage-jobs, not compute, dominate). */
   private[ext] def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    localizedCached(s, s"pq:$dir", {
+    localizedCached(s, "pq", dir, {
       val subs = pqSubvectors(s, dir)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .persist()
@@ -882,18 +882,25 @@ object SimilarityOps {
     String, (Array[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType)]()
 
-  /** [[localized]] with a per-(artifact, source dir) memo. A trained
-    * codebook or eval fixture is an ARTIFACT: built once per corpus,
-    * probed by every query — recomputing it inside each query billed the
-    * index BUILD to every SEARCH (e07 re-trained e06's IVF; e13/e14
-    * re-trained PQ and re-ran e02's brute force). The memo lives on the
-    * driver — where codebook-sized models belong at any corpus size — so
-    * it survives the catalog cache clears Bench isolates queries with,
-    * and the first query per corpus still pays the whole build. */
+  /** Drop the driver-side model memo — with [[Artifacts.dropMemoForTest]]
+    * this simulates a COLD JVM against a warm artifact store. */
+  private[graft] def dropModelMemoForTest(): Unit = modelCache.clear()
+
+  /** [[localized]] with a per-(artifact, source dir) memo, DURABLY
+    * backed by the artifact store. A trained codebook or eval fixture is
+    * an ARTIFACT: built once per corpus, probed by every query —
+    * recomputing it inside each query billed the index BUILD to every
+    * SEARCH (e07 re-trained e06's IVF; e13/e14 re-trained PQ and re-ran
+    * e02's brute force). The driver memo survives the catalog cache
+    * clears Bench isolates queries with; the store commit behind it
+    * ([[Artifacts.materialized]], round 15) makes the model survive the
+    * JVM — a cold process loads K×M committed rows instead of re-running
+    * Lloyd rounds over the corpus. */
   private def localizedCached(
-      s: SparkSession, key: String, build: => DataFrame): DataFrame = {
-    val (rows, schema) = modelCache.computeIfAbsent(key, _ => {
-      val df = build
+      s: SparkSession, name: String, dir: String,
+      build: => DataFrame): DataFrame = {
+    val (rows, schema) = modelCache.computeIfAbsent(s"$name:$dir", _ => {
+      val df = Artifacts.materialized(s, s"model_$name", dir)(build)
       (df.collect(), df.schema)
     })
     import scala.jdk.CollectionConverters._
@@ -905,7 +912,7 @@ object SimilarityOps {
     * ground truth IS a precomputed eval table — an inline brute-force
     * pass per ANN query would dwarf the query being evaluated. */
   private[ext] def groundTruthTopK(s: SparkSession, dir: String): DataFrame =
-    localizedCached(s, s"gt:$dir",
+    localizedCached(s, "gt", dir,
       e02CosineTopK(s, dir).select(col("qid"), col("cid")))
 
   /** The shared CTE chain for the PQ oracle (subspace split → seeds → two
@@ -1611,7 +1618,7 @@ object SimilarityOps {
     * projection of the artifact, never a re-assignment of the base. */
   def e37IvfIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Out._
-    val frozen = localizedCached(s, s"ivf_base2:$dir", {
+    val frozen = localizedCached(s, "ivf_base2", dir, {
       val base = embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") % 5 =!= 0)
