@@ -1575,6 +1575,37 @@ object Sql {
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?([\w.-]+)`?\s*;?\s*""".r
   private val DropViewStmt =
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?`?([\w.-]+)`?\s*;?\s*""".r
+  private val DropIndexStmt =
+    """(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*""".r
+
+  private val CreateIndexStmt = (
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?INDEX\s+`?(\w+)`?\s+ON\s+""" +
+    """`?([\w.-]+)`?\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+USING\s+(\w+)""" +
+    """\s*;?\s*""").r
+  private val RefreshIndexStmt =
+    """(?is)\s*REFRESH\s+INDEX\s+`?(\w+)`?\s*;?\s*""".r
+
+  /** Execute CREATE [OR REPLACE] INDEX <i> ON <t> (<key>, <col>) USING
+    * <kind> — build + commit + stamp ([[Indexes.create]]). */
+  def runCreateIndex(s: SparkSession, store: TableStore,
+      sql: String): Unit = sql match {
+    case CreateIndexStmt(orReplace, iname, target, key, column, kind) =>
+      Indexes.create(s, store, iname, baseName(target), key, column,
+        kind, orReplace != null)
+    case _ => throw new IllegalArgumentException(
+      "unsupported DDL: expected CREATE [OR REPLACE] INDEX <i> ON <t> " +
+        "(<key>, <col>) USING <kind>")
+  }
+
+  /** Execute REFRESH INDEX <i> — rebuild from the current base state and
+    * re-stamp ([[Indexes.refresh]]): the explicit heal for the
+    * refuse-stale-probes contract. */
+  def runRefreshIndex(s: SparkSession, store: TableStore,
+      sql: String): Unit = sql match {
+    case RefreshIndexStmt(iname) => Indexes.refresh(s, store, iname)
+    case _ => throw new IllegalArgumentException(
+      "unsupported statement: expected REFRESH INDEX <i>")
+  }
 
   /** Execute DROP TABLE [IF EXISTS] — the reference's nightly job ends by
     * dropping its staging table with `not_found_ok=True`
@@ -1585,14 +1616,19 @@ object Sql {
     case DropViewStmt(ifExists, target) =>
       val name = baseName(target)
       if (ifExists == null || store.isView(name)) store.dropView(name)
+    case DropIndexStmt(ifExists, iname) =>
+      Indexes.drop(store, iname, ifExists != null)
     case DropStmt(ifExists, target) =>
       val name = baseName(target)
       require(ifExists != null || store.exists(name),
         s"DROP TABLE $name: table does not exist in the store " +
           "(use DROP TABLE IF EXISTS for not-found-ok semantics)")
       store.drop(name)
+      // indexes follow their base (BigQuery's search-index contract:
+      // an index cannot outlive its table)
+      Indexes.dropAllOn(store, name)
     case _ => throw new IllegalArgumentException(
-      "unsupported DDL: expected DROP TABLE|VIEW [IF EXISTS] <t>")
+      "unsupported DDL: expected DROP TABLE|VIEW|INDEX [IF EXISTS] <t>")
   }
 
   private val AnalyzeStmt =
@@ -1730,7 +1766,14 @@ object Sql {
       // metadata-only directory move ([[graft.psn.TableStore.rename]]):
       // versions and sidecars travel, so time travel keeps working under
       // the new name; loud when views pin the old name or the new one is
-      // taken — BigQuery's ALTER TABLE RENAME TO
+      // taken — BigQuery's ALTER TABLE RENAME TO. Secondary indexes pin
+      // their base by NAME in `_idxdef` (like MVs in `_mvdef`), so a
+      // rename under them would orphan the stamp — refuse.
+      val pinned = Indexes.indexesOn(store, baseName(target))
+      require(pinned.isEmpty,
+        s"cannot rename '${baseName(target)}': index(es) " +
+          s"${pinned.mkString(", ")} are stamped to it by name " +
+          "(DROP INDEX or REFRESH after re-creating)")
       store.rename(baseName(target), baseName(to))
     case _ => throw new IllegalArgumentException(
       "unsupported DDL: expected ALTER TABLE <t> ADD CONSTRAINT <n> " +
@@ -1769,7 +1812,10 @@ object Sql {
     require(stmts.nonEmpty, "empty statement script")
     stmts.foreach { st =>
       st.split("\\s+", 2).head.toUpperCase match {
-        case "CREATE" => runCtas(s, store, dir, st)
+        case "CREATE" => st match {
+          case CreateIndexStmt(_*) => runCreateIndex(s, store, st)
+          case _ => runCtas(s, store, dir, st): Unit
+        }
         case "INSERT" => runInsert(s, store, dir, st)
         case "UPDATE" => runDml(s, store, st)
         case "MERGE" => runMerge(s, store, st)
@@ -1787,7 +1833,10 @@ object Sql {
         case "RESTORE" => runRestore(store, st)
         case "EXPORT" => runExport(s, store, dir, st)
         case "LOAD" => runLoad(s, store, st)
-        case "REFRESH" => runRefreshMv(store, st)
+        case "REFRESH" => st match {
+          case RefreshIndexStmt(_*) => runRefreshIndex(s, store, st)
+          case _ => runRefreshMv(store, st)
+        }
         case "TRUNCATE" => runTruncate(store, st)
         case verb => throw new IllegalArgumentException(
           s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
@@ -2523,6 +2572,66 @@ object Sql {
       |FROM orders WHERE o_orderkey % 3 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q97: CREATE INDEX / REFRESH INDEX end-to-end — the secondary-index
+    * statement surface ([[Indexes]], r14 verdict next-1): CTAS seeds a
+    * document table, CREATE INDEX commits the HASH index (key + md5 of
+    * the content column) as a versioned store table and stamps the base
+    * state, an INSERT advances the base, the now-STALE index REFUSES its
+    * probe loudly (asserted in-line — the refuse-stale contract, r14
+    * next-8), REFRESH INDEX rebuilds + re-stamps, and the final probe
+    * answers the exact-duplicate-groups question FROM THE INDEX ALONE —
+    * no content rescan. The oracle recomputes the groups declaratively
+    * over the same union, so the hash gate proves build → staleness →
+    * refresh → probe equals the declarative answer.
+    *
+    * Scale shape: the build is one projection scan (codegen'd md5, no
+    * shuffle); the probe scans the INDEX, not the corpus — at 100 TB
+    * that is the entire point of maintaining one. */
+  def q97CreateIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.docs_i` AS
+        |  SELECT doc_id, text FROM documents;
+        |CREATE INDEX docidx ON `graft-project.store.docs_i`
+        |  (doc_id, text) USING HASH;
+        |""".stripMargin)
+    // fresh probe serves; the index covers the full base
+    require(Indexes.probe(s, store, "docidx").count() ==
+      store.read("docs_i").count(), "q97: fresh index must cover the base")
+    runScript(s, store, dir,
+      """INSERT INTO `graft-project.store.docs_i` (doc_id, text)
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 37 = 0;
+        |""".stripMargin)
+    val refused =
+      try { Indexes.probe(s, store, "docidx"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("STALE") }
+    require(refused,
+      "q97: a probe of an index whose base advanced must refuse loudly")
+    runScript(s, store, dir, "REFRESH INDEX docidx;")
+    Indexes.probe(s, store, "docidx")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("k"))
+      .filter(col("n") > 1)
+      .sortedWide("h")
+  }
+
+  val q97Oracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 37 = 0
+      |)
+      |SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n,
+      |  min(doc_id) AS k
+      |FROM all_docs GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY h""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
@@ -2544,5 +2653,6 @@ object Sql {
     graft.Q("q92_sql_guarded_update", q92SqlGuardedUpdate, Some(q92Oracle)),
     graft.Q("q93_sql_view", q93SqlView, Some(q93Oracle)),
     graft.Q("q95_sql_truncate", q95SqlTruncate, Some(q95Oracle)),
-    graft.Q("q96_sql_rename", q96SqlRename, Some(q96Oracle)))
+    graft.Q("q96_sql_rename", q96SqlRename, Some(q96Oracle)),
+    graft.Q("q97_create_index", q97CreateIndex, Some(q97Oracle)))
 }

@@ -79,6 +79,10 @@ final case class MvAgg(out: String, func: String, in: String)
 final class TableStore(spark: SparkSession, warehouse: String) {
 
   private def dir(table: String): Path = Paths.get(warehouse, table)
+
+  /** The warehouse root — the seam secondary-index metadata
+    * ([[graft.ops.Indexes]]) keys its sidecars off. */
+  private[graft] def warehouseDir: String = warehouse
   private def pointer(table: String): Path = dir(table).resolve("_current")
 
   private val MarkerName = "_commit\\.(\\d+)".r
