@@ -348,6 +348,16 @@ object Sql {
     val u = parseUpdateFrom(sql)
     val src0 =
       if (store.exists(u.source)) store.read(u.source) else s.table(u.source)
+    store.mergeWith(u.target)(updateFromPlan(u, src0))
+  }
+
+  /** The UPDATE-FROM rewrite as a pure current→next transform — shared
+    * by the committing path ([[runDml]] via mergeWith) and the
+    * transactional overlay ([[runTransaction]]), so both execute the
+    * IDENTICAL plan. Source-key uniqueness validates eagerly here
+    * (bounded LIMIT-1 probe), once per statement. */
+  private def updateFromPlan(u: UpdateFrom,
+      src0: DataFrame): DataFrame => DataFrame = {
     // Source-side WHERE residuals pre-filter the source — same result as
     // post-join evaluation (they reference only source columns), pruned
     // before the shuffle instead of after.
@@ -364,7 +374,7 @@ object Sql {
     val rhsCols =
       (u.sourceKey +: u.sets.flatMap(_._2.srcCols)).distinct
     val renamedSrc = src.select(rhsCols.map(c => col(c).as("__u_" + c)): _*)
-    store.mergeWith(u.target) { cur =>
+    (cur: DataFrame) => {
       // Target-side residuals gate WHICH matched rows update (BigQuery's
       // UPDATE-FROM WHERE semantics: a join-matched row failing them is
       // left untouched, never deleted).
@@ -564,6 +574,14 @@ object Sql {
     val u = parseMergeInto(sql)
     val src =
       if (store.exists(u.source)) store.read(u.source) else s.table(u.source)
+    store.mergeWith(u.target)(mergeIntoPlan(u, src))
+  }
+
+  /** The MERGE rewrite as a pure current→next transform — shared by the
+    * committing path and the transactional overlay, identical plan both
+    * ways. Source-key uniqueness/nullability validates eagerly here. */
+  private def mergeIntoPlan(u: MergeInto,
+      src: DataFrame): DataFrame => DataFrame = {
     val bad = src.groupBy(col(u.sourceKey)).count()
       .filter(col("count") > 1 || col(u.sourceKey).isNull).limit(1).collect()
     require(bad.isEmpty,
@@ -591,7 +609,7 @@ object Sql {
       s"MERGE source carries reserved column name $srcMark")
     val renamedSrc = src.select(rhsCols.map(c => col(c).as("__u_" + c))
       :+ lit(true).as(srcMark): _*)
-    store.mergeWith(u.target) { cur =>
+    (cur: DataFrame) => {
       def predCol(p: Option[MergePred]): Column = p match {
         case None => lit(true)
         case Some(mp) =>
@@ -855,12 +873,17 @@ object Sql {
     val d = parseDeleteIn(sql)
     val src =
       if (store.exists(d.source)) store.read(d.source) else s.table(d.source)
+    store.mergeWith(d.target)(deleteInPlan(d, src))
+  }
+
+  /** The DELETE-IN anti-join as a pure current→next transform — shared
+    * by the committing path and the transactional overlay. */
+  private def deleteInPlan(d: DeleteIn,
+      src: DataFrame): DataFrame => DataFrame = {
     val keys = src.select(col(d.sourceKey).as("__d_key"))
       .filter(col("__d_key").isNotNull).distinct()
-    store.mergeWith(d.target) { cur =>
-      cur.join(broadcast(keys), cur(d.targetKey) === col("__d_key"),
-        "left_anti")
-    }
+    cur => cur.join(broadcast(keys), cur(d.targetKey) === col("__d_key"),
+      "left_anti")
   }
 
   private val DeleteWhereStmt =
@@ -1095,9 +1118,20 @@ object Sql {
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+`?([\w.-]+)`?\s+AS\s+""" +
     """(.+?)\s*;?\s*""").r
 
+  private val CreateLikeStmt = (
+    """(?is)\s*CREATE\s+TABLE\s+`?([\w.-]+)`?\s+LIKE\s+""" +
+    """`?([\w.-]+)`?\s*;?\s*""").r
+
   def runCtas(s: SparkSession, store: TableStore, dir: String,
       sql: String): String = sql match {
     case CloneStmt(_*) => runClone(store, sql)
+    case CreateLikeStmt(target, source) =>
+      // BigQuery's CREATE TABLE LIKE: a new EMPTY table with the
+      // source's schema — one empty commit, nothing scanned
+      // ([[graft.psn.TableStore.createLike]]); data copies are CLONE
+      val name = baseName(target)
+      store.createLike(baseName(source), name)
+      name
     case CreateMvStmt(_*) => runCreateMv(store, sql)
     case CreateViewStmt(orReplace, target, select) =>
       val name = baseName(target)
@@ -1123,8 +1157,9 @@ object Sql {
       withStatementViews(s, store, dir)(store.overwrite(name, s.sql(select)))
       name
     case _ => throw new IllegalArgumentException(
-      "unsupported DDL: expected CREATE [OR REPLACE] TABLE <t> AS SELECT … " +
-        "or CREATE [SNAPSHOT] TABLE <t> CLONE <src>")
+      "unsupported DDL: expected CREATE [OR REPLACE] TABLE <t> AS SELECT …, " +
+        "CREATE [SNAPSHOT] TABLE <t> CLONE <src>, or " +
+        "CREATE TABLE <t> LIKE <src>")
   }
 
   /** q60: CREATE TABLE AS SELECT end-to-end through the versioned store —
@@ -1213,26 +1248,31 @@ object Sql {
         "(CREATE TABLE … AS SELECT creates it)")
     val tgtSchema = store.read(ins.target).schema
     withStatementViews(s, store, dir) {
-      val sel = s.sql(ins.select)
-      val aligned = ins.cols match {
-        case Some(cs) =>
-          require(cs.length == sel.columns.length,
-            s"INSERT column list (${cs.length}) and SELECT arity " +
-              s"(${sel.columns.length}) must align")
-          val unknown = cs.filterNot(c =>
-            tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
-          require(unknown.isEmpty,
-            s"INSERT column(s) ${unknown.mkString(", ")} not in " +
-              s"${ins.target}")
-          val named = sel.toDF(cs: _*)
-          named.select(tgtSchema.fields.toSeq.map { f =>
-            if (cs.exists(_.equalsIgnoreCase(f.name))) col(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }: _*)
-        case None => sel
-      }
-      store.append(ins.target, aligned)
+      store.append(ins.target, alignedInsert(s.sql(ins.select), tgtSchema, ins))
     }
+  }
+
+  /** Align an INSERT's SELECT result to the target schema (column-list
+    * reorder + null-fill of unnamed columns) — shared by the appending
+    * path and the transactional overlay's union. */
+  private def alignedInsert(sel: DataFrame,
+      tgtSchema: org.apache.spark.sql.types.StructType,
+      ins: InsertInto): DataFrame = ins.cols match {
+    case Some(cs) =>
+      require(cs.length == sel.columns.length,
+        s"INSERT column list (${cs.length}) and SELECT arity " +
+          s"(${sel.columns.length}) must align")
+      val unknown = cs.filterNot(c =>
+        tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(unknown.isEmpty,
+        s"INSERT column(s) ${unknown.mkString(", ")} not in " +
+          s"${ins.target}")
+      val named = sel.toDF(cs: _*)
+      named.select(tgtSchema.fields.toSeq.map { f =>
+        if (cs.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    case None => sel
   }
 
   /** q62: statement-level INSERT INTO … SELECT end-to-end through the
@@ -1739,6 +1779,9 @@ object Sql {
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val AlterRenameStmt =
     """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+RENAME\s+TO\s+`?([\w.-]+)`?\s*;?\s*""".r
+  private val AlterRenameColStmt = (
+    """(?is)\s*ALTER\s+TABLE\s+`?([\w.-]+)`?\s+RENAME\s+COLUMN\s+""" +
+    """(\w+)\s+TO\s+(\w+)\s*;?\s*""").r
 
   /** Execute ALTER TABLE … ADD/DROP CONSTRAINT (the declarative
     * row-invariant surface — BigQuery and ANSI ship exactly these two;
@@ -1762,6 +1805,12 @@ object Sql {
       require(store.dropColumn(baseName(target), column),
         s"ALTER TABLE ${baseName(target)} DROP COLUMN $column lost its " +
           "commit race — rerun")
+    case AlterRenameColStmt(target, from, to) =>
+      // ONE rewrite commit ([[graft.psn.TableStore.renameColumn]] — the
+      // scaladoc there records why this store can't do it metadata-only);
+      // time travel keeps each snapshot's own column name, constraints
+      // pinning the old name refuse
+      store.renameColumn(baseName(target), from, to)
     case AlterRenameStmt(target, to) =>
       // metadata-only directory move ([[graft.psn.TableStore.rename]]):
       // versions and sidecars travel, so time travel keeps working under
@@ -1778,7 +1827,7 @@ object Sql {
     case _ => throw new IllegalArgumentException(
       "unsupported DDL: expected ALTER TABLE <t> ADD CONSTRAINT <n> " +
         "CHECK (<expr>) | DROP CONSTRAINT <n> | ADD COLUMN <c> <type> | " +
-        "DROP COLUMN <c> | RENAME TO <t2>")
+        "DROP COLUMN <c> | RENAME TO <t2> | RENAME COLUMN <c> TO <c2>")
   }
 
   private val TruncateStmt =
@@ -1810,7 +1859,46 @@ object Sql {
       script: String): Int = {
     val stmts = splitScript(script)
     require(stmts.nonEmpty, "empty statement script")
-    stmts.foreach { st =>
+    // heal any transaction a previous process crashed mid-publish —
+    // manifests are roll-forward by construction (see
+    // [[graft.psn.TableStore.recoverTransactions]]); O(1) when none
+    store.recoverTransactions()
+    var i = 0
+    while (i < stmts.length) {
+      val st = stmts(i)
+      if (st.split("\\s+", 2).head.equalsIgnoreCase("BEGIN")) {
+        require(st.matches("(?is)\\s*BEGIN(\\s+TRANSACTION)?\\s*"),
+          s"unsupported statement: expected BEGIN [TRANSACTION], got '$st'")
+        val end = stmts.indexWhere(x => {
+          val v = x.split("\\s+", 2).head.toUpperCase
+          v == "COMMIT" || v == "ROLLBACK"
+        }, i + 1)
+        require(end >= 0, "BEGIN without a matching COMMIT/ROLLBACK")
+        val body = stmts.slice(i + 1, end)
+        require(!body.exists(
+            _.split("\\s+", 2).head.equalsIgnoreCase("BEGIN")),
+          "nested BEGIN is unsupported")
+        val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        try {
+          val writes = buildTransaction(s, store, dir, body, pinned)
+          if (stmts(end).split("\\s+", 2).head.equalsIgnoreCase("COMMIT"))
+            store.commitTransaction(writes)
+          // ROLLBACK: every statement executed and validated against the
+          // overlay, nothing staged, nothing published — zero store trace
+        } finally pinned.foreach(_.unpersist())
+        i = end + 1
+      } else {
+        runStatement(s, store, dir, st)
+        i += 1
+      }
+    }
+    stmts.length
+  }
+
+  /** One non-transactional statement — the per-verb dispatch shared by
+    * [[runScript]]'s sequential path. */
+  private def runStatement(s: SparkSession, store: TableStore, dir: String,
+      st: String): Unit = {
       st.split("\\s+", 2).head.toUpperCase match {
         case "CREATE" => st match {
           case CreateIndexStmt(_*) => runCreateIndex(s, store, st)
@@ -1841,20 +1929,151 @@ object Sql {
         case verb => throw new IllegalArgumentException(
           s"unsupported statement verb '$verb': expected CREATE/INSERT/" +
             "UPDATE/MERGE/DELETE/DROP/ANALYZE/OPTIMIZE/ALTER/VACUUM/" +
-            "RESTORE/EXPORT/LOAD/REFRESH/TRUNCATE")
+            "RESTORE/EXPORT/LOAD/REFRESH/TRUNCATE or a BEGIN … COMMIT " +
+            "block")
       }
-    }
-    stmts.length
   }
 
-  /** q63: the reference's nightly-job shape end-to-end — ONE script
-    * composing every statement verb against one store table, each
-    * statement reading the previous one's committed state: CTAS seeds
+  /** Execute the body of a `BEGIN … COMMIT` block WITHOUT committing:
+    * each statement transforms an in-memory OVERLAY (table → its
+    * would-be next state as a lazy plan) instead of publishing a store
+    * version, reading its predecessors' uncommitted writes through the
+    * overlay — BigQuery's multi-statement transaction semantics. Returns
+    * the overlay as the transaction's write set for
+    * [[graft.psn.TableStore.commitTransaction]].
+    *
+    * Two consequences, both the point:
+    *   - ATOMICITY: a statement failing anywhere here (parse, analysis,
+    *     validation probe) aborts with the store UNTOUCHED — nothing was
+    *     staged, so "mid-script failure rolls back completely" holds by
+    *     construction; crash-during-COMMIT is the manifest's roll-forward.
+    *   - ONE MATERIALIZATION PER TABLE: a script that rewrites one table
+    *     N times pays one write at COMMIT, not N versioned commits (q63:
+    *     8 commits → 4 staged writes).
+    *
+    * Surface: the DATA statements (CREATE TABLE AS / INSERT / UPDATE /
+    * MERGE / DELETE). DDL and maintenance verbs are refused inside a
+    * transaction — they commit per statement outside one (BigQuery
+    * similarly restricts DDL in transactions). DELETE … WHERE takes the
+    * rewrite form here (the overlay IS a rewrite); outside transactions
+    * it stays the deletion-vector commit. */
+  private def buildTransaction(s: SparkSession, store: TableStore,
+      dir: String, stmts: Seq[String],
+      pinned: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : Seq[(String, DataFrame)] = {
+    require(stmts.nonEmpty, "empty transaction block")
+    val overlay = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    def tableExists(t: String) = overlay.contains(t) || store.exists(t)
+    def readT(t: String): DataFrame = overlay.getOrElse(t, {
+      require(store.exists(t),
+        s"table $t does not exist (in the store or this transaction)")
+      store.read(t)
+    })
+    def resolveSrc(t: String): DataFrame = overlay.getOrElse(t,
+      if (store.exists(t)) store.read(t) else s.table(t))
+    stmts.foreach { st =>
+      st.split("\\s+", 2).head.toUpperCase match {
+        case "CREATE" => st match {
+          case CtasStmt(orReplace, target, select) =>
+            val name = baseName(target)
+            require(!store.isView(name),
+              s"CREATE TABLE $name: a logical view already holds the name")
+            require(orReplace != null || !tableExists(name),
+              s"CREATE TABLE $name: table already exists " +
+                "(use CREATE OR REPLACE TABLE)")
+            // a CTAS inside a transaction is a STAGING table by shape
+            // (the staged-upsert script pattern): later statements and
+            // their validation probes read it repeatedly, so pin it for
+            // the transaction's lifetime (memory-and-disk — the
+            // in-memory twin of the parquet materialization the
+            // per-statement path pays) instead of re-deriving it from
+            // the corpus inside every consumer plan
+            val staged = withTxnViews(s, store, dir, overlay)(
+              s.sql(select)).persist()
+            pinned += staged
+            overlay(name) = staged
+          case _ => throw new IllegalArgumentException(
+            "unsupported statement in transaction: CREATE supports only " +
+              "CREATE [OR REPLACE] TABLE … AS SELECT")
+        }
+        case "INSERT" =>
+          val ins = parseInsertInto(st)
+          require(tableExists(ins.target),
+            s"INSERT INTO ${ins.target}: table does not exist")
+          val cur = readT(ins.target)
+          val rows = withTxnViews(s, store, dir, overlay)(
+            alignedInsert(s.sql(ins.select), cur.schema, ins))
+          overlay(ins.target) = cur.unionByName(rows)
+        case "UPDATE" =>
+          val u = parseUpdateFrom(st)
+          overlay(u.target) =
+            updateFromPlan(u, resolveSrc(u.source))(readT(u.target))
+        case "MERGE" =>
+          val u = parseMergeInto(st)
+          overlay(u.target) =
+            mergeIntoPlan(u, resolveSrc(u.source))(readT(u.target))
+        case "DELETE" => st match {
+          case DeleteStmt(_*) =>
+            val d = parseDeleteIn(st)
+            overlay(d.target) =
+              deleteInPlan(d, resolveSrc(d.source))(readT(d.target))
+          case DeleteWhereStmt(target, cond) =>
+            val name = baseName(target)
+            // DELETE removes rows where the predicate is TRUE; a NULL
+            // predicate KEEPS the row (ANSI three-valued semantics)
+            overlay(name) =
+              readT(name).filter(!coalesce(expr(cond), lit(false)))
+          case _ => throw new IllegalArgumentException(
+            "unsupported DML: expected DELETE FROM <t> WHERE …")
+        }
+        case verb => throw new IllegalArgumentException(
+          s"unsupported statement verb '$verb' inside BEGIN … COMMIT: " +
+            "transactions support CREATE TABLE AS / INSERT / UPDATE / " +
+            "MERGE / DELETE (DDL and maintenance verbs commit per " +
+            "statement outside a transaction)")
+      }
+    }
+    overlay.toSeq
+  }
+
+  /** [[withStatementViews]] for transaction statements: the overlay's
+    * uncommitted states REGISTER LAST, shadowing the committed store
+    * tables — a statement reads its predecessors' writes, the
+    * read-your-own-writes contract of a transaction. */
+  private def withTxnViews[T](s: SparkSession, store: TableStore,
+      dir: String,
+      overlay: scala.collection.Map[String, DataFrame])(body: => T): T = {
+    registerViews(s, dir)
+    val storeViews = store.tables()
+    val logical = store.views()
+    val clash = (storeViews ++ logical ++ overlay.keys).toSet
+      .intersect(Tables.corpus.toSet)
+    require(clash.isEmpty,
+      s"store table(s)/view(s) ${clash.mkString(", ")} shadow corpus " +
+        "views of the same name — rename them")
+    storeViews.foreach(t => store.read(t).createOrReplaceTempView(t))
+    overlay.foreach { case (t, df) => df.createOrReplaceTempView(t) }
+    val registered = logical.filter { v =>
+      try { s.sql(store.viewSql(v)).createOrReplaceTempView(v); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
+    try body
+    finally (storeViews ++ overlay.keys ++ registered).toSeq.distinct
+      .foreach(t => s.catalog.dropTempView(t))
+  }
+
+  /** q63: the reference's nightly-job shape end-to-end — ONE
+    * TRANSACTIONAL script (`BEGIN … COMMIT`, round 15) composing every
+    * DML verb against one store table, each statement reading its
+    * predecessors' uncommitted writes through the overlay: CTAS seeds
     * the working table and three staging tables, UPDATE-FROM reprices
     * the open orders, DELETE erases a tombstone batch, MERGE deletes
     * the fulfilled survivors while re-inserting their erased siblings
     * repriced (predicated DELETE + INSERT in one statement), and INSERT
-    * appends an adjustment log. The oracle recomputes the final state
+    * appends an adjustment log — all published as ONE atomic
+    * multi-table commit (4 staged writes instead of round 14's 8
+    * sequential versioned commits; order_state materializes once, not
+    * four times). The oracle recomputes the final state
     * declaratively in one pass, so the hash gate proves statement
     * SEQUENCING: five different verbs, five commits, one lineage.
     *
@@ -1867,7 +2086,8 @@ object Sql {
       .createTempDirectory("graft_dml_wh").toString
     val store = new TableStore(s, wh)
     val n = runScript(s, store, dir,
-      """CREATE TABLE `graft-project.store.order_state` AS
+      """BEGIN;
+        |CREATE TABLE `graft-project.store.order_state` AS
         |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders;
         |CREATE TABLE `graft-project.store.price_updates` AS
         |  SELECT o_orderkey, o_totalprice * 1.10 AS o_totalprice
@@ -1895,9 +2115,10 @@ object Sql {
         |INSERT INTO `graft-project.store.order_state`
         |    (o_orderkey, o_totalprice)
         |  SELECT o_orderkey, o_totalprice * 0.5
-        |  FROM orders WHERE o_orderstatus <> 'O' AND o_orderkey % 7 = 0
+        |  FROM orders WHERE o_orderstatus <> 'O' AND o_orderkey % 7 = 0;
+        |COMMIT
         |""".stripMargin)
-    require(n == 8, s"script executed $n statements, expected 8")
+    require(n == 10, s"script executed $n statements, expected 10")
     store.read("order_state")
       .select(col("o_orderkey"),
         col("o_totalprice").as("final_price"),
@@ -2632,6 +2853,181 @@ object Sql {
       |FROM all_docs GROUP BY 1 HAVING count(*) > 1
       |ORDER BY h""".stripMargin
 
+  /** q98: multi-statement transaction semantics end-to-end (r14 verdict
+    * next-2) — three blocks against one seeded table:
+    *
+    *   1. a transaction whose SECOND statement fails (UPDATE against a
+    *      missing source) after a valid first statement: the store must
+    *      carry ZERO trace of it — no new version, no content change
+    *      (asserted in-line on the version chain);
+    *   2. an explicit `BEGIN … ROLLBACK`: statements execute and
+    *      validate against the overlay, nothing publishes;
+    *   3. a committed transaction (UPDATE + DELETE + INSERT over the
+    *      same table): exactly ONE new version lands — three statements,
+    *      one materialization, one atomic commit.
+    *
+    * The oracle replays block 3 declaratively over the seed, so the
+    * hash gate proves the aborted/rolled-back blocks truly left
+    * nothing behind AND the committed overlay chain equals the
+    * declarative answer. Crash-mid-COMMIT roll-forward is pinned in
+    * CrashRecoverySpec (the manifest protocol,
+    * [[graft.psn.TableStore.recoverTransactions]]). */
+  def q98SqlTransaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.acct` AS
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 = 0;
+        |""".stripMargin)
+    val v0 = store.versions("acct").max
+    // 1. mid-transaction failure → complete rollback
+    val aborted =
+      try {
+        runScript(s, store, dir,
+          """BEGIN;
+            |UPDATE `graft-project.store.acct` t
+            |  SET t.o_totalprice = u.o_totalprice
+            |  FROM `graft-project.store.acct` u
+            |  WHERE t.o_orderkey = u.o_orderkey;
+            |UPDATE `graft-project.store.acct` t
+            |  SET t.o_totalprice = u.o_totalprice
+            |  FROM `graft-project.store.no_such_src` u
+            |  WHERE t.o_orderkey = u.o_orderkey;
+            |COMMIT
+            |""".stripMargin)
+        false
+      } catch { case _: Exception => true }
+    require(aborted, "q98: the failing transaction must abort")
+    require(store.versions("acct").max == v0,
+      "q98: an aborted transaction must leave zero store trace")
+    // 2. explicit ROLLBACK publishes nothing
+    runScript(s, store, dir,
+      """BEGIN;
+        |DELETE FROM `graft-project.store.acct` WHERE o_totalprice > 0;
+        |ROLLBACK
+        |""".stripMargin)
+    require(store.versions("acct").max == v0,
+      "q98: ROLLBACK must leave zero store trace")
+    // 3. the committed chain: three statements, ONE new version
+    runScript(s, store, dir,
+      """BEGIN;
+        |UPDATE `graft-project.store.acct` t
+        |  SET t.o_totalprice = t.o_totalprice * 2
+        |  FROM `graft-project.store.acct` u
+        |  WHERE t.o_orderkey = u.o_orderkey AND t.o_orderstatus = 'O';
+        |DELETE FROM `graft-project.store.acct` WHERE o_orderkey % 3 = 0;
+        |INSERT INTO `graft-project.store.acct`
+        |    (o_orderkey, o_totalprice)
+        |  SELECT o_orderkey + 1, o_totalprice * 0.25 FROM orders
+        |  WHERE o_orderkey % 4 = 0 AND o_orderkey % 5 = 0;
+        |COMMIT
+        |""".stripMargin)
+    require(store.versions("acct").max == v0 + 1,
+      "q98: a committed transaction lands exactly one version per table")
+    store.read("acct")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+      .sortedWide("o_orderkey", "price")
+  }
+
+  val q98Oracle: String =
+    """WITH seed AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 4 = 0
+      |)
+      |SELECT o_orderkey, o_orderstatus,
+      |  CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS DOUBLE) AS price
+      |FROM seed WHERE o_orderkey % 3 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 1 AS o_orderkey, NULL AS o_orderstatus,
+      |  CAST(o_totalprice * 0.25 AS DOUBLE) AS price
+      |FROM seed WHERE o_orderkey % 5 = 0
+      |ORDER BY o_orderkey, price""".stripMargin
+
+  /** q99: ALTER TABLE … RENAME COLUMN end-to-end — ONE rewrite commit
+    * ([[graft.psn.TableStore.renameColumn]]; the scaladoc there records
+    * why this store cannot do it metadata-only). The INSERT after the
+    * rename is the schema witness (it only succeeds if the head carries
+    * the new name), and the in-line time-travel assert pins the q96
+    * discipline: the PRE-rename snapshot keeps its OWN column name. */
+  def q99RenameColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.ord_rc` AS
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0;
+        |ALTER TABLE `graft-project.store.ord_rc`
+        |  RENAME COLUMN o_totalprice TO price;
+        |INSERT INTO `graft-project.store.ord_rc` (o_orderkey, price)
+        |  SELECT o_orderkey, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey % 2 = 1;
+        |""".stripMargin)
+    // time travel composes: the pre-rename version still reads with its
+    // own declared column name, never the renamed head's
+    val v0 = store.versions("ord_rc").min
+    require(store.readVersion("ord_rc", v0)
+        .columns.contains("o_totalprice"),
+      "q99: the pre-rename snapshot must keep its own column name")
+    require(!store.read("ord_rc").columns.contains("o_totalprice"),
+      "q99: the head must carry only the new name")
+    store.read("ord_rc")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"))
+      .sortedWide("o_orderkey")
+  }
+
+  val q99Oracle: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, NULL AS o_orderstatus,
+      |  CAST(o_totalprice * 2 AS DOUBLE) AS price
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q100: CREATE TABLE … LIKE end-to-end — an empty table carrying the
+    * source's schema ([[graft.psn.TableStore.createLike]]: one empty
+    * commit, nothing scanned). The INSERT is the schema witness
+    * ([[runInsert]] asserts identity against the new table), and the
+    * source is PROVEN untouched by returning a join of both tables'
+    * aggregate shapes. */
+  def q100CreateLike(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.cust_base` AS
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer;
+        |CREATE TABLE `graft-project.store.cust_like`
+        |  LIKE `graft-project.store.cust_base`;
+        |INSERT INTO `graft-project.store.cust_like`
+        |    (c_custkey, c_name, c_acctbal)
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 3 = 0;
+        |""".stripMargin)
+    require(store.read("cust_like").schema ==
+        store.read("cust_base").schema,
+      "q100: LIKE must copy the source schema exactly")
+    store.read("cust_like")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"))
+      .sortedWide("c_custkey")
+  }
+
+  val q100Oracle: String =
+    """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      |FROM customer WHERE c_custkey % 3 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
@@ -2654,5 +3050,8 @@ object Sql {
     graft.Q("q93_sql_view", q93SqlView, Some(q93Oracle)),
     graft.Q("q95_sql_truncate", q95SqlTruncate, Some(q95Oracle)),
     graft.Q("q96_sql_rename", q96SqlRename, Some(q96Oracle)),
-    graft.Q("q97_create_index", q97CreateIndex, Some(q97Oracle)))
+    graft.Q("q97_create_index", q97CreateIndex, Some(q97Oracle)),
+    graft.Q("q98_sql_transaction", q98SqlTransaction, Some(q98Oracle)),
+    graft.Q("q99_rename_column", q99RenameColumn, Some(q99Oracle)),
+    graft.Q("q100_create_like", q100CreateLike, Some(q100Oracle)))
 }

@@ -1384,6 +1384,124 @@ final class TableStore(spark: SparkSession, warehouse: String) {
   def merge(table: String, updates: DataFrame): Unit =
     mergeWith(table)(Ops.mergeUpdates(_, updates))
 
+  // ------------------------------------------- multi-table transactions
+
+  /** Commit MANY tables' new states as one all-or-nothing transaction —
+    * the statement surface behind `BEGIN … COMMIT` scripts
+    * ([[graft.ops.Sql.runScript]]) and the multi-table twin of the s24
+    * composite commit. Protocol (write-ahead roll-FORWARD):
+    *
+    *   1. STAGE: claim a version directory per table and materialize its
+    *      full new state there. Claims are invisible to readers; a crash
+    *      anywhere in this phase leaves only orphaned claims (swept by
+    *      later commits' GC) — the transaction never happened.
+    *   2. LOG: atomically publish a manifest under `_txnlog/` naming
+    *      every staged (table, version). This is the transaction's
+    *      durability point: before the manifest, nothing is visible;
+    *      after it, the transaction is GUARANTEED to complete.
+    *   3. PUBLISH: commit each staged version through the per-table CAS
+    *      log ([[commitClaimed]] — a concurrent writer just bumps the
+    *      seq; the transaction's state wins, the overwrite contract).
+    *   4. Delete the manifest.
+    *
+    * A crash between 2 and 4 is healed by [[recoverTransactions]]: the
+    * manifest's staged directories are complete by construction, so
+    * recovery PUBLISHES the remainder — all-or-nothing with no wedged
+    * state and no data rewritten twice. Readers mid-window may see table
+    * A's new state before table B's (per-table markers publish in
+    * sequence); crash atomicity, not snapshot isolation across tables,
+    * is the contract — the same seam every per-table-log lakehouse
+    * format has.
+    *
+    * Scale shape: each table's state is materialized exactly ONCE no
+    * matter how many statements touched it — a script that rewrites one
+    * table N times pays one write, not N (the q63 8-commit chain drops
+    * to 4 staged writes + 4 pointer publishes). */
+  def commitTransaction(writes: Seq[(String, DataFrame)],
+      txnTag: Option[String] = None): Unit = {
+    val manifest = stageTransaction(writes, txnTag)
+    publishManifest(manifest,
+      writes.map { case (t, df) => t -> df.schema }.toMap, checkTag(txnTag))
+  }
+
+  /** Phase 1+2 of [[commitTransaction]] — exposed package-private so the
+    * crash specs can stop at the durability point and hand recovery the
+    * wheel. Returns the published manifest path. */
+  private[graft] def stageTransaction(writes: Seq[(String, DataFrame)],
+      txnTag: Option[String] = None): Path = {
+    require(writes.nonEmpty, "empty transaction")
+    require(writes.map(_._1).distinct.length == writes.length,
+      "transaction stages one write per table")
+    checkTag(txnTag)
+    val claims = writes.map { case (t, df) =>
+      requireNotMv(t, "transaction write")
+      requireNoFeed(t, "transaction write")
+      val (v, claimed) = claimNext(t)
+      (t, v, claimed, df)
+    }
+    // materialize the claims CONCURRENTLY: each targets its own claimed
+    // directory (no shared state below the driver), so the staged writes
+    // are independent Spark jobs — wall-clock is the largest write, not
+    // the sum (the multi-job submission pattern; FIFO interleaves tasks)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, claims.length))
+    val staged = try {
+      claims.map { case (t, v, claimed, df) =>
+        (t, v, pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = enforced(t, df).write
+            .mode(SaveMode.Append).parquet(claimed.toString)
+        }))
+      }.map { case (t, v, f) => f.get(); (t, v) }
+    } finally pool.shutdown()
+    val logDir = Paths.get(warehouse, "_txnlog")
+    Files.createDirectories(logDir)
+    val id = s"txn.${System.nanoTime}"
+    val stagedManifest = logDir.resolve(s".staged.$id")
+    Files.writeString(stagedManifest,
+      staged.map { case (t, v) => s"$t $v" }.mkString("\n"))
+    val manifest = logDir.resolve(id)
+    Files.move(stagedManifest, manifest, StandardCopyOption.ATOMIC_MOVE)
+    manifest
+  }
+
+  /** Phase 3+4: publish every (table, version) the manifest names whose
+    * marker has not landed yet, then retire the manifest. Idempotent —
+    * safe under replay and concurrent recovery (the per-table CAS
+    * dedupes; a marker already naming the version is skipped). */
+  private def publishManifest(manifest: Path,
+      schemas: Map[String, StructType],
+      txnTag: Option[String]): Unit = {
+    Files.readString(manifest).linesIterator
+      .filter(_.nonEmpty).foreach { line =>
+        val Array(t, vs) = line.split(" ", 2)
+        val v = vs.trim.toInt
+        val published = markers(t).exists(_._2 == v)
+        if (!published && Files.isDirectory(dir(t).resolve(s"v$v")))
+          commitClaimed(t, v, txnTag, schemas.get(t))
+      }
+    Files.deleteIfExists(manifest)
+  }
+
+  /** Roll FORWARD transactions whose manifest survived a crash between
+    * the durability point and the last pointer publish. Called at script
+    * entry ([[graft.ops.Sql.runScript]]); staged directories named by a
+    * manifest are complete by construction, so completion — never
+    * rollback — is always the correct direction. Returns the number of
+    * manifests retired. O(1) when `_txnlog/` is absent or empty. */
+  def recoverTransactions(): Int = {
+    val logDir = Paths.get(warehouse, "_txnlog")
+    if (!Files.isDirectory(logDir)) return 0
+    val manifests = {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("txn.")).toSeq.sorted
+      finally s.close()
+    }
+    manifests.foreach(m =>
+      publishManifest(logDir.resolve(m), Map.empty, None))
+    manifests.length
+  }
+
   /** Generic transactional rewrite: `f` maps the table's current contents
     * to its next version, committed through the same protocol. [[merge]]
     * is `mergeWith(t)(Ops.mergeUpdates(_, updates))`.
@@ -1953,6 +2071,55 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * resurrection guard keeps that residue from ever coming back under a
     * re-declared name. Refused while a CHECK constraint references the
     * column (future writes could no longer evaluate it). */
+  /** ALTER TABLE … RENAME COLUMN — committed as ONE REWRITE version
+    * (`withColumnRenamed` through the merge protocol). BigQuery's rename
+    * is metadata-only; here the store's append path writes PHYSICAL
+    * column names into the current version directory, so a
+    * metadata-only rename would leave one directory holding files with
+    * both names — a silent null-fill trap for every schema-by-name
+    * read. The safe contract without engine-level field IDs (Iceberg's
+    * name mapping) is an explicit rewrite: O(data) once, every
+    * invariant intact — time travel keeps each snapshot's OWN column
+    * name (the q96 discipline), deletion vectors purge naturally,
+    * appends under the new name schema-check against the new head.
+    * Refused while a CHECK constraint pins the old name (the constraint
+    * text would silently stop matching rows); views referencing the
+    * column safe-degrade at their next use, the tolerant-registration
+    * contract. */
+  def renameColumn(table: String, from: String, to: String): Unit = {
+    require(exists(table), s"renameColumn: table '$table' does not exist")
+    requireNotMv(table, "ALTER TABLE RENAME COLUMN")
+    requireNoFeed(table, "ALTER TABLE RENAME COLUMN")
+    val cur = currentSchema(table)
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(from)),
+      s"renameColumn($table): no column '$from' " +
+        s"(have ${cur.fieldNames.mkString(", ")})")
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"renameColumn($table): column '$to' already exists")
+    val pat = ("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+    val pinned = constraints(table).collect {
+      case (n, check) if pat.findFirstIn(check).isDefined => n
+    }
+    require(pinned.isEmpty,
+      s"renameColumn($table): CHECK constraint(s) ${pinned.mkString(", ")} " +
+        s"reference '$from' — drop them first, re-add against '$to'")
+    mergeWith(table)(_.withColumnRenamed(from, to))
+  }
+
+  /** CREATE TABLE … LIKE — a new EMPTY table carrying the source's
+    * current schema (BigQuery's LIKE: schema, no data, no derived
+    * state). One empty commit; nothing scanned. */
+  def createLike(source: String, target: String): Unit = {
+    require(exists(source), s"CREATE TABLE LIKE: '$source' does not exist")
+    require(!exists(target) && !isView(target) &&
+      !isMaterializedView(target),
+      s"CREATE TABLE $target LIKE: the target name is already held")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      currentSchema(source))
+    commitRewrite(target, empty, None)
+  }
+
   def dropColumn(table: String, column: String,
       txnTag: Option[String] = None): Boolean = {
     require(exists(table), s"dropColumn: table '$table' does not exist")

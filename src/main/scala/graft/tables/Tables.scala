@@ -20,8 +20,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Corpus scans memoize per (session, dir, table): a corpus directory
+    * is immutable for a run, so the file listing + footer schema read
+    * behind `spark.read.parquet` is pure fixed cost — paying it once per
+    * JVM instead of once per statement matters for the script paths,
+    * which re-register every corpus view per statement (a catalog, which
+    * is what this map is, is exactly what a production engine caches).
+    * The DataFrame is a lazy plan: reuse shares the resolved relation,
+    * never computed results. */
+  private val loadCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loadCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

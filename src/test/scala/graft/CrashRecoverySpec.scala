@@ -152,4 +152,64 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(dec == Seq((0L, "new"), (8L, "exact"),
       (12L, "new"), (28L, "new")))
   }
+
+  test("kill mid-transaction-COMMIT: the manifest rolls the whole write set forward (r14 next-2)") {
+    val wh = Files.createTempDirectory("crash_txn_wh").toString
+    val store = new TableStore(spark, wh)
+    store.overwrite("ta", kv(1 -> "a"))
+    store.overwrite("tb", kv(2 -> "b"))
+
+    // stage a two-table transaction up to its durability point (claims
+    // written, manifest published, ZERO pointers moved) — exactly the
+    // state a process killed inside commitTransaction leaves behind
+    val manifest = store.stageTransaction(Seq(
+      "ta" -> kv(1 -> "a", 10 -> "x"),
+      "tb" -> kv(2 -> "b2")))
+    assert(Files.exists(manifest))
+    // nothing is visible before recovery: readers still see the old head
+    assert(contents(store, "ta") == Map(1 -> "a"))
+    assert(contents(store, "tb") == Map(2 -> "b"))
+
+    // a NEW process heals at script entry: both tables advance, the
+    // manifest retires — all-or-nothing, roll-forward
+    val healed = new TableStore(spark, wh)
+    assert(healed.recoverTransactions() == 1)
+    assert(contents(healed, "ta") == Map(1 -> "a", 10 -> "x"))
+    assert(contents(healed, "tb") == Map(2 -> "b2"))
+    assert(!Files.exists(manifest))
+    // recovery is idempotent: nothing left to heal
+    assert(healed.recoverTransactions() == 0)
+
+    // crash BEFORE the durability point (claim staged, no manifest):
+    // the transaction never happened — an orphaned claim, swept later
+    val preDur = versionDirs(wh, "ta")
+    graft.ops.Sql.runScript(spark, healed, "/root/testdata/sf0.001",
+      "BEGIN; DELETE FROM ta WHERE k = 10; ROLLBACK")
+    assert(versionDirs(wh, "ta") == preDur)
+    assert(contents(healed, "ta") == Map(1 -> "a", 10 -> "x"))
+  }
+
+  test("recovery replay is idempotent: published entries are skipped, versions never double-publish") {
+    val wh = Files.createTempDirectory("crash_txn_wh2").toString
+    val store = new TableStore(spark, wh)
+    store.overwrite("ta", kv(1 -> "a"))
+    store.overwrite("tb", kv(2 -> "b"))
+    val manifest = store.stageTransaction(Seq(
+      "ta" -> kv(1 -> "a1"),
+      "tb" -> kv(2 -> "b1")))
+    val content = Files.readString(manifest)
+    assert(store.recoverTransactions() == 1)
+    val vA = store.versions("ta").max
+    val vB = store.versions("tb").max
+    // a recovery that crashed AFTER publishing but BEFORE retiring the
+    // manifest re-presents it whole on the next boot: every entry's
+    // marker already names its version, so replay publishes nothing new
+    Files.writeString(manifest, content)
+    assert(store.recoverTransactions() == 1)
+    assert(store.versions("ta").max == vA &&
+      store.versions("tb").max == vB)
+    assert(contents(store, "ta") == Map(1 -> "a1"))
+    assert(contents(store, "tb") == Map(2 -> "b1"))
+    assert(!Files.exists(manifest))
+  }
 }
