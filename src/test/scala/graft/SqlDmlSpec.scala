@@ -902,6 +902,31 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](store.rename("cj_b", "cj_b2"))
   }
 
+  test("RENAME COLUMN guards: constraint-pinned refusal, duplicate/missing names, snapshot time travel") {
+    import spark.implicits._
+    val store = freshStore()
+    store.overwrite("rc", Seq((1L, 5L), (2L, 8L)).toDF("k", "v"))
+    store.addConstraint("rc", "vpos", "v > 0")
+    // a CHECK pinning the old name refuses (the text would silently
+    // stop matching rows after the rename)
+    val e = intercept[IllegalArgumentException](
+      store.renameColumn("rc", "v", "w"))
+    assert(e.getMessage.contains("vpos"))
+    store.dropConstraint("rc", "vpos")
+    intercept[IllegalArgumentException](store.renameColumn("rc", "x", "y"))
+    intercept[IllegalArgumentException](store.renameColumn("rc", "v", "k"))
+    val v0 = store.versions("rc").max
+    store.renameColumn("rc", "v", "w")
+    assert(store.read("rc").columns.toSeq == Seq("k", "w"))
+    // each snapshot keeps its OWN column name (the q96 discipline)
+    assert(store.readVersion("rc", v0).columns.toSeq == Seq("k", "v"))
+    // appends schema-check against the renamed head
+    store.append("rc", Seq((3L, 9L)).toDF("k", "w"))
+    assert(store.read("rc").count() == 3)
+    intercept[IllegalArgumentException](
+      store.append("rc", Seq((4L, 9L)).toDF("k", "v")))
+  }
+
   test("concurrent CREATE VIEW allocates distinct _viewseq values (createFile claims)") {
     import spark.implicits._
     val store = freshStore()

@@ -76,7 +76,10 @@ SPARK_GRAFT_SF_DIR=/tmp/sf10_100x SPARK_GRAFT_ONLY="$HEAVY" \
   sbt -batch 'runMain graft.Bench' > /tmp/r15_bench_100x.log 2>&1
 python3 tools/make_bench_100x.py /tmp/r15_spark_1x.json \
   /tmp/r15_spark_100x.json BENCH_100X.json
-cp /tmp/r15_spark_1x.json BENCH_REF.json
+# BENCH_REF = DuckDB 1x medians (the baseline), BENCH_LAST = Spark 1x
+# medians — the pairing VERDICT reads (r14's script copied spark into
+# both and needed a manual fix-up afterwards).
+cp /tmp/r15_duck_1x.json BENCH_REF.json
 cp /tmp/r15_spark_1x.json BENCH_LAST.json
 date
 echo CLOSEOUT_DONE
