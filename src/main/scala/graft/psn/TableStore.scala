@@ -1543,7 +1543,12 @@ final class TableStore(spark: SparkSession, warehouse: String) {
         commitPointer(table, v)
         gc(table, baseV)
         maintainStats(table, baseV)
-        maintainSchema(table, baseV)
+        // A full rewrite lands f's OUTPUT schema in every file, so that is
+        // the declaration to carry forward — f may have CHANGED it
+        // (renameColumn routes here); copying baseV's sidecar would
+        // silently project the new files back to the old names,
+        // null-filling the renamed column.
+        maintainSchema(table, baseV, Some(next.schema))
         committed = true
       } else {
         deleteRecursive(claimed) // lost the race: discard and re-apply

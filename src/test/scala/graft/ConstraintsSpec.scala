@@ -78,9 +78,17 @@ class ConstraintsSpec extends AnyFunSuite {
     // ADD COLUMN is a real verb now (metadata-only evolution)…
     Sql.runAlter(store, "ALTER TABLE ct ADD COLUMN y INT")
     assert(store.read("ct").columns.toSeq == Seq("k", "x", "y"))
+    // RENAME COLUMN joined the surface in q99 — it dispatches now, and
+    // composes with the metadata-only evolution above: the rewrite must
+    // re-declare ITS schema, not inherit the pre-rename sidecar (which
+    // would silently null-fill x and hide z)
+    Sql.runAlter(store, "ALTER TABLE ct RENAME COLUMN x TO z")
+    assert(store.read("ct").columns.toSeq == Seq("k", "z", "y"))
+    assert(store.read("ct").select("z").collect().map(_.getDouble(0))
+      .toSeq == Seq(5.0))
     // …but DDL outside the surface stays loud.
     intercept[IllegalArgumentException](
-      Sql.runAlter(store, "ALTER TABLE ct RENAME COLUMN x TO z"))
+      Sql.runAlter(store, "ALTER TABLE ct SET OPTIONS (ttl = 3)"))
     intercept[IllegalArgumentException](
       Sql.runAlter(store, "ALTER TABLE ct ADD CONSTRAINT p-q CHECK (x > 0)"))
   }
