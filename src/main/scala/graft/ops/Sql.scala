@@ -1008,19 +1008,26 @@ object Sql {
   }
 
   private val CloneStmt = (
-    """(?is)\s*CREATE\s+(SNAPSHOT\s+)?TABLE\s+`?([\w.-]+)`?\s+CLONE\s+""" +
+    """(?is)\s*CREATE\s+(SNAPSHOT\s+)?TABLE\s+`?([\w.-]+)`?\s+(CLONE|COPY)\s+""" +
     """`?([\w.-]+)`?(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)""" +
     """|\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+'([^']+)'""" +
     """|(\d{10,})))?\s*;?\s*""").r
 
   /** Execute `CREATE [SNAPSHOT] TABLE <t> CLONE <src> [FOR VERSION AS OF
-    * <v> | FOR SYSTEM_TIME AS OF …]` — the zero-copy clone verb
-    * ([[TableStore.cloneTable]]): BigQuery's table clone (writable) and
-    * snapshot table (read-only), optionally pinned to a retained version
-    * or a commit timestamp (resolved like every SYSTEM_TIME reference).
-    * O(files) hard links, no data copied, no SELECT executed. */
+    * <v> | FOR SYSTEM_TIME AS OF …]` and `CREATE TABLE <t> COPY <src>` —
+    * the clone/copy verbs ([[TableStore.cloneTable]]): BigQuery's table
+    * clone (writable), snapshot table (read-only), and table copy,
+    * optionally pinned to a retained version or a commit timestamp
+    * (resolved like every SYSTEM_TIME reference). COPY is BigQuery's
+    * physical-copy verb; because this store's data files are IMMUTABLE
+    * (every commit writes new files), the hard-link clone already has
+    * physical-copy semantics — the two tables share no future state —
+    * so COPY routes to the same O(files) link commit, no data moved.
+    * SNAPSHOT pairs only with CLONE (as in BigQuery). */
   def runClone(store: TableStore, sql: String): String = sql match {
-    case CloneStmt(snap, target, source, ver, tsLit, epoch) =>
+    case CloneStmt(snap, target, verb, source, ver, tsLit, epoch) =>
+      require(snap == null || verb.equalsIgnoreCase("CLONE"),
+        "CREATE SNAPSHOT TABLE pairs with CLONE, not COPY")
       val name = baseName(target)
       val src = baseName(source)
       val asOf =
@@ -1032,7 +1039,8 @@ object Sql {
       name
     case _ => throw new IllegalArgumentException(
       "unsupported DDL: expected CREATE [SNAPSHOT] TABLE <t> CLONE <src> " +
-        "[FOR VERSION AS OF <v> | FOR SYSTEM_TIME AS OF TIMESTAMP '<ts>']")
+        "[FOR VERSION AS OF <v> | FOR SYSTEM_TIME AS OF TIMESTAMP '<ts>'] " +
+        "or CREATE TABLE <t> COPY <src>")
   }
 
   private val CreateMvStmt = (
@@ -3028,6 +3036,42 @@ object Sql {
       |FROM customer WHERE c_custkey % 3 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** q101: CREATE TABLE … COPY end-to-end — a writable independent copy
+    * ([[runClone]]: immutable data files make the O(files) hard-link
+    * commit physically equivalent to BigQuery's copy job). The copy is
+    * then mutated; the source must be PROVEN untouched, so the result
+    * unions both tables' final states under a tag column. */
+  def q101CreateCopy(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Out._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_dml_wh").toString
+    val store = new TableStore(s, wh)
+    runScript(s, store, dir,
+      """CREATE TABLE `graft-project.store.cust_src` AS
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer;
+        |CREATE TABLE `graft-project.store.cust_cp`
+        |  COPY `graft-project.store.cust_src`;
+        |DELETE FROM `graft-project.store.cust_cp`
+        |  WHERE c_mktsegment <> 'BUILDING';
+        |""".stripMargin)
+    store.read("cust_src").withColumn("side", lit("src"))
+      .unionAll(store.read("cust_cp").withColumn("side", lit("cp")))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"),
+        graft.expr.Exprs.dsum(col("c_acctbal")).as("bal"))
+      .sortedWide("side")
+  }
+
+  val q101Oracle: String =
+    """WITH src AS (SELECT c_custkey, c_mktsegment, c_acctbal
+      |             FROM customer),
+      |     cp AS (SELECT * FROM src WHERE c_mktsegment = 'BUILDING'),
+      |     u AS (SELECT 'src' AS side, * FROM src
+      |           UNION ALL SELECT 'cp' AS side, * FROM cp)
+      |SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
+      |FROM u GROUP BY side ORDER BY side""".stripMargin
+
   val all: Seq[graft.Q] = Seq(
     graft.Q("q56_sql_update_from", q56SqlUpdateFrom, Some(q56Oracle)),
     graft.Q("q57_sql_merge", q57SqlMerge, Some(q57Oracle)),
@@ -3053,5 +3097,6 @@ object Sql {
     graft.Q("q97_create_index", q97CreateIndex, Some(q97Oracle)),
     graft.Q("q98_sql_transaction", q98SqlTransaction, Some(q98Oracle)),
     graft.Q("q99_rename_column", q99RenameColumn, Some(q99Oracle)),
-    graft.Q("q100_create_like", q100CreateLike, Some(q100Oracle)))
+    graft.Q("q100_create_like", q100CreateLike, Some(q100Oracle)),
+    graft.Q("q101_create_copy", q101CreateCopy, Some(q101Oracle)))
 }

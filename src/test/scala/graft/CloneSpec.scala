@@ -146,6 +146,28 @@ class CloneSpec extends AnyFunSuite {
     assert(rowsOf(store, "t_then") == Seq(1 -> "a"))
   }
 
+  test("SQL verb: CREATE TABLE … COPY is a writable independent copy") {
+    val (store, _) = freshStore()
+    val dir = "/root/testdata/sf0.001"
+    graft.ops.Sql.runScript(spark, store, dir,
+      """CREATE TABLE `p.d.src` AS
+        |  SELECT o_orderkey AS k, o_orderstatus AS v FROM orders;
+        |CREATE TABLE `p.d.cp` COPY `p.d.src`;
+        |""".stripMargin)
+    val n = store.read("src").count()
+    assert(store.read("cp").count() == n)
+    assert(!store.isSnapshot("cp")) // writable, unlike SNAPSHOT
+    // the two tables share NO future state: mutate each side, other holds
+    graft.ops.Sql.runScript(spark, store, dir,
+      "DELETE FROM `p.d.cp` WHERE v = 'F';")
+    assert(store.read("src").count() == n)
+    store.truncate("src")
+    assert(store.read("cp").count() > 0)
+    // SNAPSHOT pairs with CLONE only (BigQuery's split of the verbs)
+    intercept[IllegalArgumentException](graft.ops.Sql.runScript(
+      spark, store, dir, "CREATE SNAPSHOT TABLE `p.d.s2` COPY `p.d.cp`;"))
+  }
+
   test("a snapshot-clone crash before commit cannot poison the name") {
     val (store, wh) = freshStore()
     store.overwrite("src", kv(1 -> "a"))

@@ -162,6 +162,16 @@ class SqlFuzzSpec extends AnyFunSuite {
       val store = new TableStore(spark,
         Files.createTempDirectory(s"fuzz_wh_$i").toString)
       store.overwrite("ft", Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+      // CREATE TABLE … COPY (writable) and CREATE SNAPSHOT TABLE … CLONE
+      Sql.runClone(store, render(Seq(
+        "k" -> "CREATE", "k" -> "TABLE", "i" -> "#fc",
+        "k" -> "COPY", "i" -> "#ft"), st))
+      assert(store.read("fc").count() == 2 && !store.isSnapshot("fc"),
+        s"style $i")
+      Sql.runClone(store, render(Seq(
+        "k" -> "CREATE", "k" -> "SNAPSHOT", "k" -> "TABLE", "i" -> "#fs",
+        "k" -> "CLONE", "i" -> "#ft"), st))
+      assert(store.isSnapshot("fs"), s"style $i")
       // TRUNCATE
       Sql.runTruncate(store, render(Seq(
         "k" -> "TRUNCATE", "k" -> "TABLE", "i" -> "#ft"), st))
@@ -197,6 +207,7 @@ class SqlFuzzSpec extends AnyFunSuite {
       "DROP TABL jt",                     // typo'd object
       "CREATE INDEX i ON jt (k) USING HASH", // arity: needs (key, col)
       "ALTER TABLE jt RENAME jt2",        // missing TO
+      "CREATE SNAPSHOT TABLE s2 COPY jt", // SNAPSHOT pairs with CLONE only
       "FROBNICATE jt",                    // unknown verb
       "COMMIT"                            // COMMIT without BEGIN
     ).foreach { s =>
