@@ -1147,11 +1147,23 @@ object TextOps {
           .select(lit(c.toLong).as("bands"), col("a"), col("b"))
           .distinct()
       }.reduce(_ unionByName _))
-    val vol = cand.groupBy(col("bands"))
+    // The candidate artifact is ~4.6M rows in ONE compacted file (2 scan
+    // splits under the 4 MB open-cost floor): both consumers below — the
+    // volume count's partial aggregate and the rank pushdown's PARTIAL
+    // WindowGroupLimit (which fully sorts each scan split; measured 2.5 s
+    // as a single-task sort) — inherit that near-serial parallelism from
+    // the file layout. One deterministic hash repartition fans both out
+    // across the cores (guide §2.5: partition counts must not be hostage
+    // to input file layout); the two branches share the exchange via
+    // ReuseExchange, so it is shuffled once.
+    val candP = cand.repartition(
+      cand.sparkSession.sparkContext.defaultParallelism,
+      col("a"), col("b"))
+    val vol = candP.groupBy(col("bands"))
       .agg(count(lit(1)).as("n_candidates"))
     val wCfg = Window.partitionBy(col("bands")).orderBy(col("a"), col("b"))
     val sets = sketch.select(col("doc_id"), col("sset"))
-    val verified = cand
+    val verified = candP
       .withColumn("rn", row_number().over(wCfg))
       .filter(col("rn") <= VerifyCap)
       .join(sets.select(col("doc_id").as("a"), col("sset").as("sa")), "a")

@@ -1376,6 +1376,12 @@ final class TableStore(spark: SparkSession, warehouse: String) {
     * directory listing, bounded by the file count itself. */
   def fileCount(table: String): Int = dataFiles(resolve(table)).length
 
+  /** Total parquet data bytes of the table's current version — the input
+    * [[compact]] callers size their `targetBytes` from. Same bounded
+    * driver-side listing as [[fileCount]]. */
+  def tableBytes(table: String): Long =
+    dataFiles(resolve(table)).map(Files.size).sum
+
   /** Upsert (K4): materialize `Ops.mergeUpdates(target, updates)` into a
     * claimed version directory, then commit the pointer. The source scan
     * reads the old version while the new one is written — different
