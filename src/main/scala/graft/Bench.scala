@@ -44,6 +44,15 @@ object Bench {
       // A real cluster self-heals (per-executor heaps, natural driver GC);
       // local[32] needs the nudge.
       .config("spark.cleaner.periodicGC.interval", "45s")
+      // The similarity/PQ index store (ext/Artifacts.scala) is DURABLE
+      // across JVMs by design (the round-15 store-resident index work).
+      // The bench must not inherit artifacts committed by a previous
+      // invocation — every bench run computes from the parquet inputs,
+      // so each invocation gets a fresh, private artifact root. Within
+      // the run the warm store still means passes 2..n bill probe-only
+      // cost, the same billing the round-14 per-JVM memo produced.
+      .config("spark.graft.indexDir",
+        java.nio.file.Files.createTempDirectory("graft_bench_idx").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

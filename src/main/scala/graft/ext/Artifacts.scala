@@ -50,9 +50,15 @@ private[graft] object Artifacts {
     * warm store serves probes with ZERO rebuilds. */
   private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** key -> (warehouse, table) of a verified-fresh artifact. */
+  /** key -> resolved scan of a verified-fresh artifact. Memoizing the
+    * DataFrame (not just the location) matters: `TableStore.read` pays a
+    * marker-log listing plus parquet file listing + footer reads at PLAN
+    * time, and consumers probe an artifact once per pass — a fresh
+    * artifact is immutable for the JVM's lifetime (the fingerprint
+    * contract above), so the resolved relation is pure fixed cost paid
+    * once, the `Tables.load` discipline. A lazy plan, never rows. */
   private val fresh =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Drop the in-process memo — simulates a cold JVM for specs. */
@@ -96,9 +102,9 @@ private[graft] object Artifacts {
     val lock = locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {
       val cached = fresh.get(key)
-      val (wh, table) =
-        if (cached != null) cached
-        else {
+      if (cached != null) cached
+      else {
+        val (wh, table) = {
           val tag = Integer.toHexString(
             scala.util.hashing.MurmurHash3.stringHash(dir))
           val w = new java.io.File(indexRoot(s), tag).getAbsolutePath
@@ -144,10 +150,12 @@ private[graft] object Artifacts {
               StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)
           }
-          fresh.put(key, (w, name))
           (w, name)
         }
-      new TableStore(s, wh).read(table)
+        val df = new TableStore(s, wh).read(table)
+        fresh.put(key, df)
+        df
+      }
     }
   }
 }

@@ -1002,10 +1002,20 @@ object TextOps2 {
     // the distinct, the df rollup, and the join back are all keyed on the
     // digest (t30's election trick). Collisions would merge two shingles'
     // df on both engines identically — the oracle hashes the same way.
+    // ONE h-keyed exchange serves all three keyed steps (guide §2.4):
+    // HashPartitioning(h) satisfies the distinct's ClusteredDistribution
+    // (doc_id, h) — {h} ⊆ {doc_id, h} — so the explicit repartition on h
+    // lets the distinct run WITHOUT its own (doc_id, h) exchange, and the
+    // df window reuses the same partitioning with only a sort. (Before:
+    // distinct exchanged on (doc_id, h), then the window re-exchanged the
+    // whole deduped stream on h — two full shuffles of the gram stream.
+    // Map-side partial dedup bought little: 8-token shingles within a
+    // document are almost all distinct.)
     val grams = fanOut(documents(s, dir))
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(wordGrams(8)).as("gram"))
       .select(col("doc_id"), substring(graft_md5(col("gram")), 1, 16).as("h"))
+      .repartition(col("h"))
       .distinct()
     // df rides a window over the SAME h-keyed shuffle instead of an
     // aggregate + self-join (one exchange and one join stage fewer; the

@@ -439,7 +439,9 @@ object Relational {
     // the rows through the hash aggregate); two single-distinct passes
     // joined on the 3-row group key are cheaper and each stays a plain
     // two-level (partial distinct, merge) aggregation. The HLL sketch
-    // rides whichever pass shares its column.
+    // rides whichever pass shares its column. (Re-measured round 15: the
+    // fused Expand variant is 2.7× SLOWER — 1.37 → 3.68 s warm at sf0.1 —
+    // the wider first-level distinct keys cost more than the saved scan.)
     def pass(keyCol: String, apx: String, nd: String): DataFrame =
       lineitem(s, dir)
         .groupBy(col("l_returnflag"))
