@@ -1002,15 +1002,18 @@ object TextOps2 {
     // the distinct, the df rollup, and the join back are all keyed on the
     // digest (t30's election trick). Collisions would merge two shingles'
     // df on both engines identically — the oracle hashes the same way.
-    // ONE h-keyed exchange serves all three keyed steps (guide §2.4):
-    // HashPartitioning(h) satisfies the distinct's ClusteredDistribution
-    // (doc_id, h) — {h} ⊆ {doc_id, h} — so the explicit repartition on h
-    // lets the distinct run WITHOUT its own (doc_id, h) exchange, and the
-    // df window reuses the same partitioning with only a sort. (Before:
-    // distinct exchanged on (doc_id, h), then the window re-exchanged the
-    // whole deduped stream on h — two full shuffles of the gram stream.
-    // Map-side partial dedup bought little: 8-token shingles within a
-    // document are almost all distinct.)
+    // ONE explicit h-keyed exchange, hoisted ABOVE the distinct, serves
+    // every keyed step (guide §2.4): HashPartitioning(h) satisfies the
+    // distinct's ClusteredDistribution(doc_id, h) — {h} ⊆ {doc_id, h} —
+    // so distinct, df window (sort only) and the rollup partials all run
+    // on this one full-width partitioning. Without it the planner ran the
+    // distinct map-side on the fanOut doc_id partitioning (two
+    // back-to-back gram-sized hash aggregates inside the explode stage,
+    // near-zero reduction: 8-token shingles within a document are almost
+    // all distinct) and inserted its own ENSURE_REQUIREMENTS h exchange
+    // after it, AQE-coalescible under the full-width sort+window.
+    // Exchange count is unchanged — the 0.88→0.46 s warm win (round 15,
+    // plans/r15/t32_novelty_score_*) is WHERE the exchange sits.
     val grams = fanOut(documents(s, dir))
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(wordGrams(8)).as("gram"))
